@@ -1,10 +1,12 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql for the gridfour_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every queries() key has a matching oracle_sql() entry unless the operator is
+genuinely non-SQL-expressible (Arrow compression kernels etc.), in which case
+the driver records a rows-only check and the key is listed in
+NON_SQL_QUERIES with a reason.
+
+Synthetic specs are deliberately small enough for the DuckDB oracle at
+sf=0.01 while still exercising partial tiles, fringe rounding, and skew.
 """
 
 from __future__ import annotations
@@ -12,27 +14,435 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridfour_spark import pipeline, raster_ops, similarity, store, synth, textops
+from gridfour_spark.spec import GLOBAL_GRID, GridSpec
+from gridfour_spark.tiling import tile_assignment_sql, with_tile_assignment
+
+# A mid-size spec with non-dividing tiles (partial last row/col of tiles,
+# GvrsFileSpecification.java:330-332) for grid-math queries.
+SPEC_A = GridSpec(n_rows=500, n_cols=600, n_rows_in_tile=40, n_cols_in_tile=55)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return pipeline.flagship(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.flagship(spark, sf_dir)
+
+
+def _q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.docs_spans(spark, sf_dir)
+
+
+def _q_span_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = synth.with_span_geometry(synth.docs_spans(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        "span_offset",
+        F.round("lat", 6).alias("lat_r"),
+        F.round("lon", 6).alias("lon_r"),
+    )
+
+
+def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span-sequence fingerprint (the input_hint invariant): md5 over
+    (kind, text, media_ref, offset) in offset order, computed from the
+    interleaved (nested) table so array order is what's being tested."""
+    il = synth.docs_interleaved(spark, sf_dir)
+    return il.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(
+            "md5(array_join(transform(spans, s -> concat(s.kind, '#', s.text, '#', "
+            "s.media_ref, '#', CAST(s.offset AS STRING))), '|'))"
+        ).alias("span_fingerprint"),
+    )
+
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = with_tile_assignment(synth.grid_df(spark, SPEC_A, value=None), SPEC_A)
+    return g.groupBy("tile_index", "tile_row", "tile_col").agg(
+        F.count("*").alias("n_cells"),
+        F.min("index_in_tile").alias("min_iit"),
+        F.max("index_in_tile").alias("max_iit"),
+        F.sum("index_in_tile").alias("sum_iit"),
+    )
+
+
+def _q_docs_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline-metric core: span points -> exact tile assignment counts."""
+    pts = pipeline.spans_with_tiles(spark, sf_dir)
+    # filter via agg output, not the group key (see pipeline.flagship)
+    return (
+        pts.groupBy("tile_index")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.min("index_in_tile").alias("min_iit"),
+            F.max("index_in_tile").alias("max_iit"),
+            F.min("tile_index").alias("_ti"),
+        )
+        .filter(F.col("_ti") >= 0)
+        .drop("_ti")
+    )
+
+
+def _q_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return raster_ops.grid_stats(synth.grid_df(spark, SPEC_A, value="dem"))
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return raster_ops.histogram(synth.grid_df(spark, SPEC_A, value="dem"), bin_size=250)
+
+
+def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return raster_ops.entropy_bits(synth.grid_df(spark, SPEC_A, value="dem"))
+
+
+def _q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return raster_ops.downsample(synth.grid_df(spark, SPEC_A, value="dem"), factor=4)
+
+
+def _q_block_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window reads through the tile store, aggregated per window."""
+    spec = SPEC_A
+    cells = synth.grid_df(spark, spec, value="dem")
+    tiles = store.build_tiles(cells, spec)
+    windows = spark.range(40).select(
+        F.col("id").alias("win_id"),
+        ((F.col("id") * 37) % 460).alias("row0"),
+        ((F.col("id") * 53) % 550).alias("col0"),
+        F.lit(25).alias("n_rows"),
+        F.lit(30).alias("n_cols"),
+    )
+    blk = store.block_read(windows, tiles, spec)
+    return blk.groupBy("win_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.col("z").cast("long")).alias("sum_z"),
+        F.min("z").cast("long").alias("min_z"),
+        F.max("z").cast("long").alias("max_z"),
+    )
+
+
+def _q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-access point reads through the tile store (S3)."""
+    spec = SPEC_A
+    cells = synth.grid_df(spark, spec, value="dem")
+    tiles = store.build_tiles(cells, spec)
+    pts = spark.range(5000).select(
+        F.col("id").alias("pt_id"),
+        ((F.col("id") * 179) % spec.n_rows).alias("row"),
+        ((F.col("id") * 283) % spec.n_cols).alias("col"),
+    )
+    got = store.point_read(pts, tiles, spec)
+    return got.select("pt_id", "row", "col", F.col("z").cast("long").alias("z"))
+
+
+# Integer-quantized per-cell area: a single literal constant times cos(lat),
+# floored to milli-km^2 BEFORE summing, so both engines sum exact integers
+# (cross-engine float sums over 6.5M terms are not bit-stable).
+_K2 = (3.141592653589793 / 180.0 * 6371.0072 * GLOBAL_GRID.cell_size_x) ** 2
+_AREA_MILLI = f"CAST(floor({_K2!r} * cos(radians(lat)) * 1000.0) AS BIGINT)"
+
+
+def _q_ocean_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ocean area/volume integration (ExtractData.java:125-135, 322-340),
+    integer-quantized for cross-engine exactness."""
+    spec = GLOBAL_GRID
+    g = synth.grid_df(spark, spec, value="dem")
+    g = g.withColumn("lat", F.lit(spec.y0) + F.col("row").cast("double") * F.lit(spec.cell_size_y))
+    sea = g.filter(F.col("z") < 0).withColumn("area_milli", F.expr(_AREA_MILLI))
+    return sea.agg(
+        F.sum("area_milli").alias("area_milli_km2"),
+        F.sum(F.col("area_milli") * (-F.col("z")).cast("long")).alias("volume_milli"),
+        F.count("*").alias("n_sea_cells"),
+    )
+
+
+# --- text analysis / dedup -------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.load_documents(spark, sf_dir)
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents UNION mutated copies (first word dropped, doc_id+1000000):
+    a deterministic near-duplicate corpus for dedup operators."""
+    docs = _docs(spark, sf_dir)
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 2, size(split(text, ' '))), ' ')"
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(mutated)
+
+
+_AUG_DOCS_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))), ' ') AS text,
+       lang, source, n_chars
+FROM documents
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.exact_dedup(_augmented_docs(spark, sf_dir))
+
+
+def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.near_dup_pairs(_augmented_docs(spark, sf_dir), jaccard_threshold=0.3)
+
+
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (Arrow kernel; bit math not SQL-portable -> rows-only)."""
+    return textops.simhash_near_dup(_augmented_docs(spark, sf_dir), max_hamming=8)
+
+
+# --- similarity search / multimodal -----------------------------------------
+
+def _emb_queries(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    emb = similarity.load_embeddings(spark, sf_dir)
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = similarity.load_embeddings(spark, sf_dir)
+    return similarity.brute_force_topk(emb, _emb_queries(spark, sf_dir), k=5)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = similarity.load_embeddings(spark, sf_dir)
+    return similarity.ann_topk(emb, _emb_queries(spark, sf_dir), k=5)
+
+
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over corpus + scaled copies (cos=1 by construction)."""
+    emb = similarity.load_embeddings(spark, sf_dir)
+    scaled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)").alias("embedding"),
+        "label",
+    )
+    aug = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"), "label"
+    ).unionByName(scaled)
+    return similarity.embedding_near_dup(aug, threshold=0.999999)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = synth.docs_spans(spark, sf_dir)
+    media = similarity.synth_media(spans)
+    feats = similarity.decode_media(media)
+    return feats.select(
+        "doc_id", "span_offset", "width", "height",
+        F.round("mean_byte", 6).alias("mean_byte"), "max_byte",
+    )
+
+
+_MEDIA_FEATURES_SQL = f"""
+WITH media AS (
+  SELECT doc_id, span_offset, media_ref, md5(media_ref) AS hx
+  FROM ({synth.DOCS_SPANS_DUCKDB}) WHERE kind = 'media'
+),
+bytes AS (
+  SELECT doc_id, span_offset, hx, unnest(generate_series(0, 15)) AS i FROM media
+),
+vals AS (
+  SELECT doc_id, span_offset, hx,
+         (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM bytes
+)
+SELECT doc_id, span_offset,
+       CAST(ascii(substr(hx, 1, 1)) % 64 + 8 AS INTEGER) AS width,
+       CAST(ascii(substr(hx, 2, 1)) % 64 + 8 AS INTEGER) AS height,
+       ROUND(AVG(CAST(bv AS DOUBLE)), 6) AS mean_byte,
+       CAST(MAX(bv) AS INTEGER) AS max_byte
+FROM vals GROUP BY 1, 2, hx
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship": _q_flagship,
+        "spans": _q_spans,
+        "span_geometry": _q_span_geometry,
+        "span_invariant": _q_span_invariant,
+        "tile_assign": _q_tile_assign,
+        "docs_tile_assign": _q_docs_tile_assign,
+        "grid_stats": _q_grid_stats,
+        "histogram": _q_histogram,
+        "entropy": _q_entropy,
+        "downsample": _q_downsample,
+        "block_read": _q_block_read,
+        "point_read": _q_point_read,
+        "ocean_volume": _q_ocean_volume,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "near_dup": _q_near_dup,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "sim_topk": _q_sim_topk,
+        "ann_topk": _q_ann_topk,
+        "emb_near_dup": _q_emb_near_dup,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+def _grid_a(value: str | None) -> str:
+    return synth.grid_duckdb_sql(SPEC_A, value=value)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ta = tile_assignment_sql(SPEC_A)
+    geo = synth.span_geometry_duckdb()
+    spans_tiles = pipeline.spans_with_tiles_sql(GLOBAL_GRID)
+    g = GLOBAL_GRID
+    return {
+        "flagship": pipeline.flagship_sql(GLOBAL_GRID),
+        "spans": synth.DOCS_SPANS_DUCKDB,
+        "span_geometry": (
+            f"SELECT doc_id, span_offset, ROUND(lat, 6) AS lat_r, ROUND(lon, 6) AS lon_r FROM ({geo})"
+        ),
+        "span_invariant": f"""
+            SELECT doc_id, md5(string_agg(
+                     kind || '#' || text || '#' || media_ref || '#' || CAST(span_offset AS VARCHAR),
+                     '|' ORDER BY span_offset)) AS span_fingerprint
+            FROM ({synth.DOCS_SPANS_DUCKDB}) GROUP BY doc_id
+        """,
+        "tile_assign": f"""
+            SELECT {ta['tile_index']} AS tile_index, {ta['tile_row']} AS tile_row,
+                   {ta['tile_col']} AS tile_col,
+                   COUNT(*) AS n_cells, MIN({ta['index_in_tile']}) AS min_iit,
+                   MAX({ta['index_in_tile']}) AS max_iit,
+                   CAST(SUM({ta['index_in_tile']}) AS BIGINT) AS sum_iit
+            FROM ({_grid_a(None)}) GROUP BY 1, 2, 3
+        """,
+        "docs_tile_assign": f"""
+            SELECT tile_index, COUNT(*) AS n_spans,
+                   MIN(index_in_tile) AS min_iit, MAX(index_in_tile) AS max_iit
+            FROM ({spans_tiles}) GROUP BY 1
+        """,
+        "grid_stats": f"""
+            SELECT MIN(z) AS min_z, MAX(z) AS max_z, ROUND(AVG(z), 6) AS avg_z,
+                   COUNT(z) AS n_cells
+            FROM ({_grid_a('dem')})
+        """,
+        "histogram": f"""
+            SELECT CAST(floor(z / 250.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+            FROM ({_grid_a('dem')}) GROUP BY 1 ORDER BY 1
+        """,
+        "entropy": f"""
+            WITH c AS (SELECT z AS v, COUNT(*) AS c FROM ({_grid_a('dem')}) GROUP BY 1),
+                 t AS (SELECT SUM(c) AS n FROM c)
+            SELECT ROUND(-SUM((c.c / t.n) * log2(c.c / t.n)), 6) AS entropy_bits,
+                   CAST(SUM(c.c) AS BIGINT) AS n_samples
+            FROM c CROSS JOIN t
+        """,
+        "downsample": f"""
+            SELECT CAST(row // 4 AS BIGINT) AS out_row, CAST(col // 4 AS BIGINT) AS out_col,
+                   ROUND(AVG(z), 6) AS mean_z
+            FROM ({_grid_a('dem')}) GROUP BY 1, 2
+        """,
+        "block_read": f"""
+            WITH windows AS (
+              SELECT range AS win_id, (range * 37) % 460 AS row0, (range * 53) % 550 AS col0,
+                     25 AS n_rows, 30 AS n_cols
+              FROM range(40)
+            )
+            SELECT win_id, COUNT(*) AS n_cells, CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z,
+                   CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
+            FROM windows JOIN ({_grid_a('dem')}) grid
+              ON grid.row BETWEEN row0 AND row0 + 24 AND grid.col BETWEEN col0 AND col0 + 29
+            GROUP BY 1
+        """,
+        "point_read": f"""
+            SELECT range AS pt_id, (range * 179) % {SPEC_A.n_rows} AS row,
+                   (range * 283) % {SPEC_A.n_cols} AS col,
+                   CAST({synth.dem_sql('(range * 179) % ' + str(SPEC_A.n_rows), '(range * 283) % ' + str(SPEC_A.n_cols))} AS BIGINT) AS z
+            FROM range(5000)
+        """,
+        "ocean_volume": f"""
+            WITH g AS (
+              SELECT *, {g.y0!r} + CAST(row AS DOUBLE) * {g.cell_size_y!r} AS lat
+              FROM ({synth.grid_duckdb_sql(g, value='dem')})
+            ),
+            sea AS (SELECT {_AREA_MILLI} AS area_milli, z FROM g WHERE z < 0)
+            SELECT CAST(SUM(area_milli) AS BIGINT) AS area_milli_km2,
+                   CAST(SUM(area_milli * CAST(-z AS BIGINT)) AS BIGINT) AS volume_milli,
+                   COUNT(*) AS n_sea_cells
+            FROM sea
+        """,
+        "token_stats": textops.TOKEN_STATS_SQL,
+        "lang_id": textops.LANG_ID_SQL,
+        "fingerprint": textops.FINGERPRINT_SQL,
+        "exact_dedup": f"""
+            SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+            FROM ({_AUG_DOCS_SQL}) GROUP BY 1
+        """,
+        "near_dup": textops.near_dup_pairs_sql(0.3, docs_src=_AUG_DOCS_SQL),
+        # simhash_near_dup: Arrow bit-arithmetic kernel, not portably
+        # SQL-expressible -> rows-only check (intentionally no oracle entry)
+        "sim_topk": similarity.brute_force_topk_sql(n_queries=10, k=5),
+        "ann_topk": similarity.ann_topk_sql(n_queries=10, k=5),
+        "emb_near_dup": """
+            WITH aug AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01) AS v
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, v,
+                     CAST((CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+                        + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+                        + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+                        + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END)
+                      AS INTEGER) AS bucket
+              FROM aug
+            ),
+            pairs AS (
+              SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+                     list_sum(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2])) AS dot,
+                     list_sum(list_transform(l.v, x -> x * x)) AS na,
+                     list_sum(list_transform(r.v, x -> x * x)) AS nb
+              FROM b l JOIN b r ON l.bucket = r.bucket
+              WHERE l.vec_id < r.vec_id
+            )
+            SELECT vec_a, vec_b, ROUND(dot / sqrt(na * nb), 6) AS cos_sim
+            FROM pairs WHERE ROUND(dot / sqrt(na * nb), 6) >= 0.999999
+        """,
+        "media_features": _MEDIA_FEATURES_SQL,
+    }

@@ -1,0 +1,98 @@
+"""Raster analytic operators: stats, histogram/entropy, downsample, area/volume.
+
+All pure DataFrame built-ins — Catalyst plans partial+final aggregation
+automatically (the reference's Kahan compensated summation,
+util/KahanSummation.java:55-77, is unnecessary under Spark's partitioned tree
+aggregation; tests use tolerance asserts instead, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_stats(cells: DataFrame, value_col: str = "z") -> DataFrame:
+    """Global min/max/avg/count (PackageData.java:445-448, 504-533)."""
+    v = F.col(value_col)
+    return cells.agg(
+        F.min(v).alias("min_z"),
+        F.max(v).alias("max_z"),
+        F.round(F.avg(v), 6).alias("avg_z"),
+        F.count(v).alias("n_cells"),
+    )
+
+
+def histogram(cells: DataFrame, value_col: str = "z", bin_size: int = 100) -> DataFrame:
+    """Value-range histogram (InputDataStatCollector.java:42-100) — one
+    map-side-combined groupBy; bins = floor(z / bin_size)."""
+    b = F.floor(F.col(value_col) / F.lit(bin_size)).cast("long").alias("bin")
+    return cells.groupBy(b).agg(F.count("*").alias("cnt")).orderBy("bin")
+
+
+def entropy_bits(cells: DataFrame, value_col: str = "z") -> DataFrame:
+    """Shannon entropy -sum(p*log2 p) over exact value counts
+    (EntropyTabulator.java:58-182). Two aggregations, both map-side combined;
+    the counts table at 100 TB stays bounded by value cardinality (int16-ish
+    DEMs -> ~1e5 rows) so the final agg is a broadcast-scale reduce."""
+    counts = cells.groupBy(F.col(value_col).alias("v")).agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n")).select("n")
+    joined = counts.crossJoin(F.broadcast(total))
+    p = F.col("c") / F.col("n")
+    return joined.agg(
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        F.sum("c").alias("n_samples"),
+    )
+
+
+def downsample(
+    cells: DataFrame,
+    factor: int,
+    value_col: str = "z",
+    skip_fill: float | None = None,
+) -> DataFrame:
+    """factor x factor block mean per output cell (ExampleDownsample.java:164-205).
+
+    Output cell (row//f, col//f); blocks containing a fill value are skipped
+    entirely (the reference skips blocks with int fill, :183-189) when
+    skip_fill is given. Single map-side-combined aggregation — at 100 TB this
+    is the textbook partial-agg pattern, no pre-shuffle needed."""
+    f = factor
+    g = cells.groupBy(
+        F.expr(f"CAST(row div {f} AS BIGINT)").alias("out_row"),
+        F.expr(f"CAST(col div {f} AS BIGINT)").alias("out_col"),
+    )
+    if skip_fill is not None:
+        agg = g.agg(
+            F.round(F.avg(value_col), 6).alias("mean_z"),
+            F.max(F.when(F.col(value_col) == F.lit(skip_fill), 1).otherwise(0)).alias("_has_fill"),
+        )
+        return agg.filter(F.col("_has_fill") == 0).drop("_has_fill")
+    return g.agg(F.round(F.avg(value_col), 6).alias("mean_z"))
+
+
+def cell_area_km2(lat: Column, cell_deg: float, r_earth_km: float = 6371.0072) -> Column:
+    """Lat-dependent cell area (ExtractData.java:125-135): the reference
+    computes per-row areas as (earth circumference slice) * cos-corrected
+    height; here: A = (pi/180 * R * d)^2 * cos(lat)."""
+    k = math.pi / 180.0 * r_earth_km * cell_deg
+    return F.lit(k * k) * F.cos(F.radians(lat))
+
+
+def ocean_volume(
+    cells: DataFrame,
+    lat_col: str = "lat",
+    z_col: str = "z",
+    cell_deg: float = 0.1,
+) -> DataFrame:
+    """Ocean surface area + volume: mask z<0, integrate lat-weighted cell
+    areas (ExtractData.java:125-135, 322-340). Volume in km^3 (z in meters)."""
+    area = cell_area_km2(F.col(lat_col), cell_deg)
+    sea = cells.filter(F.col(z_col) < 0)
+    return sea.agg(
+        F.round(F.sum(area), 3).alias("area_km2"),
+        F.round(F.sum(area * (-F.col(z_col)) / 1000.0), 3).alias("volume_km3"),
+        F.count("*").alias("n_sea_cells"),
+    )

@@ -1,0 +1,241 @@
+"""Similarity search over the embeddings table + multimodal column plumbing.
+
+- Brute-force cosine top-k: JVM-side dot products via zip_with + aggregate
+  (no Python in the hot path); per-query top-k via window row_number. The
+  scale path broadcast-joins the (small) query set against the (huge)
+  corpus — one scan, no shuffle of the corpus.
+- ANN (LSH sign buckets): bucket = sign bits of the first B components —
+  a deterministic random-hyperplane LSH with axis-aligned planes. Candidates
+  = same bucket; recall measured against brute force. At 10^12 vectors the
+  bucket key becomes the partition key (bucketed table) so queries touch one
+  partition per probe.
+- Multimodal: media spans get a deterministic fake binary payload; decode /
+  feature-extract runs as an Arrow-batched kernel over binary columns with a
+  typed metadata struct. Real image/audio codecs aren't in this container, so
+  decode_media() raises NotImplementedError for real formats and handles the
+  deterministic FAKE format — the Spark-side plumbing (schema, batching,
+  partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    return dot / F.sqrt(na * nb)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (q_id, q_vec). Broadcast the queries; the corpus is scanned
+    once; per-query ranking is a window over (q_id) — the shuffled data is
+    only |corpus| x |queries| rows of (ids, sim), never the vectors.
+    """
+    pairs = emb.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).crossJoin(F.broadcast(queries.select("q_id", F.col("q_vec").alias("q"))))
+    sims = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(_cosine(F.col("v"), F.col("q")), 6).alias("cos_sim"),
+    ).where(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def brute_force_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin: same dot/norm formulas via list_zip + list_transform so
+    the summation shape matches, rounded to 6dp before ranking ties on
+    (sim desc, vec_id)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {n_queries}
+),
+pairs AS (
+  SELECT e.vec_id, q.q_id,
+         list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+         list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+         list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.q_id
+),
+sims AS (
+  SELECT q_id, vec_id, ROUND(dot / sqrt(na * nb), 6) AS cos_sim FROM pairs
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def with_sign_bucket(emb: DataFrame, n_bits: int = 8) -> DataFrame:
+    """LSH bucket from sign bits of the first n_bits components."""
+    b = F.lit(0)
+    for j in range(n_bits):
+        b = b + F.when(F.element_at("embedding", j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return emb.withColumn("bucket", b.cast("int"))
+
+
+def sign_bucket_sql(n_bits: int = 8, table: str = "embeddings") -> str:
+    terms = " + ".join(
+        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(n_bits)
+    )
+    return f"SELECT *, CAST({terms} AS INTEGER) AS bucket FROM {table}"
+
+
+def ann_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign bucket.
+
+    Equi-join on bucket replaces the cross join — at scale the corpus is
+    written bucketed by this key, so a probe reads one bucket. Recall vs
+    brute force is reported by the ann_recall query."""
+    e = with_sign_bucket(emb, n_bits).select("vec_id", "bucket", _as_double("embedding").alias("v"))
+    q = with_sign_bucket(queries.withColumnRenamed("q_vec", "embedding"), n_bits).select(
+        F.col("q_id"), F.col("bucket"), _as_double("embedding").alias("q")
+    )
+    pairs = e.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    sims = pairs.select("q_id", "vec_id", F.round(_cosine(F.col("v"), F.col("q")), 6).alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def ann_topk_sql(n_queries: int = 10, k: int = 5, n_bits: int = 8) -> str:
+    terms_e = " + ".join(
+        f"CASE WHEN e.embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(n_bits)
+    )
+    terms_q = " + ".join(
+        f"CASE WHEN q.q_vec[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(n_bits)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {n_queries}
+),
+pairs AS (
+  SELECT e.vec_id, q.q_id,
+         list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+         list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+         list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+  FROM embeddings e JOIN q ON ({terms_e}) = ({terms_q})
+  WHERE e.vec_id != q.q_id
+),
+sims AS (SELECT q_id, vec_id, ROUND(dot / sqrt(na * nb), 6) AS cos_sim FROM pairs),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, n_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-bucket candidate join."""
+    e = with_sign_bucket(emb, n_bits).select("vec_id", "bucket", _as_double("embedding").alias("v"))
+    pairs = (
+        e.alias("l")
+        .join(e.alias("r"), on="bucket")
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(_cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+MEDIA_SCHEMA = "doc_id bigint, span_offset int, media_ref string, payload binary, media_meta struct<kind:string, width:int, height:int, n_bytes:int>"
+
+
+def synth_media(spans: DataFrame) -> DataFrame:
+    """Deterministic fake binary payloads for media spans: payload =
+    unhex(md5(ref) repeated), metadata derived from the ref hash. Stands in
+    for opaque image/audio bytes with typed metadata."""
+    m = spans.filter(F.col("kind") == "media").select("doc_id", "span_offset", "media_ref")
+    h = F.md5(F.to_binary("media_ref", F.lit("utf-8")))
+    m = m.withColumn("payload", F.to_binary(F.concat(h, h, h, h), F.lit("hex")))
+    width = (F.ascii(F.substring(h, 1, 1)) % 64 + 8).cast("int")
+    height = (F.ascii(F.substring(h, 2, 1)) % 64 + 8).cast("int")
+    meta = F.struct(
+        F.lit("image/fake").alias("kind"),
+        width.alias("width"),
+        height.alias("height"),
+        F.length("payload").cast("int").alias("n_bytes"),
+    )
+    return m.withColumn("media_meta", meta)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode / feature-extract over binary media columns via mapInPandas.
+
+    Real codecs (PIL/ffmpeg) are NOT in this container: any non-fake kind
+    raises NotImplementedError (clearly-marked stub). The fake format decodes
+    deterministically to (mean_byte, max_byte) 'features'. Batch shape,
+    schema, and partitioning are the real production plumbing.
+    """
+    out_schema = (
+        "doc_id bigint, span_offset int, media_ref string, kind string, "
+        "width int, height int, mean_byte double, max_byte int"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            feats_mean, feats_max = [], []
+            for kind, payload in zip(pdf["media_meta"].map(lambda m: m["kind"]), pdf["payload"]):
+                if kind != "image/fake":
+                    raise NotImplementedError(
+                        f"real media decode ({kind}) requires codec libs not present in this container"
+                    )
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                feats_mean.append(float(arr.mean()))
+                feats_max.append(int(arr.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "span_offset": pdf["span_offset"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["media_meta"].map(lambda m: m["kind"]),
+                    "width": pdf["media_meta"].map(lambda m: m["width"]),
+                    "height": pdf["media_meta"].map(lambda m: m["height"]),
+                    "mean_byte": feats_mean,
+                    "max_byte": feats_max,
+                }
+            )
+
+    return media.mapInPandas(kernel, out_schema)

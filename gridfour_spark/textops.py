@@ -1,0 +1,352 @@
+"""Text-analysis + deduplication operators over the documents table.
+
+Large-scale training-data pipeline operators, Spark-first:
+- token counting, quality scoring, language-ID heuristic: pure column
+  expressions (split/size/filter/transform higher-order functions — JVM-side,
+  no Python).
+- document fingerprinting: min-of-shingle-hashes (winnowing-style) using md5
+  over word shingles — md5 exists in both Spark and DuckDB, and MIN over hex
+  strings is total-ordered, so the oracle can replicate it exactly.
+- exact dedup: hash-groupBy on md5(text).
+- MinHash + LSH near-dup: k independent min-hashes h_i = MIN(md5(i||'#'||shingle)),
+  banded into LSH buckets; bucket-join yields candidate pairs; candidates are
+  verified with exact shingle-set Jaccard. All joins are equi-joins on bucket
+  keys — the standard shuffle-safe near-dup shape at 10^12 docs (no pairwise
+  cross join ever materializes).
+- SimHash: 64-bit, Arrow-batched numpy kernel (bit arithmetic is not
+  portably SQL-expressible — rows-only oracle check).
+
+Every hash is derived from document CONTENT only — stable across partitioning
+and cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 8  # 2 bands x 4 rows
+SHINGLE = 3
+
+
+# --------------------------------------------------------------------------
+# column builders (Spark) + SQL twins (DuckDB)
+# --------------------------------------------------------------------------
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("words", F.split(F.col("text"), " "))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting + quality scoring: length, distinct-ratio, stopword
+    ratio, mean word length — all JVM higher-order functions."""
+    d = with_tokens(docs)
+    n_words = F.size("words")
+    n_distinct = F.size(F.array_distinct("words"))
+    n_stop = F.size(F.filter("words", lambda w: w.isin("the", "a")))
+    total_chars = F.aggregate("words", F.lit(0), lambda acc, w: acc + F.length(w))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.round(n_distinct.cast("double") / n_words, 6).alias("distinct_ratio"),
+        F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.round(total_chars.cast("double") / n_words, 6).alias("mean_word_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id, lang,
+       len(words) AS n_words,
+       len(list_distinct(words)) AS n_distinct,
+       ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS distinct_ratio,
+       ROUND(CAST(len(list_filter(words, w -> w = 'the' OR w = 'a')) AS DOUBLE) / len(words), 6) AS stopword_ratio,
+       ROUND(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words), 6) AS mean_word_len
+FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: marker-word frequencies -> argmax label.
+
+    The synthetic corpus is a word soup, so the markers are two function
+    words; what matters is the OPERATOR SHAPE (per-doc token histogram ->
+    deterministic argmax with a fixed tie order), which is the real n-gram
+    lang-ID shape with the model table swapped out."""
+    d = with_tokens(docs)
+    the_n = F.size(F.filter("words", lambda w: w == "the"))
+    a_n = F.size(F.filter("words", lambda w: w == "a"))
+    pred = (
+        F.when(the_n > a_n, F.lit("en-the"))
+        .when(a_n > the_n, F.lit("en-a"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", "lang", the_n.alias("n_the"), a_n.alias("n_a"), pred.alias("lang_pred"))
+
+
+LANG_ID_SQL = """
+SELECT doc_id, lang,
+       len(list_filter(words, w -> w = 'the')) AS n_the,
+       len(list_filter(words, w -> w = 'a')) AS n_a,
+       CASE WHEN len(list_filter(words, w -> w = 'the')) > len(list_filter(words, w -> w = 'a')) THEN 'en-the'
+            WHEN len(list_filter(words, w -> w = 'a')) > len(list_filter(words, w -> w = 'the')) THEN 'en-a'
+            ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def _shingles_expr():
+    """Array of 3-word shingle strings (one per start position)."""
+    return F.expr(
+        f"""
+        transform(sequence(0, greatest(size(words) - {SHINGLE}, 0)),
+                  i -> array_join(slice(words, i + 1, {SHINGLE}), ' '))
+        """
+    )
+
+
+_SHINGLES_SQL = (
+    f"list_transform(generate_series(0, greatest(len(words) - {SHINGLE}, 0)), "
+    f"i -> array_to_string(list_slice(words, i + 1, i + {SHINGLE}), ' '))"
+)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Winnowing-style document fingerprint: MIN over md5(shingle)."""
+    d = with_tokens(docs).withColumn("shingles", _shingles_expr())
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform("shingles", lambda s: F.md5(F.to_binary(s, F.lit("utf-8"))))).alias(
+            "fingerprint"
+        ),
+        F.size("shingles").alias("n_shingles"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+       len(shingles) AS n_shingles
+FROM (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+)
+"""
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: canonical id = min(doc_id) per hash.
+    One map-side-combined groupBy — the 10^12-doc shape."""
+    h = docs.select("doc_id", F.md5(F.to_binary("text", F.lit("utf-8"))).alias("text_hash"))
+    return h.groupBy("text_hash").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def with_minhash(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """k min-hash signatures per doc: h_i = MIN(md5(i || '#' || shingle)).
+
+    Hex-string min-hash keeps the oracle portable (DuckDB md5 == Spark md5)
+    while preserving the MinHash property (min of a uniform hash over the
+    shingle set)."""
+    d = with_tokens(docs).withColumn("shingles", _shingles_expr())
+
+    def _hash_with_prefix(prefix: str):
+        # single-arg lambda on purpose: F.transform passes (element, index)
+        # to two-arg callables, which would silently shadow the hash index
+        return lambda s: F.md5(F.to_binary(F.concat(F.lit(prefix), s), F.lit("utf-8")))
+
+    for i in range(k):
+        d = d.withColumn(
+            f"mh{i}", F.array_min(F.transform("shingles", _hash_with_prefix(f"{i}#")))
+        )
+    return d
+
+
+def _minhash_sql_cols(k: int = N_MINHASH) -> str:
+    return ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}#' || s))) AS mh{i}" for i in range(k)
+    )
+
+
+def minhash_bands(docs: DataFrame, k: int = N_MINHASH, bands: int = 2) -> DataFrame:
+    """LSH bands: band_j = md5(concat of its rows). Docs sharing any band
+    value are near-dup candidates."""
+    d = with_minhash(docs, k)
+    r = k // bands
+    outs = []
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * r, (b + 1) * r)]
+        outs.append(
+            d.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.to_binary(F.concat(*[F.col(c) for c in cols]), F.lit("utf-8"))).alias("bucket"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def minhash_bands_sql(k: int = N_MINHASH, bands: int = 2, docs_src: str = "documents") -> str:
+    r = k // bands
+    base = f"""
+      SELECT doc_id, {_minhash_sql_cols(k)}
+      FROM (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ({docs_src}))
+      )
+    """
+    parts = []
+    for b in range(bands):
+        cols = " || ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM ({base})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+
+    bucket-join (equi-join, shuffle on bucket) -> distinct candidate pairs ->
+    join back shingle sets -> exact Jaccard filter. No cross join anywhere;
+    at 10^12 docs the bucket join is the only quadratic risk and stays
+    bounded by bucket sizes (hot buckets would be salted/length-split)."""
+    bandsdf = minhash_bands(docs)
+    cand = (
+        bandsdf.alias("l")
+        .join(bandsdf.alias("r"), on=["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = (
+        with_tokens(docs)
+        .withColumn("shingles", _shingles_expr())
+        .select("doc_id", F.array_distinct("shingles").alias("sset"), F.size(F.array_distinct("shingles")).alias("n"))
+    )
+    joined = (
+        cand.join(sh.alias("a"), cand.doc_a == F.col("a.doc_id"))
+        .join(sh.alias("b"), cand.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("a.sset", "b.sset")).alias("n_common"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return joined.withColumn("jaccard", F.round(jac, 6)).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def near_dup_pairs_sql(jaccard_threshold: float = 0.5, docs_src: str = "documents") -> str:
+    bands = minhash_bands_sql(docs_src=docs_src)
+    return f"""
+WITH bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+sh AS (
+  SELECT doc_id, list_distinct(shingles) AS sset, len(list_distinct(shingles)) AS n
+  FROM (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ({docs_src}))
+  )
+)
+SELECT doc_a, doc_b, n_common, n_a, n_b, ROUND(jac, 6) AS jaccard
+FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(a.sset, b.sset)) AS n_common, a.n AS n_a, b.n AS n_b,
+         CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+           / (a.n + b.n - len(list_intersect(a.sset, b.sset))) AS jac
+  FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id
+)
+WHERE ROUND(jac, 6) >= {jaccard_threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash (Arrow kernel — bit arithmetic; rows-only oracle)
+# --------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens via a vectorized numpy kernel.
+
+    Per doc: hash each word to 64 bits (blake2b content hash — partition
+    independent), sum +/-1 per bit position, sign -> fingerprint bit. Arrow
+    batches in/out; no per-row Python in the driver-facing API."""
+    import hashlib
+
+    @F.pandas_udf("long")
+    def simhash_kernel(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            words = t.split(" ") if t else []
+            if not words:
+                continue
+            hs = np.frombuffer(
+                b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in words),
+                dtype=np.uint64,
+            )
+            bits_ = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            v = (2 * bits_ - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in range(64):
+                if v[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select("doc_id", simhash_kernel(F.col("text")).alias("simhash64"))
+
+
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit signature into 4 x 16-bit
+    chunks; docs sharing any chunk are candidates (guaranteed to catch all
+    pairs with hamming distance <= 3 by pigeonhole); verify with exact
+    popcount hamming."""
+    s = simhash(docs)
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            s.select(
+                "doc_id",
+                "simhash64",
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash64"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+            )
+        )
+    allc = chunks[0]
+    for c in chunks[1:]:
+        allc = allc.unionAll(c)
+    cand = (
+        allc.alias("l")
+        .join(allc.alias("r"), on=["chunk", "ckey"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash64").alias("sig_a"),
+            F.col("r.simhash64").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,81 @@
+"""Tile store round trips, fill semantics, all-fill-tile drop.
+
+Mirrors GvrsElementSimpleWriteAndReadTest and
+GvrsElementWriteAndReadMultiTileTest: write/read equality, reads from
+unpopulated tiles return fill, all-fill tiles never materialize."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridfour_spark import store
+from gridfour_spark.spec import GridSpec
+from gridfour_spark.synth import grid_df, value_rule_sql
+
+SPEC = GridSpec(n_rows=10, n_cols=10, n_rows_in_tile=6, n_cols_in_tile=6, fill_int=-9999)
+
+
+def test_build_tiles_and_round_trip(spark):
+    cells = grid_df(spark, SPEC, value="rule")
+    tiles = store.build_tiles(cells, SPEC, value_col="z")
+    tl = {t.tile_index: t for t in tiles.collect()}
+    # 10x10 grid, 6x6 tiles -> 2x2 tile grid, all 4 materialize (no all-fill)
+    assert set(tl) == {0, 1, 2, 3}
+    assert all(t.n_cells == 36 for t in tl.values())
+    # partial tiles carry fill in ragged cells: tile 3 covers rows 6-9, cols 6-9
+    assert tl[0].n_filled == 36 and tl[3].n_filled == 16
+
+    back = store.tiles_to_cells(tiles, SPEC).collect()
+    assert len(back) == 100
+    for r in back:
+        assert r.z == r.row * 10 + r.col - 1, (r.row, r.col)
+
+
+def test_all_fill_tiles_dropped(spark):
+    """Writing only fill into a tile never materializes it
+    (RecordManager.writeTile:413-419; GvrsElementWriteAndReadMultiTileTest:102-116)."""
+    cells = grid_df(spark, SPEC, value="rule").withColumn(
+        "z", F.when((F.col("row") < 6) & (F.col("col") < 6), F.lit(float(SPEC.fill_int))).otherwise(F.col("z"))
+    )
+    tiles = store.build_tiles(cells, SPEC)
+    assert {t.tile_index for t in tiles.collect()} == {1, 2, 3}
+
+
+def test_point_read_fill_for_missing_tiles(spark):
+    # populate only tile 0 (rows<6, cols<6); read points everywhere
+    cells = grid_df(spark, SPEC, value="rule").filter((F.col("row") < 6) & (F.col("col") < 6))
+    tiles = store.build_tiles(cells, SPEC)
+    assert [t.tile_index for t in tiles.collect()] == [0]
+
+    pts = grid_df(spark, SPEC, value=None)
+    got = store.point_read(pts, tiles, SPEC)
+    for r in got.collect():
+        expect = r.row * 10 + r.col - 1 if (r.row < 6 and r.col < 6) else float(SPEC.fill_int)
+        assert r.z == expect, (r.row, r.col)
+
+
+def test_block_read_matches_direct(spark):
+    spec = GridSpec(n_rows=40, n_cols=50, n_rows_in_tile=12, n_cols_in_tile=17)
+    cells = grid_df(spark, spec, value="rule")
+    tiles = store.build_tiles(cells, spec)
+    windows = spark.createDataFrame(
+        [(0, 0, 0, 5, 5), (1, 10, 15, 13, 20), (2, 35, 45, 5, 5), (3, 11, 16, 1, 1)],
+        "win_id int, row0 int, col0 int, n_rows int, n_cols int",
+    )
+    got = store.block_read(windows, tiles, spec).collect()
+    seen: dict[int, int] = {}
+    for r in got:
+        assert r.z == r.row * spec.n_cols + r.col - 1
+        seen[r.win_id] = seen.get(r.win_id, 0) + 1
+    assert seen == {0: 25, 1: 13 * 20, 2: 25, 3: 1}
+
+
+def test_point_read_out_of_grid_rows_dropped(spark):
+    """Out-of-range access throws in the reference (TileAccessIndices:79-84);
+    the batch engine filters them out instead."""
+    cells = grid_df(spark, SPEC, value="rule")
+    tiles = store.build_tiles(cells, SPEC)
+    pts = spark.createDataFrame([(0, 0), (9, 9), (10, 0), (0, -1)], "row int, col int")
+    got = store.point_read(pts, tiles, SPEC).collect()
+    assert {(r.row, r.col) for r in got} == {(0, 0), (9, 9)}
