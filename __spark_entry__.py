@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gridfour_spark import pipeline, raster_ops, similarity, store, synth, textops
+from gridfour_spark import bspline, pipeline, raster_ops, similarity, store, synth, textops, tilecodec
 from gridfour_spark.spec import GLOBAL_GRID, GridSpec
 from gridfour_spark.tiling import tile_assignment_sql, with_tile_assignment
 
@@ -288,6 +288,94 @@ FROM vals GROUP BY 1, 2, hx
 """
 
 
+# --- B-spline raster->vector sampling ----------------------------------------
+
+# synthetic cartesian query points over SPEC_A (shared Spark/DuckDB formulas)
+_BSP_ROWF = "CAST((pt_id * 37) % 4960 AS DOUBLE) / 10.0 + 2.0"
+_BSP_COLF = "CAST((pt_id * 53) % 5920 AS DOUBLE) / 10.0 + 2.0"
+
+
+def _q_bspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-spline sampling of the global DEM tile store at every span point
+    (A1+A3: stencil localization incl. date-line wrap, tile join, weighted
+    sums). Quantized micro-unit output for exact cross-engine compare."""
+    spec = GLOBAL_GRID
+    tiles = store.build_tiles(synth.grid_df(spark, spec, value="dem"), spec)
+    spans = synth.with_span_geometry(synth.docs_spans(spark, sf_dir))
+    from gridfour_spark.tiling import with_geo_to_grid
+
+    pts = with_geo_to_grid(spans, spec).select(
+        (F.col("doc_id") * 10000 + F.col("span_offset")).alias("pt_id"),
+        "grid_row_f",
+        "grid_col_f",
+    )
+    return bspline.interpolate_points(pts, tiles, spec, quantize=True)
+
+
+def _q_bspline_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value + first/second derivatives on a Cartesian grid (A2), boundary
+    clamping exercised via points near the edges."""
+    spec = SPEC_A
+    tiles = store.build_tiles(synth.grid_df(spark, spec, value="dem"), spec)
+    pts = spark.range(800).select(
+        F.col("id").alias("pt_id"),
+        F.expr(_BSP_ROWF).alias("grid_row_f"),
+        F.expr(_BSP_COLF).alias("grid_col_f"),
+    )
+    return bspline.interpolate_points(pts, tiles, spec, derivatives=True, quantize=True)
+
+
+def _q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade from B-spline derivatives (A8, ExtractData.java:366-392):
+    unit normal from (zx, zy), Lambertian dot with a fixed light vector."""
+    d = _q_bspline_deriv(spark, sf_dir)
+    zx = F.col("zx_q") / 1e9
+    zy = F.col("zy_q") / 1e9
+    el, az = 0.7853981633974483, 2.356194490192345  # 45deg, 135deg
+    lx, ly, lz = (
+        __import__("math").cos(el) * __import__("math").sin(az),
+        __import__("math").cos(el) * __import__("math").cos(az),
+        __import__("math").sin(el),
+    )
+    L = F.sqrt(zx * zx + zy * zy + 1.0)
+    shade = F.greatest((-zx / L) * lx + (-zy / L) * ly + (1.0 / L) * lz, F.lit(0.0))
+    return d.select("pt_id", F.round(shade, 6).alias("shade"))
+
+
+def _bspline_deriv_sql() -> str:
+    pts = f"SELECT range AS pt_id, {_BSP_ROWF.replace('pt_id', 'range')} AS grid_row_f, {_BSP_COLF.replace('pt_id', 'range')} AS grid_col_f FROM range(800)"
+    grid = synth.grid_duckdb_sql(SPEC_A, value="dem")
+    return bspline.interpolate_points_sql(SPEC_A, pts, grid, derivatives=True, quantize=True)
+
+
+# --- compression (Arrow kernels; rows-only oracle checks) -------------------
+
+def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec race over the DEM tile store: codec mix + bits/sample
+    (the baseline 'bits-per-sample' metric, PackageData.java:546-549)."""
+    cells = synth.grid_df(spark, SPEC_A, value="dem")
+    tiles = store.build_tiles(cells, SPEC_A)
+    comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
+    return tilecodec.compression_report(comp)
+
+
+def _q_compression_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-pipeline compress->decompress->compare (the reference's -verify
+    re-scan, PackageData.java:562-654). n_mismatch must be 0."""
+    cells = synth.grid_df(spark, SPEC_A, value="dem")
+    tiles = store.build_tiles(cells, SPEC_A)
+    comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
+    back = tilecodec.decompress_tiles(comp, SPEC_A)
+    cells2 = store.tiles_to_cells(back, SPEC_A).withColumnRenamed("z", "z2")
+    joined = cells.join(cells2, on=["row", "col"], how="full")
+    return joined.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("z").cast("long") != F.col("z2").cast("long"), 1).otherwise(0)).alias(
+            "n_mismatch"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": _q_flagship,
@@ -313,6 +401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "emb_near_dup": _q_emb_near_dup,
         "media_features": _q_media_features,
+        "compression": _q_compression,
+        "compression_verify": _q_compression_verify,
+        "bspline": _q_bspline,
+        "bspline_deriv": _q_bspline_deriv,
+        "hillshade": _q_hillshade,
     }
 
 
@@ -445,4 +538,30 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE ROUND(dot / sqrt(na * nb), 6) >= 0.999999
         """,
         "media_features": _MEDIA_FEATURES_SQL,
+        # compression: kernel-only codec mix -> rows-only check.
+        # compression_verify: the round-trip invariant IS the oracle — every
+        # cell must survive compress->decompress exactly.
+        "compression_verify": f"""
+            SELECT CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
+                   CAST(0 AS BIGINT) AS n_mismatch
+        """,
+        "bspline": bspline.interpolate_points_sql(
+            GLOBAL_GRID,
+            (
+                "SELECT doc_id * 10000 + span_offset AS pt_id, "
+                f"{pipeline.geo_to_grid_sql(GLOBAL_GRID)['row_f']} AS grid_row_f, "
+                f"{pipeline.geo_to_grid_sql(GLOBAL_GRID)['col_f']} AS grid_col_f "
+                f"FROM ({synth.span_geometry_duckdb()})"
+            ),
+            synth.grid_duckdb_sql(GLOBAL_GRID, value="dem"),
+            quantize=True,
+        ),
+        "bspline_deriv": _bspline_deriv_sql(),
+        "hillshade": f"""
+            SELECT pt_id, ROUND(greatest(
+                (-(zx_q/1e9) / sqrt((zx_q/1e9)*(zx_q/1e9) + (zy_q/1e9)*(zy_q/1e9) + 1.0)) * {0.5000000000000001!r}
+              + (-(zy_q/1e9) / sqrt((zx_q/1e9)*(zx_q/1e9) + (zy_q/1e9)*(zy_q/1e9) + 1.0)) * {-0.49999999999999994!r}
+              + (1.0 / sqrt((zx_q/1e9)*(zx_q/1e9) + (zy_q/1e9)*(zy_q/1e9) + 1.0)) * {0.7071067811865476!r}, 0.0), 6) AS shade
+            FROM ({_bspline_deriv_sql()})
+        """,
     }

@@ -1,0 +1,333 @@
+"""Predictor-based lossless tile compression — Gridfour's codecs as numpy kernels.
+
+Re-expresses the reference compression stack (the "bits-per-sample" half of
+the baseline metric) as columnar Arrow kernels over tile rows:
+
+- C1 differencing predictor  (compress/PredictorModelDifferencing.java:102-140)
+- C2 linear (2nd-order)      (compress/PredictorModelLinear.java:104-141)
+- C3 triangle predictor      (compress/PredictorModelTriangle.java:101-145)
+- C5 M32 variable-length int (compress/CodecM32.java:55-312: +/-126 one byte,
+  +/-127 introducer, -128 = Integer.MIN_VALUE, thresholds 126/254/16638/
+  2113790/270549246, big-endian 7-bit continuation groups)
+- C6 Deflate codec packing   (compress/CodecDeflate.java:109-152:
+  [codecIndex][predictorType][seed int32 LE][nM32 int32 LE][deflate body])
+- C11 codec race             (CodecMaster.encodeSingleThread:150-168 +
+  RecordManager.writeTile:448-461: all predictors tried, smallest kept, and
+  kept only if smaller than the standard uncompressed payload)
+
+Integer semantics: all residuals are Java 32-bit int arithmetic (wrapping).
+numpy int32 ops wrap identically; the linear/triangle predictors compute the
+prediction in int64 then truncate to int32, exactly like the reference's
+`(int)(2L*b - a)` casts.
+
+Encoding is fully vectorized (no per-value Python). M32 decode walks the
+byte stream (used by round-trip tests and tile reads; a vectorized decode is
+a later optimization — reads at scale prefer the raw-payload fast path when
+compression did not win, RecordManager.readTile:492-515).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+PREDICTOR_DIFFERENCING = 1  # PredictorModelType codes (PredictorModelType.java)
+PREDICTOR_LINEAR = 2
+PREDICTOR_TRIANGLE = 3
+
+INT32_MIN = -(2**31)
+
+
+def _i32(a):
+    return a.astype(np.int32, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# predictors: values (nr x nc int32, row-major) -> residual symbol stream
+# ---------------------------------------------------------------------------
+
+def residuals_differencing(v: np.ndarray) -> tuple[int, np.ndarray]:
+    """seed = v[0,0]; row 0: horizontal deltas; rows >= 1: first symbol is the
+    vertical delta from the cell above, then horizontal deltas (the reference
+    re-seeds each row from `values[index - nColumns]`,
+    PredictorModelDifferencing.java:120-135)."""
+    v = _i32(v)
+    nr, nc = v.shape
+    out = []
+    with np.errstate(over="ignore"):
+        out.append(v[0, 1:] - v[0, :-1])
+        if nr > 1:
+            first = v[1:, 0] - v[:-1, 0]
+            rows = v[1:, 1:] - v[1:, :-1]
+            inter = np.concatenate([first[:, None], rows], axis=1).ravel()
+            out.append(inter)
+    return int(v[0, 0]), _i32(np.concatenate(out)) if out else np.empty(0, np.int32)
+
+
+def residuals_linear(v: np.ndarray) -> tuple[int, np.ndarray]:
+    """Second-order along rows: pred = (int)(2L*b - a); the first two columns
+    are seeded by a vertical/horizontal differencing chain
+    (PredictorModelLinear.java:108-141)."""
+    v = _i32(v)
+    v64 = v.astype(np.int64)
+    nr, nc = v.shape
+    syms = [np.array([v64[0, 1] - v64[0, 0]], dtype=np.int64)]
+    if nr > 1:
+        d0 = v64[1:, 0] - v64[:-1, 0]         # col-0 vertical chain
+        d1 = v64[1:, 1] - v64[1:, 0]          # col-1 minus col-0 per row
+        syms.append(np.stack([d0, d1], axis=1).ravel())
+    if nc > 2:
+        a = v64[:, :-2]
+        b = v64[:, 1:-1]
+        c = v64[:, 2:]
+        # (int)(2L*b - a): int64 math truncated to int32, then int residual
+        pred32 = ((2 * b - a + 2**31) % 2**32) - 2**31
+        res = ((c - pred32 + 2**31) % 2**32) - 2**31
+        syms.append(res.ravel())
+    stream = _i32(np.concatenate(syms))
+    return int(v[0, 0]), stream
+
+
+def residuals_triangle(v: np.ndarray) -> tuple[int, np.ndarray]:
+    """pred = (int)(zc + zb - za) (left + above - above-left); row 0 and
+    column 0 are simple difference chains (PredictorModelTriangle.java:101-145).
+    Grids smaller than 2x2 are not encodable (reference returns -1)."""
+    v = _i32(v)
+    v64 = v.astype(np.int64)
+    nr, nc = v.shape
+    if nr < 2 or nc < 2:
+        raise ValueError("triangle predictor requires at least 2x2")
+    row0 = v64[0, 1:] - v64[0, :-1]
+    col0 = v64[1:, 0] - v64[:-1, 0]
+    za = v64[:-1, :-1]
+    zb = v64[1:, :-1]
+    zc = v64[:-1, 1:]
+    pred = zc + zb - za
+    pred32 = ((pred + 2**31) % 2**32 - 2**31)
+    interior = (v64[1:, 1:] - pred32)
+    stream = _i32(np.concatenate([row0, col0, interior.ravel()]))
+    return int(v[0, 0]), stream
+
+
+def _unpredict_differencing(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    v = np.zeros((nr, nc), dtype=np.int64)
+    v[0, 0] = seed
+    k = 0
+    with np.errstate(over="ignore"):
+        row0 = np.concatenate([[np.int32(seed)], syms[: nc - 1]])
+        v[0, :] = np.cumsum(row0.astype(np.int64))
+        k = nc - 1
+        for r in range(1, nr):
+            row = syms[k : k + nc].astype(np.int64)
+            row[0] += v[r - 1, 0]
+            v[r, :] = np.cumsum(row)
+            k += nc
+    return ((v + 2**31) % 2**32 - 2**31).astype(np.int32)
+
+
+def _unpredict_linear(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    v = np.zeros((nr, nc), dtype=np.int64)
+    v[0, 0] = seed
+    k = 0
+    v[0, 1] = v[0, 0] + syms[k]; k += 1
+    for r in range(1, nr):
+        v[r, 0] = v[r - 1, 0] + syms[k]; k += 1
+        v[r, 1] = v[r, 0] + syms[k]; k += 1
+    for r in range(nr):
+        a, b = v[r, 0], v[r, 1]
+        for c in range(2, nc):
+            pred = ((2 * b - a + 2**31) % 2**32) - 2**31
+            cc = ((pred + syms[k] + 2**31) % 2**32) - 2**31
+            k += 1
+            v[r, c] = cc
+            a, b = b, cc
+    return ((v + 2**31) % 2**32 - 2**31).astype(np.int32)
+
+
+def _unpredict_triangle(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    v = np.zeros((nr, nc), dtype=np.int64)
+    v[0, 0] = seed
+    k = 0
+    for c in range(1, nc):
+        v[0, c] = v[0, c - 1] + syms[k]; k += 1
+    for r in range(1, nr):
+        v[r, 0] = v[r - 1, 0] + syms[k]; k += 1
+    for r in range(1, nr):
+        for c in range(1, nc):
+            pred = ((v[r - 1, c] + v[r, c - 1] - v[r - 1, c - 1] + 2**31) % 2**32) - 2**31
+            v[r, c] = ((pred + syms[k] + 2**31) % 2**32) - 2**31
+            k += 1
+    return ((v + 2**31) % 2**32 - 2**31).astype(np.int32)
+
+
+PREDICTORS = {
+    PREDICTOR_DIFFERENCING: (residuals_differencing, _unpredict_differencing),
+    PREDICTOR_LINEAR: (residuals_linear, _unpredict_linear),
+    PREDICTOR_TRIANGLE: (residuals_triangle, _unpredict_triangle),
+}
+
+
+# ---------------------------------------------------------------------------
+# M32 varint (CodecM32.java) — vectorized encode, streaming decode
+# ---------------------------------------------------------------------------
+
+_M32_BASES = np.array([127, 255, 16639, 2113791, 270549247], dtype=np.int64)
+
+
+def m32_encode(values: np.ndarray) -> bytes:
+    """Vectorized M32 encoding of an int32 symbol stream."""
+    v = values.astype(np.int64)
+    absv = np.abs(v)
+    is_min = v == INT32_MIN
+    single = (~is_min) & (absv <= 126)
+    multi = (~is_min) & (~single)
+
+    # bytes needed per value
+    nbytes = np.ones(len(v), dtype=np.int64)
+    if multi.any():
+        a = absv
+        nb = np.select(
+            [a <= 254, a <= 16638, a <= 2113790, a <= 270549246],
+            [2, 3, 4, 5],
+            default=6,
+        )
+        nbytes = np.where(multi, nb, nbytes)
+
+    offsets = np.zeros(len(v) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+
+    # singles (incl. MIN_VALUE = -128)
+    out[offsets[:-1][single]] = v[single].astype(np.int8).view(np.uint8)
+    out[offsets[:-1][is_min]] = 0x80
+
+    if multi.any():
+        mi = np.flatnonzero(multi)
+        mo = offsets[:-1][mi]
+        neg = v[mi] < 0
+        # introducer: -127 (0x81 unsigned) for negative, 127 for positive
+        out[mo] = np.where(neg, 0x81, 0x7F)
+        a = absv[mi]
+        nb = nbytes[mi]
+        base = _M32_BASES[nb - 2]
+        delta = a - base
+        # write continuation bytes big-endian: positions 1..nb-1 after intro
+        maxcont = 5
+        for j in range(maxcont):
+            sel = nb - 1 >= (j + 1)  # has at least j+1 content bytes
+            if not sel.any():
+                continue
+            idx = np.flatnonzero(sel)
+            shift = (nb[idx] - 2 - j) * 7
+            valid = shift >= 0
+            idx = idx[valid]
+            shift = shift[valid]
+            frag = ((delta[idx] >> shift) & 0x7F).astype(np.uint8)
+            is_last = shift == 0
+            frag = np.where(is_last, frag, frag | 0x80)
+            out[mo[idx] + 1 + j] = frag
+    return out.tobytes()
+
+
+def m32_decode(buf: bytes, n_symbols: int) -> np.ndarray:
+    """Streaming M32 decode (exact port of CodecM32.decode:318-360)."""
+    out = np.empty(n_symbols, dtype=np.int32)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    pos = 0
+    for i in range(n_symbols):
+        s = b[pos]
+        pos += 1
+        sym = s - 256 if s >= 128 else int(s)
+        if sym == -128:
+            out[i] = INT32_MIN
+            continue
+        if -127 < sym < 127:
+            out[i] = sym
+            continue
+        delta = 0
+        for k in range(5):
+            sample = int(b[pos]); pos += 1
+            delta = (delta << 7) | (sample & 0x7F)
+            if (sample & 0x80) == 0:
+                if sym == -127:
+                    delta = -delta - int(_M32_BASES[k])
+                else:
+                    delta += int(_M32_BASES[k])
+                break
+        out[i] = delta
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deflate codec + codec race
+# ---------------------------------------------------------------------------
+
+CODEC_DEFLATE_INDEX = 0
+
+
+def encode_tile(values: np.ndarray, nr: int, nc: int, use_lsop: bool = False) -> dict:
+    """Race all predictors through M32+Deflate; keep the smallest packing.
+
+    Returns {predictor, payload, n_bytes, standard_bytes, kept} where kept is
+    False when compression did not beat the standard payload
+    (RecordManager.writeTile:448-461). With use_lsop=True the LSOP-12 codec
+    joins the race (the reference's opt-in registration,
+    lsop/LsCodecUtility.java:53-69)."""
+    v = values.reshape(nr, nc)
+    best = None
+    if use_lsop:
+        from gridfour_spark import lsop as _lsop
+
+        r = _lsop.encode_lsop(values.astype(np.int32), nr, nc)
+        if r is not None:
+            best = {
+                "predictor": r["predictor"],
+                "payload": r["payload"],
+                "n_bytes": r["n_bytes"],
+                "n_symbols": nr * nc - 1,
+                "codec": "lsop12",
+            }
+    for ptype, (enc, _dec) in PREDICTORS.items():
+        if ptype == PREDICTOR_TRIANGLE and (nr < 2 or nc < 2):
+            continue
+        try:
+            seed, syms = enc(v)
+        except ValueError:
+            continue
+        m32 = m32_encode(syms)
+        body = zlib.compress(m32, 6)
+        packing = (
+            bytes([CODEC_DEFLATE_INDEX, ptype])
+            + int(np.int64(seed) & 0xFFFFFFFF).to_bytes(4, "little")
+            + len(m32).to_bytes(4, "little")
+            + body
+        )
+        if best is None or len(packing) < best["n_bytes"]:
+            best = {
+                "predictor": ptype,
+                "payload": packing,
+                "n_bytes": len(packing),
+                "n_symbols": len(syms),
+                "codec": "deflate",
+            }
+    standard = nr * nc * 4
+    best["standard_bytes"] = standard
+    best["kept"] = best["n_bytes"] < standard
+    return best
+
+
+def decode_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
+    """Inverse of encode_tile (CodecDeflate.decode:109-152)."""
+    ptype = packing[1]
+    seed = int.from_bytes(packing[2:6], "little", signed=True)
+    n_m32 = int.from_bytes(packing[6:10], "little")
+    m32 = zlib.decompress(packing[10:])
+    assert len(m32) == n_m32, (len(m32), n_m32)
+    syms = m32_decode(m32, nr * nc - 1)
+    return PREDICTORS[ptype][1](seed, syms, nr, nc)
+
+
+def bits_per_sample(total_bytes: int, n_cells: int) -> float:
+    """storage bits/sample = 8*bytes/nCells (PackageData.java:546-549)."""
+    return 8.0 * total_bytes / n_cells

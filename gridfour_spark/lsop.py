@@ -1,0 +1,219 @@
+"""LSOP-12: Lewis & Smith (1994) optimal predictor as a columnar numpy kernel.
+
+Re-expression of the reference encoder (lsop/LsOptimalPredictor12.java):
+
+- initialization streams (:117-210): row 0 + column 0 by differencing;
+  row 1, column 1 and the last two columns by the triangle predictor
+  (4*nRows + 2*nColumns - 9 symbols, M32-coded separately from the interior)
+- normal-equation solve (:311-385): 13x13 Lagrange-multiplier least squares
+  over the 12-neighbor stencil
+      row i:      u6   u1   S(i,j)
+      row i-1:    u7   u2   u3   u4   u5
+      row i-2:    u8   u9   u10  u11  u12
+  accumulated in doubles. All sums here are exact integers < 2^53, so the
+  numpy Gram matrix is BIT-IDENTICAL to the Java accumulation; the LU solve
+  (LAPACK vs JAMA) can differ in final ulps, which vanishes when coefficients
+  are stored as float32 (:216-222).
+- interior prediction (:252-281) in strictfp FLOAT: Java computes the
+  12-term dot product left-to-right entirely in binary32. numpy float32 ops
+  are IEEE binary32, so the kernel accumulates stepwise in float32 in the
+  same order, then StrictMath.round == floor(p + 0.5f).
+- packing: legacy LsHeader layout (lsop/LsHeader.java:104-133):
+  [codecIndex][n=12][seed int32 LE][12 x float32 LE][nInitCodes int32]
+  [nInteriorCodes int32][method: 1=deflate] + deflate(init M32) +
+  deflate(interior M32).
+
+Grids smaller than 6x6 are not encodable (reference returns null, :114-116).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from gridfour_spark.compress import m32_decode, m32_encode
+
+LSOP_CODEC_INDEX = 1
+_F32 = np.float32
+
+
+def _wrap32(a):
+    return ((a + 2**31) % 2**32) - 2**31
+
+
+def _init_symbols(v64: np.ndarray) -> np.ndarray:
+    """The initialization residual stream, in the reference's exact order."""
+    nr, nc = v64.shape
+    parts = [
+        v64[0, 1:] - v64[0, :-1],                       # row 0 differencing
+        v64[1:, 0] - v64[:-1, 0],                       # col 0 differencing
+        # row 1 triangle: test - ((left + above) - above_left)
+        v64[1, 1:] - ((v64[1, :-1] + v64[0, 1:]) - v64[0, :-1]),
+        # col 1 triangle for rows >= 2
+        v64[2:, 1] - ((v64[2:, 0] + v64[1:-1, 1]) - v64[1:-1, 0]),
+        # last two columns, rows >= 2, interleaved (col nc-2 then nc-1 per row)
+        np.stack(
+            [
+                v64[2:, nc - 2] - ((v64[2:, nc - 3] + v64[1:-1, nc - 2]) - v64[1:-1, nc - 3]),
+                v64[2:, nc - 1] - ((v64[2:, nc - 2] + v64[1:-1, nc - 1]) - v64[1:-1, nc - 2]),
+            ],
+            axis=1,
+        ).ravel(),
+    ]
+    return _wrap32(np.concatenate(parts)).astype(np.int32)
+
+
+def _stencil_views(v: np.ndarray):
+    """The 13 shifted views (z0..z12) over interior cells
+    (rows 2.., cols 2..nc-3), each flattened, column order as :316-333."""
+    nr, nc = v.shape
+    sl = lambda dr, dc: v[2 + dr : nr + dr, 2 + dc : nc - 2 + dc]  # noqa: E731
+    cols = [
+        sl(0, 0),    # z0  target
+        sl(0, -1),   # z1  left
+        sl(-1, -1),  # z2
+        sl(-1, 0),   # z3
+        sl(-1, 1),   # z4
+        sl(-1, 2),   # z5
+        sl(0, -2),   # z6
+        sl(-1, -2),  # z7
+        sl(-2, -2),  # z8
+        sl(-2, -1),  # z9
+        sl(-2, 0),   # z10
+        sl(-2, 1),   # z11
+        sl(-2, 2),   # z12
+    ]
+    return [c.ravel() for c in cols]
+
+
+def compute_coefficients(values: np.ndarray, nr: int, nc: int) -> np.ndarray | None:
+    """13x13 normal-equation solve (LsOptimalPredictor12.computeCoefficients)."""
+    if nr < 6 or nc < 6:
+        return None
+    v = values.reshape(nr, nc).astype(np.float64)
+    Z = np.stack(_stencil_views(v), axis=1)  # (n_samples, 13)
+    s = Z.sum(axis=0)
+    C = Z.T @ Z
+    m = np.zeros((13, 13))
+    m[:12, :12] = C[1:, 1:]
+    m[:12, 12] = s[1:]
+    m[12, :12] = s[1:]
+    b = np.zeros(13)
+    b[:12] = C[0, 1:]
+    b[12] = s[0]
+    try:
+        sol = np.linalg.solve(m, b)
+    except np.linalg.LinAlgError:
+        return None
+    if not np.all(np.isfinite(sol)):
+        return None
+    return sol[:12]
+
+
+def _predict_f32(v: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Interior predictions in strictfp float32, left-to-right accumulation
+    (LsOptimalPredictor12.java:252-272)."""
+    views = _stencil_views(v)
+    zf = [w.astype(_F32) for w in views[1:]]  # z1..z12
+    acc = (_F32(u[0]) * zf[0]).astype(_F32)
+    for i in range(1, 12):
+        acc = (acc + (_F32(u[i]) * zf[i]).astype(_F32)).astype(_F32)
+    return acc
+
+
+def encode_lsop(values: np.ndarray, nr: int, nc: int) -> dict | None:
+    if nr < 6 or nc < 6:
+        return None
+    v = values.reshape(nr, nc)
+    v64 = v.astype(np.int64)
+    ud = compute_coefficients(values, nr, nc)
+    if ud is None:
+        return None
+    u = ud.astype(np.float32)
+
+    init_syms = _init_symbols(v64)
+    assert len(init_syms) == 4 * nr + 2 * nc - 9
+
+    p = _predict_f32(v64, u)
+    # StrictMath.round(float) == (long) floor(p + 0.5f) with a float32 add
+    est = np.floor((p + _F32(0.5)).astype(_F32)).astype(np.int64)
+    target = _stencil_views(v64)[0]
+    interior = _wrap32(target - est).astype(np.int32)
+
+    init_m32 = m32_encode(init_syms)
+    interior_m32 = m32_encode(interior)
+    header = (
+        bytes([LSOP_CODEC_INDEX, 12])
+        + int(np.int64(v64[0, 0]) & 0xFFFFFFFF).to_bytes(4, "little")
+        + u.astype("<f4").tobytes()
+        + len(init_m32).to_bytes(4, "little")
+        + len(interior_m32).to_bytes(4, "little")
+        + bytes([1])  # method: deflate
+    )
+    payload = header + zlib.compress(init_m32, 6) + zlib.compress(interior_m32, 6)
+    return {
+        "predictor": 12,
+        "payload": payload,
+        "n_bytes": len(payload),
+        "coefficients": u,
+        "mean_abs_err": float(np.abs(target - p.astype(np.float64)).mean()),
+        "pct_zero_residuals": float((interior == 0).mean() * 100.0),
+    }
+
+
+def decode_lsop(payload: bytes, nr: int, nc: int) -> np.ndarray:
+    assert payload[0] == LSOP_CODEC_INDEX and payload[1] == 12
+    seed = int.from_bytes(payload[2:6], "little", signed=True)
+    u = np.frombuffer(payload[6:54], dtype="<f4")
+    n_init = int.from_bytes(payload[54:58], "little")
+    n_interior = int.from_bytes(payload[58:62], "little")
+    assert payload[62] == 1
+    body = payload[63:]
+    d = zlib.decompressobj()
+    init_m32 = d.decompress(body)
+    rest = d.unused_data
+    interior_m32 = zlib.decompress(rest)
+    assert len(init_m32) == n_init and len(interior_m32) == n_interior
+
+    init = m32_decode(init_m32, 4 * nr + 2 * nc - 9).astype(np.int64)
+    interior = m32_decode(interior_m32, (nr - 2) * (nc - 4)).astype(np.int64)
+
+    v = np.zeros((nr, nc), dtype=np.int64)
+    v[0, 0] = seed
+    k = 0
+    v[0, 1:] = _wrap32(seed + np.cumsum(init[k : k + nc - 1])); k += nc - 1
+    v[1:, 0] = _wrap32(seed + np.cumsum(init[k : k + nr - 1])); k += nr - 1
+    row1 = init[k : k + nc - 1]; k += nc - 1
+    for c in range(1, nc):
+        pred = (v[1, c - 1] + v[0, c]) - v[0, c - 1]
+        v[1, c] = _wrap32(pred + row1[c - 1])
+    col1 = init[k : k + nr - 2]; k += nr - 2
+    last2 = init[k:].reshape(nr - 2, 2)
+
+    uf = u.astype(_F32)
+    it = 0
+    for r in range(2, nr):
+        pred = (v[r, 0] + v[r - 1, 1]) - v[r - 1, 0]
+        v[r, 1] = _wrap32(pred + col1[r - 2])
+        for c in range(2, nc - 2):
+            zf = np.array(
+                [
+                    v[r, c - 1], v[r - 1, c - 1], v[r - 1, c], v[r - 1, c + 1],
+                    v[r - 1, c + 2], v[r, c - 2], v[r - 1, c - 2], v[r - 2, c - 2],
+                    v[r - 2, c - 1], v[r - 2, c], v[r - 2, c + 1], v[r - 2, c + 2],
+                ],
+                dtype=_F32,
+            )
+            acc = _F32(uf[0] * zf[0])
+            for i in range(1, 12):
+                acc = _F32(acc + _F32(uf[i] * zf[i]))
+            est = int(np.floor(_F32(acc + _F32(0.5))))
+            v[r, c] = _wrap32(est + interior[it]); it += 1
+        # last two columns of this row (triangle), so row r is complete
+        # before row r+1's interior reads its right-edge neighbors
+        pred = (v[r, nc - 3] + v[r - 1, nc - 2]) - v[r - 1, nc - 3]
+        v[r, nc - 2] = _wrap32(pred + last2[r - 2, 0])
+        pred = (v[r, nc - 2] + v[r - 1, nc - 1]) - v[r - 1, nc - 2]
+        v[r, nc - 1] = _wrap32(pred + last2[r - 2, 1])
+    return v.astype(np.int32)

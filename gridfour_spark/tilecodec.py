@@ -1,0 +1,106 @@
+"""Spark-side tile compression: the codec race as a grouped Arrow kernel.
+
+The reference compresses each tile at write time, multithreaded across codecs
+(gvrs/CodecMaster.encodeMultiThread:172-192); under Spark, task parallelism
+replaces the thread pool and all codecs race inside ONE vectorized kernel per
+tile (T9/T7 in SURVEY §2.2). Tiles whose best packing is not smaller than the
+standard payload store raw (RecordManager.writeTile:448-461), and all-fill
+tiles were already dropped upstream (store.build_tiles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gridfour_spark import compress as C
+from gridfour_spark import lsop as L
+from gridfour_spark.spec import GridSpec
+
+COMPRESSED_SCHEMA = (
+    "tile_index long, tile_row long, tile_col long, n_cells int, "
+    "codec string, predictor int, n_bytes int, standard_bytes int, kept boolean, "
+    "payload binary"
+)
+
+
+def compress_tiles(tiles: DataFrame, spec: GridSpec, use_lsop: bool = True) -> DataFrame:
+    """tiles (from store.build_tiles) -> per-tile best packing.
+
+    mapInPandas over tile rows: each Arrow batch carries whole tiles (cells
+    arrays), the kernel runs the predictor race in numpy. No shuffle — tile
+    rows are already the unit of work."""
+    nr, nc = spec.n_rows_in_tile, spec.n_cols_in_tile
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                v = np.asarray(row["cells"], dtype=np.float64)
+                vi = v.astype(np.int32)
+                best = C.encode_tile(vi, nr, nc, use_lsop=use_lsop)
+                kept = bool(best["kept"])
+                rows.append(
+                    {
+                        "tile_index": row["tile_index"],
+                        "tile_row": row["tile_row"],
+                        "tile_col": row["tile_col"],
+                        "n_cells": row["n_cells"],
+                        "codec": best["codec"] if kept else "raw",
+                        "predictor": int(best["predictor"]) if kept else 0,
+                        "n_bytes": int(best["n_bytes"]) if kept else int(best["standard_bytes"]),
+                        "standard_bytes": int(best["standard_bytes"]),
+                        "kept": kept,
+                        "payload": bytes(best["payload"]) if kept else vi.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(kernel, COMPRESSED_SCHEMA)
+
+
+def decompress_tiles(compressed: DataFrame, spec: GridSpec) -> DataFrame:
+    """Inverse kernel: per-tile payload -> cells array (RecordManager.readTile
+    dispatch on stored codec, :492-515)."""
+    nr, nc = spec.n_rows_in_tile, spec.n_cols_in_tile
+    out_schema = "tile_index long, tile_row long, tile_col long, n_cells int, cells array<double>"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                if row["codec"] == "raw":
+                    v = np.frombuffer(payload, dtype=np.int32)
+                elif row["codec"] == "lsop12":
+                    v = L.decode_lsop(payload, nr, nc).ravel()
+                else:
+                    v = C.decode_tile(payload, nr, nc).ravel()
+                rows.append(
+                    {
+                        "tile_index": row["tile_index"],
+                        "tile_row": row["tile_row"],
+                        "tile_col": row["tile_col"],
+                        "n_cells": row["n_cells"],
+                        "cells": v.astype(np.float64),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return compressed.mapInPandas(kernel, out_schema)
+
+
+def compression_report(compressed: DataFrame) -> DataFrame:
+    """Aggregate codec mix + bits/sample (PackageData.java:546-549 metric)."""
+    return (
+        compressed.groupBy("codec", "predictor")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_cells").alias("total_cells"),
+            F.round(8.0 * F.sum("n_bytes") / F.sum("n_cells"), 4).alias("bits_per_sample"),
+        )
+        .orderBy("codec", "predictor")
+    )
