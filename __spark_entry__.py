@@ -16,7 +16,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gridfour_spark import bspline, pipeline, raster_ops, similarity, store, synth, textops, tilecodec
+from gridfour_spark import (
+    bspline,
+    pipeline,
+    raster_ops,
+    similarity,
+    skew,
+    spatial,
+    store,
+    synth,
+    textops,
+    tilecodec,
+)
 from gridfour_spark.spec import GLOBAL_GRID, GridSpec
 from gridfour_spark.tiling import tile_assignment_sql, with_tile_assignment
 
@@ -288,6 +299,132 @@ FROM vals GROUP BY 1, 2, hx
 """
 
 
+# --- spatial joins (PIP, kNN) + skew operators --------------------------------
+
+_ANCHORS = [
+    (0, 40.7, -74.0), (1, 51.5, -0.1), (2, 35.7, 139.7),
+    (3, -33.9, 18.4), (4, 0.0, 0.0), (5, -45.0, 170.0),
+]
+
+
+def _span_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.with_span_geometry(synth.docs_spans(spark, sf_dir)).select(
+        "doc_id", "span_offset", "lat", "lon"
+    )
+
+
+_SPAN_POINTS_SQL = (
+    f"SELECT doc_id, span_offset, lat, lon FROM ({synth.span_geometry_duckdb()})"
+)
+
+
+def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join: span points vs 24 deterministic star polygons
+    (ray-cast parity over exploded edges; cover-cell equi-join pruning)."""
+    pts = _span_points(spark, sf_dir)
+    polys = spatial.synth_polygons(spark, 24)
+    out = spatial.pip_join(pts, polys)
+    return out.select("doc_id", "span_offset", "poly_id")
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 nearest anchors per span point (haversine + window top-k)."""
+    pts = _span_points(spark, sf_dir)
+    anchors = spark.createDataFrame(_ANCHORS, "anchor_id int, alat double, alon double")
+    return spatial.knn_join(pts, anchors, k=3).select(
+        "doc_id", "span_offset", "rank", "anchor_id", "dist_km"
+    )
+
+
+def _q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell resolution escalation (H3-escalation stand-in): cells above
+    threshold re-index one level finer; output per-(res, cell) counts."""
+    pts = _span_points(spark, sf_dir)
+    out = skew.adaptive_cells(pts, base_res=3, hot_threshold=200)
+    return out.groupBy("cell_res", "cell").agg(F.count("*").alias("n_points"))
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted equi-join (span points x per-tile DEM stats on the
+    skewed tile_index key) — result must equal the plain join."""
+    pts = pipeline.spans_with_tiles(spark, sf_dir).select("doc_id", "span_offset", "tile_index")
+    stats = pipeline.dem_tile_stats(spark)
+    j = skew.salted_join(pts, stats, "tile_index", n_salts=8)
+    return j.groupBy("tile_index").agg(
+        F.count("*").alias("n_spans"),
+        F.min("tile_mean_z").alias("tile_mean_z"),
+    )
+
+
+# --- relational checklist (SURVEY §2.5) over the TPC-H-ish tables -------------
+
+def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-style aggregation; money quantized to exact cents pre-sum."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.filter(F.col("l_shipdate") <= "1998-09-02")
+    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        F.sum(cents(disc)).alias("sum_disc_cents"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over region -> nation customer counts."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")).alias("acctbal_cents"),
+    )
+
+
+def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join: customers with and without orders."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(int(with_orders), int(without))], "n_with_orders long, n_without_orders long"
+    )
+
+
+def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (window rank)."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"))
+    )
+
+
+def _q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: suppliers' nations INTERSECT customers' nations, and
+    customer nations EXCEPT supplier nations."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    inter = c.intersect(s).withColumn("op", F.lit("intersect"))
+    exc = c.subtract(s).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
+
+
 # --- B-spline raster->vector sampling ----------------------------------------
 
 # synthetic cartesian query points over SPEC_A (shared Spark/DuckDB formulas)
@@ -406,6 +543,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bspline": _q_bspline,
         "bspline_deriv": _q_bspline_deriv,
         "hillshade": _q_hillshade,
+        "pip": _q_pip,
+        "knn": _q_knn,
+        "adaptive_cells": _q_adaptive_cells,
+        "salted_join": _q_salted_join,
+        "tpch_pricing": _q_tpch_pricing,
+        "rollup": _q_rollup,
+        "semi_anti": _q_semi_anti,
+        "window_topk": _q_window_topk,
+        "setops": _q_setops,
     }
 
 
@@ -557,6 +703,86 @@ def oracle_sql() -> dict[str, str]:
             quantize=True,
         ),
         "bspline_deriv": _bspline_deriv_sql(),
+        "pip": f"""
+            SELECT doc_id, span_offset, poly_id
+            FROM ({spatial.pip_join_sql(_SPAN_POINTS_SQL, 24)})
+        """,
+        "knn": f"""
+            WITH anchors AS (
+              SELECT * FROM (VALUES {", ".join(f"({a}, {la!r}, {lo!r})" for a, la, lo in _ANCHORS)})
+                AS t(anchor_id, alat, alon)
+            ),
+            d AS (
+              SELECT p.doc_id, p.span_offset, a.anchor_id,
+                     ROUND({spatial.haversine_km_sql('p.lat', 'p.lon', 'a.alat', 'a.alon')}, 6) AS dist_km
+              FROM ({_SPAN_POINTS_SQL}) p CROSS JOIN anchors a
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, span_offset
+                                           ORDER BY dist_km ASC, anchor_id ASC) AS rank
+              FROM d
+            )
+            SELECT doc_id, span_offset, rank, anchor_id, dist_km FROM r WHERE rank <= 3
+        """,
+        "adaptive_cells": f"""
+            SELECT cell_res, cell, COUNT(*) AS n_points
+            FROM ({skew.adaptive_cells_sql(_SPAN_POINTS_SQL, base_res=3, hot_threshold=200)})
+            GROUP BY 1, 2
+        """,
+        "salted_join": f"""
+            WITH pts AS (
+              SELECT doc_id, span_offset, tile_index
+              FROM ({pipeline.spans_with_tiles_sql(GLOBAL_GRID)})
+            ),
+            stats AS (
+              SELECT {tile_assignment_sql(GLOBAL_GRID)['tile_index']} AS tile_index,
+                     ROUND(AVG(z), 6) AS tile_mean_z
+              FROM ({synth.grid_duckdb_sql(GLOBAL_GRID, value='dem')}) GROUP BY 1
+            )
+            SELECT tile_index, COUNT(*) AS n_spans, MIN(tile_mean_z) AS tile_mean_z
+            FROM pts JOIN stats USING (tile_index) GROUP BY 1
+        """,
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "rollup": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "semi_anti": """
+            SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
+                   (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders
+        """,
+        "window_topk": """
+            SELECT o_custkey, rank, o_orderkey, price_cents FROM (
+              SELECT o_custkey, o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders
+            ) WHERE rank <= 3
+        """,
+        "setops": """
+            SELECT nationkey, 'intersect' AS op FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT SELECT s_nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT nationkey, 'except' AS op FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT SELECT s_nationkey FROM supplier
+            )
+        """,
         "hillshade": f"""
             SELECT pt_id, ROUND(greatest(
                 (-(zx_q/1e9) / sqrt((zx_q/1e9)*(zx_q/1e9) + (zy_q/1e9)*(zy_q/1e9) + 1.0)) * {0.5000000000000001!r}

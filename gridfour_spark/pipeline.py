@@ -25,7 +25,7 @@ from gridfour_spark import synth
 from gridfour_spark.raster_ops import cell_area_km2
 from gridfour_spark.spec import GLOBAL_GRID, GridSpec
 from gridfour_spark.synth import dem_sql
-from gridfour_spark.tiling import in_grid, with_geo_to_grid, with_tile_assignment
+from gridfour_spark.tiling import arrow_barrier, in_grid, with_geo_to_grid, with_tile_assignment
 
 
 def dem_tile_stats(spark: SparkSession, spec: GridSpec = GLOBAL_GRID) -> DataFrame:
@@ -50,6 +50,9 @@ def spans_with_tiles(
     UDF inside the Filter (see with_tile_assignment docstring).
     """
     spans = synth.with_span_geometry(synth.docs_spans(spark, sf_dir))
+    # barrier: geometry becomes leaf data so the wrap/fringe/tile/z chain
+    # stays within codegen method limits (see tiling.arrow_barrier)
+    spans = arrow_barrier(spans)
     pts = with_geo_to_grid(spans, spec)
     pts = with_tile_assignment(pts, spec, mark_invalid=True)
     return pts.withColumn("z", F.expr(dem_sql()).cast("double"))

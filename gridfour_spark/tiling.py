@@ -26,6 +26,25 @@ from pyspark.sql import functions as F
 from gridfour_spark.spec import GridSpec
 
 
+def arrow_barrier(df: DataFrame) -> DataFrame:
+    """Identity mapInArrow: materializes the current projection as Arrow data.
+
+    Catalyst inlines withColumn chains into single generated methods; deep
+    derived-column stacks (synthetic geometry -> wrap -> fringe -> tile keys
+    -> salt hashes) can exceed janino's 64KB method limit and silently fall
+    back to interpreted evaluation (~10x slower). Placing one barrier after
+    the widest derivation point makes everything upstream leaf data for the
+    code generators downstream. Cost: one Arrow round trip of the projected
+    columns (no Python per-row work — the kernel yields batches untouched).
+    """
+    schema = df.schema
+
+    def _identity(batches):
+        yield from batches
+
+    return df.mapInArrow(_identity, schema)
+
+
 def with_tile_assignment(
     df: DataFrame,
     spec: GridSpec,
