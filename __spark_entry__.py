@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from gridfour_spark import (
     bspline,
+    floatcodec,
     pipeline,
     raster_ops,
     similarity,
@@ -160,6 +161,22 @@ def _q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cross-engine float sums over 6.5M terms are not bit-stable).
 _K2 = (3.141592653589793 / 180.0 * 6371.0072 * GLOBAL_GRID.cell_size_x) ** 2
 _AREA_MILLI = f"CAST(floor({_K2!r} * cos(radians(lat)) * 1000.0) AS BIGINT)"
+
+
+def _q_point_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 write path end-to-end: build the store from even rows, batch-write
+    the odd rows, read everything back — stats must equal the full grid."""
+    spec = SPEC_A
+    full = synth.grid_df(spark, spec, value="dem")
+    tiles = store.build_tiles(full.filter(F.col("row") % 2 == 0), spec)
+    merged = store.write_points(full.filter(F.col("row") % 2 == 1), tiles, spec)
+    back = store.tiles_to_cells(merged, spec)
+    return back.agg(
+        F.min(F.col("z").cast("long")).alias("min_z"),
+        F.max(F.col("z").cast("long")).alias("max_z"),
+        F.sum(F.col("z").cast("long")).alias("sum_z"),
+        F.count("*").alias("n_cells"),
+    )
 
 
 def _q_ocean_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +502,77 @@ def _bspline_deriv_sql() -> str:
     return bspline.interpolate_points_sql(SPEC_A, pts, grid, derivatives=True, quantize=True)
 
 
+# --- ICF quantization + inspector ---------------------------------------------
+
+_ICF_SCALE = 100.0
+# a float32 surface (cast to REAL/float in both engines before quantization)
+# scientific notation: the portable DOUBLE literal (Spark parses bare
+# decimals as exact DECIMAL, DuckDB as double -> different row*const values)
+_ICF_V = "CAST(4E3*sin(row*2.1E-2)*cos(col*1.3E-2) + 1.25E-1*row AS FLOAT)"
+
+
+def _q_icf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int-coded-float encode/decode round trip with the reference tolerance
+    |delta| <= 1.01/scale (GvrsElementIntCodedFloat.java:203-227;
+    PackageData.java:619-629). Outputs exact-integer error stats."""
+    from gridfour_spark import floatcodec as FC
+
+    g = synth.grid_df(spark, SPEC_A, value=None).withColumn("v", F.expr(_ICF_V))
+    i = F.expr(FC.icf_encode_sql("v", _ICF_SCALE))
+    g = g.withColumn("i", i)
+    back = F.expr(FC.icf_decode_sql("i", _ICF_SCALE))
+    err_micro = F.floor(F.abs(back.cast("double") - F.col("v").cast("double")) * 1e6).cast("long")
+    g = g.withColumn("err_micro", err_micro)
+    tol = 1.01 / _ICF_SCALE
+    return g.agg(
+        F.count("*").alias("n"),
+        F.max("err_micro").alias("max_err_micro"),
+        F.sum(F.when(F.col("err_micro") <= tol * 1e6, 1).otherwise(0)).alias("n_within_tol"),
+    )
+
+
+def _q_inspector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRC32C integrity scan over the compressed store (S12): every record's
+    recomputed checksum must match the stored one."""
+    cells = synth.grid_df(spark, SPEC_A, value="dem")
+    tiles = store.build_tiles(cells, SPEC_A)
+    comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
+    ins = tilecodec.inspect(comp)
+    return ins.agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(F.when(~F.col("crc_ok"), 1).otherwise(0)).alias("n_bad"),
+    )
+
+
+def _q_floatcodec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-codec round trip over float32 tiles (C9): bit-exact recovery."""
+    import numpy as np
+    import pandas as pd
+
+    from gridfour_spark import floatcodec as FC
+
+    spec = SPEC_A
+    cells = synth.grid_df(spark, spec, value=None).withColumn("z", F.expr(_ICF_V))
+    tiles = store.build_tiles(cells, spec, value_col="z")
+    nr, nc = spec.n_rows_in_tile, spec.n_cols_in_tile
+
+    def kernel(batches):
+        for pdf in batches:
+            n_ok, n = 0, 0
+            for _, row in pdf.iterrows():
+                v = np.asarray(row["cells"], dtype=np.float64).astype(np.float32)
+                back = FC.decode_float_tile(FC.encode_float_tile(v, nr, nc), nr, nc)
+                n += 1
+                if np.array_equal(back.ravel().view(np.uint32), v.view(np.uint32)):
+                    n_ok += 1
+            yield pd.DataFrame({"n_tiles": [n], "n_ok": [n_ok]})
+
+    per_part = tiles.mapInPandas(kernel, "n_tiles long, n_ok long")
+    return per_part.agg(
+        F.sum("n_tiles").alias("n_tiles"), F.sum(F.col("n_tiles") - F.col("n_ok")).alias("n_bad")
+    )
+
+
 # --- compression (Arrow kernels; rows-only oracle checks) -------------------
 
 def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample": _q_downsample,
         "block_read": _q_block_read,
         "point_read": _q_point_read,
+        "point_write": _q_point_write,
         "ocean_volume": _q_ocean_volume,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -540,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "compression": _q_compression,
         "compression_verify": _q_compression_verify,
+        "icf_roundtrip": _q_icf_roundtrip,
+        "inspector": _q_inspector,
+        "floatcodec_verify": _q_floatcodec_verify,
         "bspline": _q_bspline,
         "bspline_deriv": _q_bspline_deriv,
         "hillshade": _q_hillshade,
@@ -632,6 +724,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST({synth.dem_sql('(range * 179) % ' + str(SPEC_A.n_rows), '(range * 283) % ' + str(SPEC_A.n_cols))} AS BIGINT) AS z
             FROM range(5000)
         """,
+        "point_write": f"""
+            SELECT CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z,
+                   CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z, COUNT(*) AS n_cells
+            FROM ({_grid_a('dem')})
+        """,
         "ocean_volume": f"""
             WITH g AS (
               SELECT *, {g.y0!r} + CAST(row AS DOUBLE) * {g.cell_size_y!r} AS lat
@@ -690,6 +787,26 @@ def oracle_sql() -> dict[str, str]:
         "compression_verify": f"""
             SELECT CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
                    CAST(0 AS BIGINT) AS n_mismatch
+        """,
+        "icf_roundtrip": f"""
+            WITH g AS (
+              SELECT *, {_ICF_V} AS v
+              FROM ({synth.grid_duckdb_sql(SPEC_A, value=None)})
+            ),
+            e AS (
+              SELECT v,
+                     CAST(floor(abs(CAST({floatcodec.icf_decode_sql('i', _ICF_SCALE)} AS DOUBLE) - CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS err_micro
+              FROM (SELECT v, {floatcodec.icf_encode_sql('v', _ICF_SCALE)} AS i FROM g)
+            )
+            SELECT COUNT(*) AS n, MAX(err_micro) AS max_err_micro,
+                   CAST(SUM(CASE WHEN err_micro <= {1.01 / _ICF_SCALE * 1e6!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tol
+            FROM e
+        """,
+        "inspector": f"""
+            SELECT CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles, CAST(0 AS BIGINT) AS n_bad
+        """,
+        "floatcodec_verify": f"""
+            SELECT CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles, CAST(0 AS BIGINT) AS n_bad
         """,
         "bspline": bspline.interpolate_points_sql(
             GLOBAL_GRID,

@@ -125,6 +125,69 @@ def point_read(
     ).drop("cells")
 
 
+def write_points(
+    points: DataFrame,
+    tiles: DataFrame,
+    spec: GridSpec,
+    value_col: str = "z",
+    fill: float | None = None,
+) -> DataFrame:
+    """Batch point WRITE (S4, GvrsElement.writeValue:199-274 + tile-cache
+    write-back): scatter new cell values into the tile store.
+
+    cogroup(tiles, writes) by tile_index -> one Arrow merge kernel per tile:
+    existing tiles get cells updated in place; previously-absent tiles
+    materialize fill-initialized first (RasterTileCache.allocateNewTile:223-243);
+    tiles that would contain only fill never materialize
+    (RecordManager.writeTile:413-419). The Iceberg production form is
+    MERGE INTO tiles USING updates ON tile_index.
+    """
+    fill_v = float(spec.fill_int if fill is None else fill)
+    cells_per_tile = spec.cells_per_tile
+    n_cols_of_tiles = spec.n_cols_of_tiles
+
+    writes = with_tile_assignment(points.filter(in_grid(spec)), spec).select(
+        "tile_index", "index_in_tile", F.col(value_col).cast("double").alias("_v")
+    )
+
+    def merge(key: tuple, tiles_pdf: pd.DataFrame, writes_pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_index = int(key[0])
+        if len(tiles_pdf) > 0:
+            arr = np.asarray(tiles_pdf.iloc[0]["cells"], dtype=np.float64).copy()
+        else:
+            arr = np.full(cells_per_tile, fill_v, dtype=np.float64)
+        if len(writes_pdf) > 0:
+            idx = writes_pdf["index_in_tile"].to_numpy(dtype=np.int64)
+            arr[idx] = writes_pdf["_v"].to_numpy(dtype=np.float64)
+        if np.isnan(fill_v):
+            all_fill = bool(np.isnan(arr).all())
+            n_filled = int((~np.isnan(arr)).sum())
+        else:
+            all_fill = bool((arr == fill_v).all())
+            n_filled = int((arr != fill_v).sum())
+        if all_fill:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in zip(
+                    ["tile_index", "tile_row", "tile_col", "n_cells", "n_filled", "cells"],
+                    ["int64", "int64", "int64", "int32", "int32", "object"],
+                )}
+            )
+        return pd.DataFrame(
+            {
+                "tile_index": [tile_index],
+                "tile_row": [tile_index // n_cols_of_tiles],
+                "tile_col": [tile_index % n_cols_of_tiles],
+                "n_cells": [cells_per_tile],
+                "n_filled": [n_filled],
+                "cells": [arr],
+            }
+        )
+
+    t = tiles.select("tile_index", "cells").groupBy("tile_index")
+    w = writes.groupBy("tile_index")
+    return t.cogroup(w).applyInPandas(merge, TILE_SCHEMA)
+
+
 def tiles_to_cells(tiles: DataFrame, spec: GridSpec, value_name: str = "z") -> DataFrame:
     """Inverse of build_tiles: explode tiles back to (row, col, value).
 

