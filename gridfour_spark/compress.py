@@ -266,7 +266,9 @@ def m32_decode(buf: bytes, n_symbols: int) -> np.ndarray:
 CODEC_DEFLATE_INDEX = 0
 
 
-def encode_tile(values: np.ndarray, nr: int, nc: int, use_lsop: bool = False) -> dict:
+def encode_tile(
+    values: np.ndarray, nr: int, nc: int, use_lsop: bool = False, use_huffman: bool = True
+) -> dict:
     """Race all predictors through M32+Deflate; keep the smallest packing.
 
     Returns {predictor, payload, n_bytes, standard_bytes, kept} where kept is
@@ -296,21 +298,29 @@ def encode_tile(values: np.ndarray, nr: int, nc: int, use_lsop: bool = False) ->
         except ValueError:
             continue
         m32 = m32_encode(syms)
-        body = zlib.compress(m32, 6)
-        packing = (
-            bytes([CODEC_DEFLATE_INDEX, ptype])
+        header = (
+            bytes([ptype])
             + int(np.int64(seed) & 0xFFFFFFFF).to_bytes(4, "little")
             + len(m32).to_bytes(4, "little")
-            + body
         )
-        if best is None or len(packing) < best["n_bytes"]:
-            best = {
-                "predictor": ptype,
-                "payload": packing,
-                "n_bytes": len(packing),
-                "n_symbols": len(syms),
-                "codec": "deflate",
-            }
+        candidates = [
+            ("deflate", bytes([CODEC_DEFLATE_INDEX]) + header + zlib.compress(m32, 6)),
+        ]
+        if use_huffman:
+            from gridfour_spark import huffman as _h
+
+            candidates.append(
+                ("huffman", bytes([_h.HUFFMAN_CODEC_INDEX]) + header + _h.huff_encode(m32))
+            )
+        for codec_name, packing in candidates:
+            if best is None or len(packing) < best["n_bytes"]:
+                best = {
+                    "predictor": ptype,
+                    "payload": packing,
+                    "n_bytes": len(packing),
+                    "n_symbols": len(syms),
+                    "codec": codec_name,
+                }
     standard = nr * nc * 4
     best["standard_bytes"] = standard
     best["kept"] = best["n_bytes"] < standard
@@ -318,11 +328,19 @@ def encode_tile(values: np.ndarray, nr: int, nc: int, use_lsop: bool = False) ->
 
 
 def decode_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
-    """Inverse of encode_tile (CodecDeflate.decode:109-152)."""
+    """Inverse of encode_tile — dispatch on the stored codec index
+    (CodecDeflate.decode:109-152; CodecMaster.decode:195-202)."""
+    codec = packing[0]
     ptype = packing[1]
     seed = int.from_bytes(packing[2:6], "little", signed=True)
     n_m32 = int.from_bytes(packing[6:10], "little")
-    m32 = zlib.decompress(packing[10:])
+    if codec == CODEC_DEFLATE_INDEX:
+        m32 = zlib.decompress(packing[10:])
+    else:
+        from gridfour_spark import huffman as _h
+
+        assert codec == _h.HUFFMAN_CODEC_INDEX, codec
+        m32 = _h.huff_decode(packing[10:])
     assert len(m32) == n_m32, (len(m32), n_m32)
     syms = m32_decode(m32, nr * nc - 1)
     return PREDICTORS[ptype][1](seed, syms, nr, nc)

@@ -194,12 +194,23 @@ class GridSpec:
 
     @property
     def wraps_longitude(self) -> bool:
-        """True when the grid spans the full 360 degrees
-        (geoWrapsLongitude, GvrsFileSpecification.java:695-707)."""
+        """True when one cell past the last column lands on the first column
+        (geoWrapsLongitude, GvrsFileSpecification.checkGeographicCoverage
+        :695-707): |to180(x1 + cell - x0)| < 1e-6 with x1 = last CENTER."""
+        if not self.geographic or self.brackets_longitude:
+            return False
+        span_plus_one = self.n_cols * self.cell_size_x
+        return abs(to180(span_plus_one)) < 1e-6
+
+    @property
+    def brackets_longitude(self) -> bool:
+        """True when first and last columns sit on the SAME meridian
+        (x1 - x0 == 360, :697-700) — such grids use the clamp path, not the
+        wrap stitch, in the interpolator (loadSamples wraps only when
+        geoWrapsLongitude, GvrsInterpolatorBSpline.java:415-417)."""
         if not self.geographic:
             return False
-        span = self.n_cols * self.cell_size_x
-        return abs(span - 360.0) < 1e-9
+        return (self.n_cols - 1) * self.cell_size_x == 360.0
 
 
 # A global ETOPO-style spec used by the flagship pipeline and benchmarks:

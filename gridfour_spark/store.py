@@ -55,43 +55,58 @@ def build_tiles(
     spec: GridSpec,
     value_col: str = "z",
     fill: float | None = None,
+    element_col: str | None = None,
 ) -> DataFrame:
-    """cells(row, col, value) -> tiles(tile_index, ..., cells[row-major]).
+    """cells(row, col, value[, element]) -> tiles(tile_index, ..., cells[row-major]).
 
-    One shuffle on tile_index; the scatter kernel is numpy (Arrow batches in,
-    Arrow batches out). All-fill tiles are dropped, matching
+    One shuffle on the tile key; the scatter kernel is numpy (Arrow batches
+    in, Arrow batches out). All-fill tiles are dropped, matching
     RecordManager.writeTile:413-419.
+
+    element_col: multi-band stores (one GvrsElement per band,
+    gvrs/GvrsElement.java:55 / RasterTile.java:47-109 — columnar-within-tile
+    means each (element, tile) pair is its own cell array; the tile key
+    becomes (element, tile_index)).
     """
     fill_v = float(spec.fill_int if fill is None else fill)
     cells_per_tile = spec.cells_per_tile
     n_cols_of_tiles = spec.n_cols_of_tiles
 
-    assigned = with_tile_assignment(
-        cells.filter(in_grid(spec)), spec
-    ).select(
+    sel = [
         "tile_index",
         "index_in_tile",
         F.col(value_col).cast("double").alias("_v"),
-    )
+    ]
+    if element_col:
+        sel.insert(0, F.col(element_col).alias("element"))
+    assigned = with_tile_assignment(cells.filter(in_grid(spec)), spec).select(*sel)
+
+    schema = TILE_SCHEMA
+    if element_col:
+        from pyspark.sql.types import StringType
+
+        schema = StructType([StructField("element", StringType())] + list(TILE_SCHEMA.fields))
 
     def scatter(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        tile_index = int(key[0])
+        tile_index = int(key[-1])
         arr = np.full(cells_per_tile, fill_v, dtype=np.float64)
         idx = pdf["index_in_tile"].to_numpy(dtype=np.int64)
         arr[idx] = pdf["_v"].to_numpy(dtype=np.float64)
         n_filled = int(len(np.unique(idx)))
-        return pd.DataFrame(
-            {
-                "tile_index": [tile_index],
-                "tile_row": [tile_index // n_cols_of_tiles],
-                "tile_col": [tile_index % n_cols_of_tiles],
-                "n_cells": [cells_per_tile],
-                "n_filled": [n_filled],
-                "cells": [arr],
-            }
-        )
+        out = {
+            "tile_index": [tile_index],
+            "tile_row": [tile_index // n_cols_of_tiles],
+            "tile_col": [tile_index % n_cols_of_tiles],
+            "n_cells": [cells_per_tile],
+            "n_filled": [n_filled],
+            "cells": [arr],
+        }
+        if len(key) == 2:
+            out = {"element": [key[0]], **out}
+        return pd.DataFrame(out)
 
-    tiles = assigned.groupBy("tile_index").applyInPandas(scatter, TILE_SCHEMA)
+    keys = (["element"] if element_col else []) + ["tile_index"]
+    tiles = assigned.groupBy(*keys).applyInPandas(scatter, schema)
     # all-fill tiles never materialize (fill writes are not stores)
     if np.isnan(fill_v):
         not_all_fill = F.exists(F.col("cells"), lambda c: ~F.isnan(c))
@@ -106,6 +121,7 @@ def point_read(
     spec: GridSpec,
     fill: float | None = None,
     value_name: str = "z",
+    element: str | None = None,
 ) -> DataFrame:
     """Batch random-access read (GvrsElement.readValue, GvrsElementInt.java:85-95).
 
@@ -116,8 +132,11 @@ def point_read(
     """
     fill_v = float(spec.fill_int if fill is None else fill)
     pts = with_tile_assignment(points.filter(in_grid(spec)), spec)
+    tside = tiles
+    if element is not None:
+        tside = tside.filter(F.col("element") == element)
     joined = pts.join(
-        tiles.select("tile_index", "cells"), on="tile_index", how="left"
+        tside.select("tile_index", "cells"), on="tile_index", how="left"
     )
     val = F.element_at(F.col("cells"), (F.col("index_in_tile") + 1).cast("int"))
     return joined.withColumn(

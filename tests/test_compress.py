@@ -108,3 +108,30 @@ def test_bits_per_sample_smooth_dem():
     bps = C.bits_per_sample(res["n_bytes"], v.size)
     assert res["kept"]
     assert bps < 8.0, bps
+
+
+def test_huffman_round_trip_and_race():
+    """C7/C8: Huffman joins the codec race; round trip through decode_tile's
+    codec dispatch (CodecMaster.decode:195-202)."""
+    from gridfour_spark import huffman as H
+
+    rng = np.random.default_rng(5)
+    # geometric-ish residual distribution favors Huffman's small table
+    v = np.cumsum(rng.integers(-3, 4, size=(20, 30)), axis=1).astype(np.int32)
+    res = C.encode_tile(v.ravel(), 20, 30, use_huffman=True)
+    back = C.decode_tile(res["payload"], 20, 30)
+    np.testing.assert_array_equal(back, v)
+
+    # force-huffman payload decodes identically
+    seed, syms = C.PREDICTORS[res["predictor"]][0](v)
+    m32 = C.m32_encode(syms)
+    header = bytes([res["predictor"]]) + int(np.int64(seed) & 0xFFFFFFFF).to_bytes(4, "little") + len(m32).to_bytes(4, "little")
+    forced = bytes([H.HUFFMAN_CODEC_INDEX]) + header + H.huff_encode(m32)
+    np.testing.assert_array_equal(C.decode_tile(forced, 20, 30), v)
+
+
+def test_huffman_edge_streams():
+    from gridfour_spark import huffman as H
+
+    for data in [bytes(500), bytes([3] * 7), bytes(range(256)) * 4]:
+        assert H.huff_decode(H.huff_encode(data)) == data

@@ -113,3 +113,22 @@ def test_write_points_merge(spark):
     assert vals[(7, 7)] == 123.0          # new tile
     assert vals[(0, 7)] == float(SPEC.fill_int)  # fill write reads back as fill
     assert vals[(9, 9)] == float(SPEC.fill_int)  # absent tile -> fill
+
+
+def test_multi_element_store(spark):
+    """Multi-band store: one cell array per (element, tile) —
+    columnar-within-tile (gvrs/TileElement.java:53-89, MultiElementTest)."""
+    from gridfour_spark.synth import grid_df
+
+    base = grid_df(spark, SPEC, value="rule")
+    cells = base.withColumn("element", F.lit("z")).unionByName(
+        base.withColumn("z", F.col("z") * 2).withColumn("element", F.lit("z2"))
+    )
+    tiles = store.build_tiles(cells, SPEC, element_col="element")
+    assert tiles.count() == 8  # 4 tiles x 2 elements
+    pts = spark.createDataFrame([(0, 5), (7, 3)], "row int, col int")
+    a = {(r.row, r.col): r.z for r in store.point_read(pts, tiles, SPEC, element="z").collect()}
+    b = {(r.row, r.col): r.z for r in store.point_read(pts, tiles, SPEC, element="z2").collect()}
+    for (r, c), v in a.items():
+        assert v == r * 10 + c - 1
+        assert b[(r, c)] == 2 * v
