@@ -436,7 +436,7 @@ def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        o.withColumn("rank", F.row_number().over(w))
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "rank", "o_orderkey",
                 F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"))

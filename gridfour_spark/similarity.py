@@ -60,7 +60,7 @@ def brute_force_topk(
     ).where(F.col("vec_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos_sim")
     )
@@ -124,7 +124,7 @@ def ann_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8) ->
     sims = pairs.select("q_id", "vec_id", F.round(_cosine(F.col("v"), F.col("q")), 6).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos_sim")
     )

@@ -192,7 +192,7 @@ def knn_join(
     pt_cols = [c for c in points.columns]
     w = Window.partitionBy(*pt_cols).orderBy(F.col("dist_km").asc(), F.col("anchor_id").asc())
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(*pt_cols, "rank", "anchor_id", "dist_km")
     )

@@ -50,8 +50,8 @@ def token_stats(docs: DataFrame) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        n_words.alias("n_words"),
-        n_distinct.alias("n_distinct"),
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct"),
         F.round(n_distinct.cast("double") / n_words, 6).alias("distinct_ratio"),
         F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
         F.round(total_chars.cast("double") / n_words, 6).alias("mean_word_len"),
@@ -84,7 +84,11 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(a_n > the_n, F.lit("en-a"))
         .otherwise(F.lit("und"))
     )
-    return d.select("doc_id", "lang", the_n.alias("n_the"), a_n.alias("n_a"), pred.alias("lang_pred"))
+    return d.select(
+        "doc_id", "lang",
+        the_n.cast("long").alias("n_the"), a_n.cast("long").alias("n_a"),
+        pred.alias("lang_pred"),
+    )
 
 
 LANG_ID_SQL = """
@@ -122,7 +126,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.array_min(F.transform("shingles", lambda s: F.md5(F.to_binary(s, F.lit("utf-8"))))).alias(
             "fingerprint"
         ),
-        F.size("shingles").alias("n_shingles"),
+        F.size("shingles").cast("long").alias("n_shingles"),
     )
 
 
@@ -244,9 +248,9 @@ def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("a.sset", "b.sset")).alias("n_common"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
+            F.size(F.array_intersect("a.sset", "b.sset")).cast("long").alias("n_common"),
+            F.col("a.n").cast("long").alias("n_a"),
+            F.col("b.n").cast("long").alias("n_b"),
         )
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
