@@ -186,7 +186,19 @@ def main() -> None:
         # pair fits beside the noise and reproduces within ~10% (measured
         # 0.82 efficiency under load avg 6-10). Probes ALTERNATE and the min
         # per size is kept so a burst hits both sizes instead of biasing one.
+        def _wait_quiet(max_wait_s: float = 180.0, threshold: float = 8.0) -> None:
+            # the host is shared: wait (bounded) for a quiet window so the
+            # probe measures the engine, not the neighbors
+            t0 = time.time()
+            while time.time() - t0 < max_wait_s:
+                with open("/proc/loadavg") as f:
+                    load1 = float(f.read().split()[0])
+                if load1 < threshold:
+                    return
+                time.sleep(10.0)
+
         for cores in (2, 8, 2, 8):
+            _wait_quiet()
             # pin the N-core probe to N CPUs: an unpinned local[N] JVM still
             # burns all 32 CPUs on GC/IO/python workers, inflating the
             # small-cluster baseline and corrupting the efficiency ratio
