@@ -111,14 +111,21 @@ def sign_bucket_sql(n_bits: int = 8, table: str = "embeddings") -> str:
 
 
 def ann_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign bucket.
+    """Approximate top-k: multi-probe sign-bucket LSH.
 
-    Equi-join on bucket replaces the cross join — at scale the corpus is
-    written bucketed by this key, so a probe reads one bucket. Recall vs
-    brute force is reported by the ann_recall query."""
+    Each query probes its own bucket plus every Hamming-1 neighbor bucket
+    (n_bits+1 probes) — the standard multi-probe trick that buys recall
+    without growing the index. Equi-join on bucket replaces the cross join;
+    at scale the corpus is written bucketed by this key, so a query touches
+    n_bits+1 partitions. Recall vs brute force: the ann_recall query."""
     e = with_sign_bucket(emb, n_bits).select("vec_id", "bucket", _as_double("embedding").alias("v"))
+    masks = [0] + [1 << j for j in range(n_bits)]
     q = with_sign_bucket(queries.withColumnRenamed("q_vec", "embedding"), n_bits).select(
-        F.col("q_id"), F.col("bucket"), _as_double("embedding").alias("q")
+        F.col("q_id"), F.col("bucket").alias("_qb"), _as_double("embedding").alias("q")
+    )
+    q = q.withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+    q = q.withColumn("bucket", F.col("_qb").bitwiseXOR(F.col("_mask")).cast("int")).drop(
+        "_qb", "_mask"
     )
     pairs = e.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
     sims = pairs.select("q_id", "vec_id", F.round(_cosine(F.col("v"), F.col("q")), 6).alias("cos_sim"))
@@ -137,9 +144,14 @@ def ann_topk_sql(n_queries: int = 10, k: int = 5, n_bits: int = 8) -> str:
     terms_q = " + ".join(
         f"CASE WHEN q.q_vec[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(n_bits)
     )
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(n_bits)])
     return f"""
-WITH q AS (
+WITH q0 AS (
   SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {n_queries}
+),
+q AS (
+  SELECT q_id, q_vec, xor(({terms_q.replace('q.q_vec', 'q_vec')}), m) AS probe_bucket
+  FROM q0 q, (SELECT unnest([{masks}]) AS m)
 ),
 pairs AS (
   SELECT e.vec_id, q.q_id,
@@ -147,7 +159,7 @@ pairs AS (
                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
          list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
          list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
-  FROM embeddings e JOIN q ON ({terms_e}) = ({terms_q})
+  FROM embeddings e JOIN q ON ({terms_e}) = q.probe_bucket
   WHERE e.vec_id != q.q_id
 ),
 sims AS (SELECT q_id, vec_id, ROUND(dot / sqrt(na * nb), 6) AS cos_sim FROM pairs),
