@@ -639,6 +639,41 @@ def _q_compression_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hole predicate shared by the Spark query and the DuckDB oracle: ~5% of
+# cells are voids (real DEMs have no-data cells; C4 exists for exactly this).
+_HOLE = "(row * 31 + col * 17) % 97 < 5"
+_NULL32 = -(2**31)
+
+
+def _q_compression_nulls_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 end-to-end: hole-punched DEM -> tiles with embedded INT4_NULL_CODE
+    cells -> codec race (nulls predictor, CodecDeflate.encode:158-186) ->
+    decompress -> every cell matches, holes read back as null."""
+    spec = SPEC_A
+    full = synth.grid_df(spark, spec, value="dem")
+    cells = full.filter(~F.expr(_HOLE))
+    tiles = store.build_tiles(cells, spec)  # fill = INT4_NULL_CODE
+    comp = tilecodec.compress_tiles(tiles, spec, use_lsop=True)
+    back = tilecodec.decompress_tiles(comp, spec)
+    cells2 = store.tiles_to_cells(back, spec).withColumnRenamed("z", "z2")
+    expected = full.withColumn(
+        "z_exp",
+        F.when(F.expr(_HOLE), F.lit(_NULL32).cast("double")).otherwise(F.col("z")),
+    ).select("row", "col", "z_exp")
+    joined = expected.join(cells2, on=["row", "col"], how="full")
+    return joined.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("z_exp").cast("long"), F.lit(_NULL32 - 1))
+                != F.coalesce(F.col("z2").cast("long"), F.lit(_NULL32 - 2)),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+        F.sum(F.when(F.col("z2").cast("long") == _NULL32, 1).otherwise(0)).alias("n_nulls"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": _q_flagship,
@@ -668,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "compression": _q_compression,
         "compression_verify": _q_compression_verify,
+        "compression_nulls_verify": _q_compression_nulls_verify,
         "icf_roundtrip": _q_icf_roundtrip,
         "inspector": _q_inspector,
         "floatcodec_verify": _q_floatcodec_verify,
@@ -843,6 +879,13 @@ def oracle_sql() -> dict[str, str]:
         "compression_verify": f"""
             SELECT CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
                    CAST(0 AS BIGINT) AS n_mismatch
+        """,
+        # n_cells and n_mismatch are invariants; n_nulls is a real value match:
+        # DuckDB counts the hole predicate over the same grid
+        "compression_nulls_verify": f"""
+            SELECT CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
+                   CAST(0 AS BIGINT) AS n_mismatch,
+                   (SELECT COUNT(*) FROM ({_grid_a(None)}) WHERE {_HOLE}) AS n_nulls
         """,
         "icf_roundtrip": f"""
             WITH g AS (

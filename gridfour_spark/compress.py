@@ -32,11 +32,12 @@ import zlib
 
 import numpy as np
 
-PREDICTOR_DIFFERENCING = 1  # PredictorModelType codes (PredictorModelType.java)
+PREDICTOR_DIFFERENCING = 1  # PredictorModelType codes (PredictorModelType.java:51-63)
 PREDICTOR_LINEAR = 2
 PREDICTOR_TRIANGLE = 3
+PREDICTOR_DIFFERENCING_NULLS = 4
 
-INT32_MIN = -(2**31)
+INT32_MIN = -(2**31)  # INT4_NULL_CODE (GridfourConstants)
 
 
 def _i32(a):
@@ -110,6 +111,103 @@ def residuals_triangle(v: np.ndarray) -> tuple[int, np.ndarray]:
     return int(v[0, 0]), stream
 
 
+def residuals_differencing_nulls(v: np.ndarray) -> tuple[int, np.ndarray] | None:
+    """C4: differencing with embedded null cells
+    (compress/PredictorModelDifferencingWithNulls.java:66-134).
+
+    Two passes, both vectorized:
+    1. seed = round(mean of every non-null value that immediately follows a
+       null in row-major order); the scan state re-seeds per row from the
+       FIRST cell of the row above (`nullFlag = values[rowOffset] == NULL`).
+    2. per-cell symbols: null cells emit NULL_DATA_CODE; non-null cells emit
+       the wrapped int32 delta from their prior (left neighbor; col 0 takes
+       the first cell of the row above; a null prior resets to the seed).
+
+    Unlike the standard predictors this emits ONE symbol per cell (nr*nc
+    symbols, no implicit seed cell). Returns None when the tile has no valid
+    data, or when a wrapped delta would collide with the null code (a latent
+    ambiguity in the reference bitstream; declining keeps round-trips exact).
+    """
+    v = _i32(v)
+    nr, nc = v.shape
+    v64 = v.astype(np.int64)
+    null = v == INT32_MIN
+
+    # nullFlag entering each cell: left neighbor null; col 0 inherits from
+    # the first cell of the row above; the very first cell starts flagged.
+    flag = np.empty((nr, nc), dtype=bool)
+    if nc > 1:
+        flag[:, 1:] = null[:, :-1]
+    flag[0, 0] = True
+    if nr > 1:
+        flag[1:, 0] = null[:-1, 0]
+    contrib = (~null) & flag
+    n_start = int(contrib.sum())
+    if n_start == 0:
+        return None
+    seed = int(math_floor_half_up(v64[contrib].sum(), n_start))
+
+    # prior per cell (encode pass starts prior=seed, nullFlag=false)
+    prior = np.empty((nr, nc), dtype=np.int64)
+    prior_null = np.zeros((nr, nc), dtype=bool)
+    if nc > 1:
+        prior[:, 1:] = v64[:, :-1]
+        prior_null[:, 1:] = null[:, :-1]
+    prior[0, 0] = seed
+    if nr > 1:
+        prior[1:, 0] = v64[:-1, 0]
+        prior_null[1:, 0] = null[:-1, 0]
+    prior = np.where(prior_null, np.int64(seed), prior)
+    delta = ((v64 - prior + 2**31) % 2**32) - 2**31
+    syms = np.where(null, np.int64(INT32_MIN), delta)
+    if bool(np.any(~null & (syms == INT32_MIN))):
+        return None
+    return seed, syms.ravel().astype(np.int32)
+
+
+def math_floor_half_up(total: int, n: int) -> int:
+    """(int) Math.floor(sum / n + 0.5) — the reference's seed rounding."""
+    import math
+
+    return int(math.floor(total / n + 0.5))
+
+
+def _unpredict_differencing_nulls(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    """Inverse of residuals_differencing_nulls
+    (PredictorModelDifferencingWithNulls.decode:137-166), vectorized:
+    column 0 chains down rows (cheap nr-loop), then every row reconstructs
+    via a segmented cumulative sum anchored at null resets (anchor=seed) and
+    at column 0."""
+    s = syms.astype(np.int64).reshape(nr, nc)
+    null = s == INT32_MIN
+
+    col0 = np.zeros(nr, dtype=np.int64)
+    prior = np.int64(seed)
+    prior_is_null = True
+    for r in range(nr):
+        if null[r, 0]:
+            col0[r] = INT32_MIN
+            prior_is_null = True
+        else:
+            base = np.int64(seed) if prior_is_null else prior
+            col0[r] = ((base + s[r, 0] + 2**31) % 2**32) - 2**31
+            prior_is_null = False
+        prior = col0[r]
+
+    cs = np.cumsum(np.where(null, 0, s), axis=1)
+    col_idx = np.arange(nc, dtype=np.int64)
+    reset = null.copy()
+    reset[:, 0] = True
+    last_reset = np.maximum.accumulate(np.where(reset, col_idx, 0), axis=1)
+    anchor = np.where(null, np.int64(seed), np.int64(0))
+    anchor[:, 0] = np.where(null[:, 0], np.int64(seed), col0)
+    rr = np.arange(nr)[:, None]
+    vals = ((anchor[rr, last_reset] + cs - cs[rr, last_reset] + 2**31) % 2**32) - 2**31
+    vals = np.where(null, np.int64(INT32_MIN), vals)
+    vals[:, 0] = col0
+    return vals.astype(np.int32)
+
+
 def _unpredict_differencing(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
     v = np.zeros((nr, nc), dtype=np.int64)
     v[0, 0] = seed
@@ -166,6 +264,17 @@ PREDICTORS = {
     PREDICTOR_LINEAR: (residuals_linear, _unpredict_linear),
     PREDICTOR_TRIANGLE: (residuals_triangle, _unpredict_triangle),
 }
+
+# the nulls predictor never joins the no-null race (CodecDeflate.encode:178-186)
+# but shares the decode dispatch table; it emits nr*nc symbols (no seed cell)
+ALL_PREDICTORS = {
+    **PREDICTORS,
+    PREDICTOR_DIFFERENCING_NULLS: (residuals_differencing_nulls, _unpredict_differencing_nulls),
+}
+
+
+def n_symbols_for(ptype: int, nr: int, nc: int) -> int:
+    return nr * nc if ptype == PREDICTOR_DIFFERENCING_NULLS else nr * nc - 1
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +387,8 @@ def encode_tile(
     lsop/LsCodecUtility.java:53-69)."""
     v = values.reshape(nr, nc)
     best = None
-    if use_lsop:
+    has_nulls = bool((v == INT32_MIN).any())
+    if use_lsop and not has_nulls:
         from gridfour_spark import lsop as _lsop
 
         r = _lsop.encode_lsop(values.astype(np.int32), nr, nc)
@@ -290,13 +400,23 @@ def encode_tile(
                 "n_symbols": nr * nc - 1,
                 "codec": "lsop12",
             }
-    for ptype, (enc, _dec) in PREDICTORS.items():
+    # null gating mirrors CodecDeflate.encode:158-186: tiles with embedded
+    # nulls race ONLY the null-supporting predictor; tiles without race the
+    # standard three
+    if has_nulls:
+        race = {PREDICTOR_DIFFERENCING_NULLS: (residuals_differencing_nulls, None)}
+    else:
+        race = PREDICTORS
+    for ptype, (enc, _dec) in race.items():
         if ptype == PREDICTOR_TRIANGLE and (nr < 2 or nc < 2):
             continue
         try:
-            seed, syms = enc(v)
+            r = enc(v)
         except ValueError:
             continue
+        if r is None:  # all-null tile or null-code delta collision
+            continue
+        seed, syms = r
         m32 = m32_encode(syms)
         header = (
             bytes([ptype])
@@ -322,6 +442,8 @@ def encode_tile(
                     "codec": codec_name,
                 }
     standard = nr * nc * 4
+    if best is None:  # no predictor could encode (e.g. all-null tile): store raw
+        best = {"predictor": 0, "payload": b"", "n_bytes": standard, "n_symbols": 0, "codec": "raw"}
     best["standard_bytes"] = standard
     best["kept"] = best["n_bytes"] < standard
     return best
@@ -342,8 +464,8 @@ def decode_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
         assert codec == _h.HUFFMAN_CODEC_INDEX, codec
         m32 = _h.huff_decode(packing[10:])
     assert len(m32) == n_m32, (len(m32), n_m32)
-    syms = m32_decode(m32, nr * nc - 1)
-    return PREDICTORS[ptype][1](seed, syms, nr, nc)
+    syms = m32_decode(m32, n_symbols_for(ptype, nr, nc))
+    return ALL_PREDICTORS[ptype][1](seed, syms, nr, nc)
 
 
 def bits_per_sample(total_bytes: int, n_cells: int) -> float:

@@ -135,3 +135,159 @@ def test_huffman_edge_streams():
 
     for data in [bytes(500), bytes([3] * 7), bytes(range(256)) * 4]:
         assert H.huff_decode(H.huff_encode(data)) == data
+
+
+# --- C4: differencing-with-nulls -------------------------------------------
+
+NULL = -(2**31)
+
+
+def _scalar_nulls_encode(v):
+    """Direct scalar port of PredictorModelDifferencingWithNulls.encode
+    (:66-134) — the test oracle for the vectorized kernel."""
+    nr, nc = v.shape
+    vals = v.astype(np.int64).ravel()
+    sum_start, n_start = 0, 0
+    null_flag = True
+    for ir in range(nr):
+        off = ir * nc
+        for ic in range(nc):
+            t = vals[off + ic]
+            if t == NULL:
+                null_flag = True
+            else:
+                if null_flag:
+                    sum_start += t
+                    n_start += 1
+                null_flag = False
+        null_flag = vals[off] == NULL
+    if n_start == 0:
+        return None
+    import math
+
+    seed = int(math.floor(sum_start / n_start + 0.5))
+    out = []
+    prior = seed
+    null_flag = False
+    for ir in range(nr):
+        idx = ir * nc
+        for ic in range(nc):
+            t = vals[idx]
+            idx += 1
+            if t == NULL:
+                null_flag = True
+                out.append(NULL)
+            else:
+                if null_flag:
+                    prior = seed
+                    null_flag = False
+                d = int(t - prior)
+                d = ((d + 2**31) % 2**32) - 2**31  # (int) cast
+                out.append(d)
+                prior = t
+        prior = vals[ir * nc]
+        null_flag = prior == NULL
+    return seed, np.array(out, dtype=np.int32)
+
+
+def _scalar_nulls_decode(seed, syms, nr, nc):
+    """Direct scalar port of decode (:137-166)."""
+    out = np.zeros(nr * nc, dtype=np.int64)
+    prior = seed
+    null_flag = True
+    k = 0
+    for ir in range(nr):
+        idx = ir * nc
+        for ic in range(nc):
+            t = int(syms[k]); k += 1
+            if t == NULL:
+                null_flag = True
+                out[idx] = NULL
+            else:
+                if null_flag:
+                    null_flag = False
+                    prior = seed
+                prior = ((prior + t + 2**31) % 2**32) - 2**31
+                out[idx] = prior
+            idx += 1
+        prior = out[ir * nc]
+        null_flag = prior == NULL
+    return out.reshape(nr, nc).astype(np.int32)
+
+
+def _null_grids():
+    rng = np.random.default_rng(11)
+    r, c = np.meshgrid(np.arange(14), np.arange(19), indexing="ij")
+    smooth = np.floor(3000 * np.sin(r * 0.2) * np.cos(c * 0.15)).astype(np.int32)
+    cases = {}
+    g = smooth.copy(); g[(r * 7 + c * 3) % 11 < 2] = NULL
+    cases["scattered"] = g
+    g = smooth.copy(); g[0, 0] = NULL
+    cases["null_origin"] = g
+    g = smooth.copy(); g[:, 0] = NULL
+    cases["null_col0"] = g
+    g = smooth.copy(); g[3:6, :] = NULL
+    cases["null_rows"] = g
+    g = smooth.copy(); g[rng.random((14, 19)) < 0.5] = NULL
+    cases["half_null"] = g
+    g = np.full((14, 19), NULL, dtype=np.int32); g[7, 9] = 123
+    cases["one_value"] = g
+    noise = rng.integers(-(2**31) + 1, 2**31 - 1, size=(14, 19), dtype=np.int64).astype(np.int32)
+    noise[(r + c) % 5 == 0] = NULL
+    cases["noise_nulls"] = noise
+    return cases
+
+
+@pytest.mark.parametrize("gname", list(_null_grids()))
+def test_nulls_predictor_matches_scalar_port(gname):
+    v = _null_grids()[gname]
+    nr, nc = v.shape
+    expected = _scalar_nulls_encode(v)
+    got = C.residuals_differencing_nulls(v)
+    if got is None:
+        # vectorized kernel declines only on null-code delta collision;
+        # verify the scalar port would indeed produce an ambiguous symbol
+        assert expected is None or np.any(
+            (expected[1] == NULL) != (v.ravel() == NULL)
+        )
+        return
+    seed, syms = got
+    assert expected is not None
+    assert seed == expected[0]
+    np.testing.assert_array_equal(syms, expected[1])
+    assert len(syms) == nr * nc
+    # vectorized decode == scalar decode == original
+    back_vec = C.ALL_PREDICTORS[C.PREDICTOR_DIFFERENCING_NULLS][1](seed, syms, nr, nc)
+    back_scalar = _scalar_nulls_decode(seed, syms, nr, nc)
+    np.testing.assert_array_equal(back_vec, back_scalar)
+    np.testing.assert_array_equal(back_vec, v)
+
+
+def test_nulls_predictor_all_null_declines():
+    v = np.full((8, 9), NULL, dtype=np.int32)
+    assert C.residuals_differencing_nulls(v) is None
+    res = C.encode_tile(v.ravel(), 8, 9)
+    assert not res["kept"] and res["codec"] == "raw"
+
+
+def test_encode_tile_with_nulls_round_trip():
+    """Tiles with embedded nulls race only the nulls predictor
+    (CodecDeflate.encode:158-186) and round-trip exactly."""
+    for gname, v in _null_grids().items():
+        nr, nc = v.shape
+        res = C.encode_tile(v.ravel(), nr, nc, use_lsop=True)
+        if res["kept"]:
+            assert res["predictor"] in (0, C.PREDICTOR_DIFFERENCING_NULLS), gname
+            back = C.decode_tile(res["payload"], nr, nc)
+            np.testing.assert_array_equal(back, v, err_msg=gname)
+
+
+def test_nulls_predictor_compresses_hole_punched_dem():
+    """The point of C4: residuals near holes stay small, so a hole-punched
+    smooth DEM still compresses far below 32 bits/sample."""
+    r, c = np.meshgrid(np.arange(120), np.arange(180), indexing="ij")
+    v = np.floor(4000 * np.sin(r * 0.021) * np.cos(c * 0.017)).astype(np.int32)
+    v[(r * 13 + c * 7) % 29 < 3] = NULL
+    res = C.encode_tile(v.ravel(), 120, 180)
+    assert res["kept"]
+    assert C.bits_per_sample(res["n_bytes"], v.size) < 8.0
