@@ -134,6 +134,24 @@ def main() -> None:
     total_cells = sum(r.total_cells for r in comp_rows)
     codec_mix = {f"{r.codec}/p{r.predictor}": r.n_tiles for r in comp_rows}
 
+    # compressed-tile READ path (RecordManager.readTile equivalent): the
+    # vectorized M32/Huffman decode must keep decompression within ~2x of
+    # compression throughput — measured over the global DEM store (6.48M cells)
+    import __spark_entry__ as _e0
+    from gridfour_spark import tilecodec as _tc
+    from gridfour_spark.spec import GLOBAL_GRID as _GG0
+
+    gtiles = _e0._tiles_cached(spark, _GG0, "dem")
+    n_comp_cells = 6_480_000
+    t0 = time.time()
+    comp_g = _tc.compress_tiles(gtiles, _GG0, use_lsop=True).persist()
+    comp_g.count()
+    compress_sec = time.time() - t0
+    t0 = time.time()
+    _tc.decompress_tiles(comp_g, _GG0).count()
+    decompress_sec = time.time() - t0
+    comp_g.unpersist()
+
     # B-spline interpolation throughput: N synthetic points sampled against
     # the (persisted) global DEM tile store — comparable to the reference's
     # InterpolatorBSpline 33-50M interp/s single-thread in-memory figure
@@ -175,6 +193,9 @@ def main() -> None:
         "bspline_interp_sec": round(interp_sec, 3),
         "bits_per_sample": round(8.0 * total_bytes / total_cells, 4),
         "codec_mix": codec_mix,
+        "compress_cells_per_sec": round(n_comp_cells / compress_sec, 1),
+        "decompress_cells_per_sec": round(n_comp_cells / decompress_sec, 1),
+        "decompress_vs_compress": round(decompress_sec / compress_sec, 3),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":

@@ -224,7 +224,12 @@ def _unpredict_differencing(seed: int, syms: np.ndarray, nr: int, nc: int) -> np
     return ((v + 2**31) % 2**32 - 2**31).astype(np.int32)
 
 
-def _unpredict_linear(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+def _wrap32_i64(a: np.ndarray) -> np.ndarray:
+    return ((a + 2**31) % 2**32) - 2**31
+
+
+def _unpredict_linear_scalar(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    """Op-for-op scalar decode (test oracle for the cumsum form below)."""
     v = np.zeros((nr, nc), dtype=np.int64)
     v[0, 0] = seed
     k = 0
@@ -243,7 +248,29 @@ def _unpredict_linear(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarr
     return ((v + 2**31) % 2**32 - 2**31).astype(np.int32)
 
 
-def _unpredict_triangle(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+def _unpredict_linear(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    """Vectorized second-order decode: pred = 2b - a means the first
+    difference E[c] = v[c] - v[c-1] satisfies E[c] = E[c-1] + s[c], so the
+    row reconstructs as TWO cumulative sums. Every step is linear mod 2^32,
+    so int64 cumsums with a wrap between passes are exact."""
+    s = syms.astype(np.int64)
+    v = np.zeros((nr, nc), dtype=np.int64)
+    v[0, 0] = seed
+    v[0, 1] = seed + s[0]
+    if nr > 1:
+        pairs = s[1 : 1 + 2 * (nr - 1)].reshape(nr - 1, 2)
+        v[1:, 0] = seed + np.cumsum(pairs[:, 0])
+        v[1:, 1] = v[1:, 0] + pairs[:, 1]
+    if nc > 2:
+        interior = s[1 + 2 * (nr - 1) :].reshape(nr, nc - 2)
+        e1 = v[:, 1] - v[:, 0]
+        e = _wrap32_i64(e1[:, None] + np.cumsum(interior, axis=1))
+        v[:, 2:] = v[:, 1:2] + np.cumsum(e, axis=1)
+    return _wrap32_i64(v).astype(np.int32)
+
+
+def _unpredict_triangle_scalar(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    """Op-for-op scalar decode (test oracle for the cumsum form below)."""
     v = np.zeros((nr, nc), dtype=np.int64)
     v[0, 0] = seed
     k = 0
@@ -257,6 +284,24 @@ def _unpredict_triangle(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.nda
             v[r, c] = ((pred + syms[k] + 2**31) % 2**32) - 2**31
             k += 1
     return ((v + 2**31) % 2**32 - 2**31).astype(np.int32)
+
+
+def _unpredict_triangle(seed: int, syms: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    """Vectorized triangle decode: the vertical difference
+    D[r,c] = v[r,c] - v[r-1,c] satisfies D[r,c] = D[r,c-1] + s[r,c], so the
+    interior is a row cumsum of symbols followed by a column cumsum of D —
+    two passes, no per-cell Python. Linear mod 2^32 throughout."""
+    s = syms.astype(np.int64)
+    v = np.zeros((nr, nc), dtype=np.int64)
+    v[0, :] = seed + np.concatenate([[0], np.cumsum(s[: nc - 1])])
+    if nr > 1:
+        col0_d = s[nc - 1 : nc - 1 + nr - 1]
+        v[1:, 0] = v[0, 0] + np.cumsum(col0_d)
+        if nc > 1:
+            interior = s[nc - 1 + nr - 1 :].reshape(nr - 1, nc - 1)
+            d = _wrap32_i64(col0_d[:, None] + np.cumsum(interior, axis=1))
+            v[1:, 1:] = v[0, 1:][None, :] + np.cumsum(d, axis=0)
+    return _wrap32_i64(v).astype(np.int32)
 
 
 PREDICTORS = {
@@ -339,8 +384,10 @@ def m32_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def m32_decode(buf: bytes, n_symbols: int) -> np.ndarray:
-    """Streaming M32 decode (exact port of CodecM32.decode:318-360)."""
+def m32_decode_scalar(buf: bytes, n_symbols: int) -> np.ndarray:
+    """Streaming M32 decode (exact port of CodecM32.decode:318-360).
+
+    Kept as the test oracle for the vectorized decode below."""
     out = np.empty(n_symbols, dtype=np.int32)
     b = np.frombuffer(buf, dtype=np.uint8)
     pos = 0
@@ -366,6 +413,77 @@ def m32_decode(buf: bytes, n_symbols: int) -> np.ndarray:
                 break
         out[i] = delta
     return out
+
+
+def _orbit(nxt: np.ndarray, n_steps: int) -> np.ndarray:
+    """Positions visited by iterating p -> nxt[p] from 0, n_steps entries.
+
+    Vectorized list ranking by pointer doubling: after pass j the first 2^j
+    positions are known and `jump` is nxt composed 2^j times — O(n log n)
+    gathers, no per-element Python. This is the trick that makes the
+    variable-length decode paths (M32, Huffman) columnar."""
+    starts = np.empty(n_steps, dtype=np.int64)
+    starts[0] = 0
+    filled = 1
+    jump = nxt
+    while filled < n_steps:
+        take = min(filled, n_steps - filled)
+        starts[filled : filled + take] = jump[starts[:take]]
+        filled += take
+        if filled < n_steps:
+            jump = jump[jump]
+    return starts
+
+
+def m32_decode(buf: bytes, n_symbols: int) -> np.ndarray:
+    """Vectorized M32 decode (semantics of CodecM32.decode:318-360).
+
+    The read-path hot loop (RecordManager.readTile:492-515 equivalent):
+    1. classify every byte position as if a symbol started there — length is
+       1 unless the byte is an introducer (0x7F/0x81), in which case the
+       symbol ends at the next byte with the high bit clear;
+    2. recover the true symbol starts with pointer doubling (_orbit);
+    3. decode singles and multi-byte groups with masked gathers.
+    """
+    if n_symbols == 0:
+        return np.empty(0, np.int32)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    n = len(b)
+    if n == n_symbols:  # every symbol is one byte — no start-finding needed
+        sym8 = b.astype(np.int8).astype(np.int32)
+        return np.where(sym8 == -128, np.int32(INT32_MIN), sym8).astype(np.int32)
+    idx = np.arange(n, dtype=np.int64)
+    intro = (b == 0x7F) | (b == 0x81)
+    clear_pos = np.flatnonzero((b & 0x80) == 0)
+    # first clear byte strictly after p (continuation terminator)
+    nc_i = np.searchsorted(clear_pos, idx, side="right")
+    next_clear = np.where(
+        nc_i < len(clear_pos), clear_pos[np.minimum(nc_i, len(clear_pos) - 1)], n - 1
+    )
+    nxt = np.where(intro, next_clear + 1, idx + 1)
+    nxt = np.append(np.minimum(nxt, n), n)  # position n is a fixed point
+
+    starts = _orbit(nxt, n_symbols)
+    first = b[starts]
+    sym8 = first.astype(np.int8).astype(np.int32)
+    out = np.where(sym8 == -128, np.int32(INT32_MIN), sym8)
+
+    multi = intro[starts]
+    if multi.any():
+        mp = starts[multi]
+        n_cont = next_clear[mp] - mp  # continuation bytes incl. terminator (1..5)
+        delta = np.zeros(len(mp), dtype=np.int64)
+        for j in range(5):
+            has = n_cont >= j + 1
+            if not has.any():
+                break
+            pos = np.minimum(mp + 1 + j, n - 1)
+            shift = 7 * np.maximum(n_cont - 1 - j, 0)
+            delta += np.where(has, (b[pos] & 0x7F).astype(np.int64) << shift, 0)
+        base = _M32_BASES[n_cont - 1]
+        val = np.where(first[multi] == 0x81, -delta - base, delta + base)
+        out[multi] = val.astype(np.int32)
+    return out.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -162,23 +162,16 @@ def encode_lsop(values: np.ndarray, nr: int, nc: int) -> dict | None:
     }
 
 
-def decode_lsop(payload: bytes, nr: int, nc: int) -> np.ndarray:
-    assert payload[0] == LSOP_CODEC_INDEX and payload[1] == 12
-    seed = int.from_bytes(payload[2:6], "little", signed=True)
-    u = np.frombuffer(payload[6:54], dtype="<f4")
-    n_init = int.from_bytes(payload[54:58], "little")
-    n_interior = int.from_bytes(payload[58:62], "little")
-    assert payload[62] == 1
-    body = payload[63:]
-    d = zlib.decompressobj()
-    init_m32 = d.decompress(body)
-    rest = d.unused_data
-    interior_m32 = zlib.decompress(rest)
-    assert len(init_m32) == n_init and len(interior_m32) == n_interior
+# 12-neighbor stencil offsets, u-coefficient order (LsOptimalPredictor12:252-272)
+_STENCIL = [
+    (0, -1), (-1, -1), (-1, 0), (-1, 1), (-1, 2), (0, -2),
+    (-1, -2), (-2, -2), (-2, -1), (-2, 0), (-2, 1), (-2, 2),
+]
 
-    init = m32_decode(init_m32, 4 * nr + 2 * nc - 9).astype(np.int64)
-    interior = m32_decode(interior_m32, (nr - 2) * (nc - 4)).astype(np.int64)
 
+def decode_lsop_scalar(payload: bytes, nr: int, nc: int) -> np.ndarray:
+    """Op-for-op scalar decode (test oracle for the wavefront decode)."""
+    seed, u, init, interior = _parse_lsop(payload, nr, nc)
     v = np.zeros((nr, nc), dtype=np.int64)
     v[0, 0] = seed
     k = 0
@@ -197,23 +190,120 @@ def decode_lsop(payload: bytes, nr: int, nc: int) -> np.ndarray:
         pred = (v[r, 0] + v[r - 1, 1]) - v[r - 1, 0]
         v[r, 1] = _wrap32(pred + col1[r - 2])
         for c in range(2, nc - 2):
-            zf = np.array(
-                [
-                    v[r, c - 1], v[r - 1, c - 1], v[r - 1, c], v[r - 1, c + 1],
-                    v[r - 1, c + 2], v[r, c - 2], v[r - 1, c - 2], v[r - 2, c - 2],
-                    v[r - 2, c - 1], v[r - 2, c], v[r - 2, c + 1], v[r - 2, c + 2],
-                ],
-                dtype=_F32,
-            )
+            zf = np.array([v[r + dr, c + dc] for dr, dc in _STENCIL], dtype=_F32)
             acc = _F32(uf[0] * zf[0])
             for i in range(1, 12):
                 acc = _F32(acc + _F32(uf[i] * zf[i]))
             est = int(np.floor(_F32(acc + _F32(0.5))))
             v[r, c] = _wrap32(est + interior[it]); it += 1
-        # last two columns of this row (triangle), so row r is complete
-        # before row r+1's interior reads its right-edge neighbors
         pred = (v[r, nc - 3] + v[r - 1, nc - 2]) - v[r - 1, nc - 3]
         v[r, nc - 2] = _wrap32(pred + last2[r - 2, 0])
         pred = (v[r, nc - 2] + v[r - 1, nc - 1]) - v[r - 1, nc - 2]
         v[r, nc - 1] = _wrap32(pred + last2[r - 2, 1])
     return v.astype(np.int32)
+
+
+def _parse_lsop(payload: bytes, nr: int, nc: int):
+    assert payload[0] == LSOP_CODEC_INDEX and payload[1] == 12
+    seed = int.from_bytes(payload[2:6], "little", signed=True)
+    u = np.frombuffer(payload[6:54], dtype="<f4")
+    n_init = int.from_bytes(payload[54:58], "little")
+    n_interior = int.from_bytes(payload[58:62], "little")
+    assert payload[62] == 1
+    d = zlib.decompressobj()
+    init_m32 = d.decompress(payload[63:])
+    interior_m32 = zlib.decompress(d.unused_data)
+    assert len(init_m32) == n_init and len(interior_m32) == n_interior
+    init = m32_decode(init_m32, 4 * nr + 2 * nc - 9).astype(np.int64)
+    interior = m32_decode(interior_m32, (nr - 2) * (nc - 4)).astype(np.int64)
+    return seed, u, init, interior
+
+
+def decode_lsop(payload: bytes, nr: int, nc: int) -> np.ndarray:
+    """Wavefront-vectorized LSOP decode.
+
+    The interior recurrence reads (r, c-1..c-2), (r-1, c-2..c+2) and
+    (r-2, c-2..c+2): every dependency of cell (r, c) has a strictly smaller
+    skewed diagonal d = 3r + c, so cells on the same skewed diagonal are
+    independent and decode as one vectorized step — O(3*nr + nc) numpy passes
+    instead of nr*nc Python iterations. Per-cell float32 accumulation order
+    is unchanged (u0*z0, +u1*z1, ...), so results are bit-identical to the
+    strictfp reference (LsOptimalPredictor12.java:252-281)."""
+    seed, u, init, interior = _parse_lsop(payload, nr, nc)
+    v = np.zeros((nr, nc), dtype=np.int64)
+    k = 0
+    v[0, 0] = seed
+    v[0, 1:] = _wrap32(seed + np.cumsum(init[k : k + nc - 1])); k += nc - 1
+    v[1:, 0] = _wrap32(seed + np.cumsum(init[k : k + nr - 1])); k += nr - 1
+    # row 1 triangle: D[c] = v[1,c] - v[0,c] satisfies D[c] = D[c-1] + s —
+    # one cumsum (linear mod 2^32)
+    row1 = init[k : k + nc - 1]; k += nc - 1
+    v[1, 1:] = _wrap32(v[0, 1:] + (v[1, 0] - v[0, 0]) + np.cumsum(row1))
+    col1 = init[k : k + nr - 2]; k += nr - 2
+    last2 = init[k:].reshape(nr - 2, 2)
+
+    uf = u.astype(_F32)
+    int_grid = interior.reshape(nr - 2, nc - 4)
+    # float32 mirror of v for neighbor gathers: identical to casting each
+    # neighbor at use time (the reference casts to float before the dot)
+    vf = v.astype(_F32).ravel()
+    vflat = v.ravel()
+    for edges, base, gather_idx, int_idx in _wavefronts(nr, nc):
+        # triangle edge columns (at most one cell of each kind per wavefront)
+        for r_e, c_e in edges:
+            if c_e == 1:
+                pred = (v[r_e, 0] + v[r_e - 1, 1]) - v[r_e - 1, 0]
+                v[r_e, 1] = _wrap32(pred + col1[r_e - 2])
+            else:
+                pred = (v[r_e, c_e - 1] + v[r_e - 1, c_e]) - v[r_e - 1, c_e - 1]
+                v[r_e, c_e] = _wrap32(pred + last2[r_e - 2, c_e - (nc - 2)])
+            vf[r_e * nc + c_e] = v[r_e, c_e]
+        if base is None:
+            continue
+        # one gather for all 12 neighbors: flat indices (12, n) into the mirror
+        z = vf[gather_idx]
+        acc = (uf[0] * z[0]).astype(_F32)
+        for i in range(1, 12):
+            acc = (acc + uf[i] * z[i]).astype(_F32)
+        est = np.floor((acc + _F32(0.5)).astype(_F32)).astype(np.int64)
+        got = _wrap32(est + interior[int_idx])
+        vflat[base] = got
+        vf[base] = got
+    return v.astype(np.int32)
+
+
+_WAVEFRONT_CACHE: dict = {}
+
+
+def _wavefronts(nr: int, nc: int) -> list:
+    """Precomputed skewed-diagonal schedule for (nr, nc): per wavefront the
+    edge cells, interior flat positions, 12-neighbor gather indices, and
+    interior-symbol indices. Tiles share shapes, so this is computed once per
+    shape per worker."""
+    key = (nr, nc)
+    if key in _WAVEFRONT_CACHE:
+        return _WAVEFRONT_CACHE[key]
+    stf = np.array([dr * nc + dc for dr, dc in _STENCIL], dtype=np.int64)
+    out = []
+    for dgl in range(3 * 2 + 1, 3 * (nr - 1) + nc):
+        r_lo = max(2, -(-(dgl - (nc - 1)) // 3))
+        r_hi = min(nr - 1, (dgl - 1) // 3)
+        if r_lo > r_hi:
+            continue
+        rs = np.arange(r_lo, r_hi + 1, dtype=np.int64)
+        cs = dgl - 3 * rs
+        emask = (cs == 1) | (cs >= nc - 2)
+        edges = list(zip(rs[emask].tolist(), cs[emask].tolist()))
+        mask = (cs >= 2) & (cs <= nc - 3)
+        ri, ci = rs[mask], cs[mask]
+        if len(ri) == 0:
+            out.append((edges, None, None, None))
+            continue
+        base = ri * nc + ci
+        gather_idx = (base[None, :] + stf[:, None]).reshape(12, len(ri))
+        int_idx = (ri - 2) * (nc - 4) + (ci - 2)
+        out.append((edges, base, gather_idx, int_idx))
+    if len(_WAVEFRONT_CACHE) > 64:  # bound worker memory across many shapes
+        _WAVEFRONT_CACHE.clear()
+    _WAVEFRONT_CACHE[key] = out
+    return out

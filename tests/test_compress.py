@@ -291,3 +291,43 @@ def test_nulls_predictor_compresses_hole_punched_dem():
     res = C.encode_tile(v.ravel(), 120, 180)
     assert res["kept"]
     assert C.bits_per_sample(res["n_bytes"], v.size) < 8.0
+
+
+# --- vectorized read path ----------------------------------------------------
+
+def test_m32_vectorized_decode_matches_scalar():
+    """The columnar decode (pointer-doubling start recovery) must agree with
+    the op-for-op scalar port of CodecM32.decode on every byte-length class."""
+    rng = np.random.default_rng(99)
+    streams = [
+        rng.integers(-126, 127, 4000),                      # all singles
+        rng.integers(-(2**31), 2**31 - 1, 4000),            # mostly 6-byte
+        np.where(rng.random(6000) < 0.7,
+                 rng.integers(-126, 127, 6000),
+                 rng.integers(-(10**7), 10**7, 6000)),       # mixed
+        np.array([127, -127, 0x7F, 0x81 - 256, 126, -126, 0, -(2**31)] * 50),
+    ]
+    for s in streams:
+        s = s.astype(np.int32)
+        buf = C.m32_encode(s)
+        np.testing.assert_array_equal(
+            C.m32_decode(buf, len(s)), C.m32_decode_scalar(buf, len(s))
+        )
+        np.testing.assert_array_equal(C.m32_decode(buf, len(s)), s)
+
+
+def test_huffman_length_cap_and_optimality():
+    """C8: package-merge keeps every code <= 16 bits even on pathological
+    skew, stays Kraft-complete, and round-trips."""
+    import zlib
+
+    from gridfour_spark import huffman as H
+
+    # fibonacci-ish counts would exceed 16 bits without length limiting
+    data = b"".join(bytes([i]) * (2 ** min(i, 20)) for i in range(24))
+    enc = H.huff_encode(data)
+    tlen = int.from_bytes(enc[0:2], "little")
+    lengths = np.frombuffer(zlib.decompress(enc[2 : 2 + tlen]), dtype=np.uint8)
+    assert int(lengths.max()) <= H.MAX_CODE_LEN
+    assert sum(2.0 ** -int(l) for l in lengths if l) == 1.0
+    assert H.huff_decode(enc) == data
