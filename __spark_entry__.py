@@ -261,7 +261,7 @@ def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (Arrow kernel; bit math not SQL-portable -> rows-only)."""
+    """SimHash near-dup — all-JVM chunk signature with a full DuckDB oracle."""
     return textops.simhash_near_dup(_augmented_docs(spark, sf_dir), max_hamming=8)
 
 
@@ -823,8 +823,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_AUG_DOCS_SQL}) GROUP BY 1
         """,
         "near_dup": textops.near_dup_pairs_sql(0.3, docs_src=_AUG_DOCS_SQL),
-        # simhash_near_dup: Arrow bit-arithmetic kernel, not portably
-        # SQL-expressible -> rows-only check (intentionally no oracle entry)
+        "simhash_near_dup": textops.simhash_near_dup_sql(8, docs_src=_AUG_DOCS_SQL),
         "sim_topk": similarity.brute_force_topk_sql(n_queries=10, k=5),
         "ann_topk": similarity.ann_topk_sql(n_queries=10, k=5),
         "ann_recall": f"""

@@ -13,8 +13,9 @@ Large-scale training-data pipeline operators, Spark-first:
   verified with exact shingle-set Jaccard. All joins are equi-joins on bucket
   keys — the standard shuffle-safe near-dup shape at 10^12 docs (no pairwise
   cross join ever materializes).
-- SimHash: 64-bit, Arrow-batched numpy kernel (bit arithmetic is not
-  portably SQL-expressible — rows-only oracle check).
+- SimHash: 64-bit signature carried as four 16-bit chunk columns, built
+  entirely from JVM column expressions (md5 -> hex-digit bit sums -> sign
+  packing) — portable to the DuckDB oracle, zero Python in the hot path.
 
 Every hash is derived from document CONTENT only — stable across partitioning
 and cluster size.
@@ -22,8 +23,6 @@ and cluster size.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -286,71 +285,121 @@ WHERE ROUND(jac, 6) >= {jaccard_threshold}
 
 
 # --------------------------------------------------------------------------
-# SimHash (Arrow kernel — bit arithmetic; rows-only oracle)
+# SimHash — fully JVM-side column expressions, DuckDB-portable
 # --------------------------------------------------------------------------
+# Word hash = first 16 hex chars of md5(word) (64 bits). Per doc, per bit j:
+# sum of +/-1 over word occurrences (term-frequency-weighted SimHash); the
+# sign becomes signature bit j. The signature is carried as FOUR 16-bit
+# chunk keys ck0..ck3 — exactly the LSH bands — so banding, hamming popcount
+# and the DuckDB oracle all stay in portable integer SQL. No Python anywhere.
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens via a vectorized numpy kernel.
+def simhash_chunks(docs: DataFrame) -> DataFrame:
+    """doc_id -> (ck0..ck3): 16-bit SimHash chunks, all JVM expressions.
 
-    Per doc: hash each word to 64 bits (blake2b content hash — partition
-    independent), sum +/-1 per bit position, sign -> fingerprint bit. Arrow
-    batches in/out; no per-row Python in the driver-facing API."""
-    import hashlib
+    explode words -> md5 -> 16 hex-digit values -> 64 signed bit sums
+    (map-side-combined groupBy) -> sign bits packed per 16-bit chunk."""
+    w = with_tokens(docs).select("doc_id", F.explode("words").alias("word"))
+    w = w.withColumn("h", F.md5(F.to_binary("word", F.lit("utf-8"))))
+    dvs = [
+        F.conv(F.substring("h", p + 1, 1), 16, 10).cast("int").alias(f"dv{p}")
+        for p in range(16)
+    ]
+    w = w.select("doc_id", *dvs)
+    aggs = []
+    for j in range(64):
+        p, k = j // 4, j % 4
+        bit = F.shiftright(F.col(f"dv{p}"), 3 - k).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}"))
+    s = w.groupBy("doc_id").agg(*aggs)
+    cks = []
+    for ci in range(4):
+        e = F.lit(0)
+        for b in range(16):
+            e = e + F.when(F.col(f"s{16 * ci + b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        cks.append(e.cast("int").alias(f"ck{ci}"))
+    return s.select("doc_id", *cks)
 
-    @F.pandas_udf("long")
-    def simhash_kernel(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            words = t.split(" ") if t else []
-            if not words:
-                continue
-            hs = np.frombuffer(
-                b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in words),
-                dtype=np.uint64,
+
+def simhash_chunks_sql(docs_src: str = "documents") -> str:
+    """DuckDB twin of simhash_chunks (same md5 -> digit -> bit -> sign math)."""
+    dvs = ", ".join(
+        f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1) AS dv{p}"
+        for p in range(16)
+    )
+    sums = ", ".join(
+        f"SUM(CASE WHEN ((dv{j // 4} >> {3 - j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    cks = ", ".join(
+        "CAST("
+        + " + ".join(f"CASE WHEN s{16 * ci + b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+        + f" AS INTEGER) AS ck{ci}"
+        for ci in range(4)
+    )
+    return f"""
+      SELECT doc_id, {cks} FROM (
+        SELECT doc_id, {sums} FROM (
+          SELECT doc_id, {dvs} FROM (
+            SELECT doc_id, md5(word) AS h FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM ({docs_src})
             )
-            bits_ = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-            v = (2 * bits_ - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for j in range(64):
-                if v[j] > 0:
-                    sig |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
-
-    return docs.select("doc_id", simhash_kernel(F.col("text")).alias("simhash64"))
+          )
+        ) GROUP BY doc_id
+      )
+    """
 
 
 def simhash_near_dup(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup candidates: band the 64-bit signature into 4 x 16-bit
-    chunks; docs sharing any chunk are candidates (guaranteed to catch all
-    pairs with hamming distance <= 3 by pigeonhole); verify with exact
-    popcount hamming."""
-    s = simhash(docs)
-    chunks = []
-    for c in range(4):
-        chunks.append(
-            s.select(
-                "doc_id",
-                "simhash64",
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash64"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-            )
+    """SimHash near-dup candidates: the 4 chunk keys ARE the LSH bands
+    (pigeonhole: every pair with hamming <= 3 shares some chunk); candidates
+    equi-join per band, verify with exact per-chunk popcount hamming."""
+    s = simhash_chunks(docs)
+    bands = None
+    for ci in range(4):
+        part = s.select(
+            "doc_id", "ck0", "ck1", "ck2", "ck3",
+            F.lit(ci).alias("chunk"), F.col(f"ck{ci}").alias("ckey"),
         )
-    allc = chunks[0]
-    for c in chunks[1:]:
-        allc = allc.unionAll(c)
+        bands = part if bands is None else bands.unionAll(part)
     cand = (
-        allc.alias("l")
-        .join(allc.alias("r"), on=["chunk", "ckey"])
+        bands.alias("l")
+        .join(bands.alias("r"), on=["chunk", "ckey"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.simhash64").alias("sig_a"),
-            F.col("r.simhash64").alias("sig_b"),
+            *[F.col(f"l.ck{ci}").alias(f"a{ci}") for ci in range(4)],
+            *[F.col(f"r.ck{ci}").alias(f"b{ci}") for ci in range(4)],
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)
+    hamming = sum(
+        F.bit_count(F.col(f"a{ci}").bitwiseXOR(F.col(f"b{ci}"))) for ci in range(4)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_dup_sql(max_hamming: int = 8, docs_src: str = "documents") -> str:
+    chunks = simhash_chunks_sql(docs_src)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, ck0, ck1, ck2, ck3, {ci} AS chunk, ck{ci} AS ckey FROM chunks"
+        for ci in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a{ci}, b{ci}))" for ci in range(4))
+    return f"""
+WITH chunks AS ({chunks}),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.ck0 AS a0, l.ck1 AS a1, l.ck2 AS a2, l.ck3 AS a3,
+         r.ck0 AS b0, r.ck1 AS b1, r.ck2 AS b2, r.ck3 AS b3
+  FROM bands l JOIN bands r ON l.chunk = r.chunk AND l.ckey = r.ckey
+  WHERE l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand WHERE {ham} <= {max_hamming}
+"""
