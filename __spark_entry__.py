@@ -260,6 +260,32 @@ def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.near_dup_pairs(_augmented_docs(spark, sf_dir), jaccard_threshold=0.3)
 
 
+def _aug2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_augmented_docs plus EXACT copies (doc_id+2000000): the corpus shape
+    that makes raw LSH buckets hot — the dedup-first path must stay bounded."""
+    docs = _docs(spark, sf_dir)
+    copies = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return _augmented_docs(spark, sf_dir).unionByName(copies)
+
+
+_AUG2_SQL = f"""
+{_AUG_DOCS_SQL}
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def _q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale near-dup composition: exact dedup -> salted LSH bucket join
+    -> exact-Jaccard verify. Salted (n_salts=4) Spark plan hash-matches the
+    unsalted oracle — salting is result-invariant."""
+    return textops.near_dup_pairs_dedup_first(
+        _aug2_docs(spark, sf_dir), jaccard_threshold=0.3, n_salts=4
+    )
+
+
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup — all-JVM chunk signature with a full DuckDB oracle."""
     return textops.simhash_near_dup(_augmented_docs(spark, sf_dir), max_hamming=8)
@@ -281,7 +307,10 @@ def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.load_embeddings(spark, sf_dir)
-    return similarity.ann_topk(emb, _emb_queries(spark, sf_dir), k=5)
+    # bucket width scales with corpus size (ann_bits); = 8 at every test SF,
+    # which is what the DuckDB oracle pins
+    n_bits = similarity.ann_bits(emb.count())
+    return similarity.ann_topk(emb, _emb_queries(spark, sf_dir), k=5, n_bits=n_bits)
 
 
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +349,12 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = emb.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"), "label"
     ).unionByName(scaled)
-    return similarity.embedding_near_dup(aug, threshold=0.999999)
+    # n_bits scaled to the corpus (= 8 at test SFs, matching the oracle);
+    # n_salts=4 exercises the salted self-join — result-identical by design,
+    # and the hash match against the UNSALTED DuckDB SQL proves it
+    return similarity.embedding_near_dup(
+        aug, threshold=0.999999, n_bits=similarity.ann_bits(2 * emb.count()), n_salts=4
+    )
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
         "near_dup": _q_near_dup,
+        "near_dup_canonical": _q_near_dup_canonical,
         "simhash_near_dup": _q_simhash_near_dup,
         "sim_topk": _q_sim_topk,
         "ann_topk": _q_ann_topk,
@@ -823,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_AUG_DOCS_SQL}) GROUP BY 1
         """,
         "near_dup": textops.near_dup_pairs_sql(0.3, docs_src=_AUG_DOCS_SQL),
+        "near_dup_canonical": textops.near_dup_dedup_first_sql(0.3, docs_src=_AUG2_SQL),
         "simhash_near_dup": textops.simhash_near_dup_sql(8, docs_src=_AUG_DOCS_SQL),
         "sim_topk": similarity.brute_force_topk_sql(n_queries=10, k=5),
         "ann_topk": similarity.ann_topk_sql(n_queries=10, k=5),

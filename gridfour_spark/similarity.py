@@ -95,6 +95,20 @@ SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_bits(n_vecs: int, target_bucket: int = 256, max_bits: int = 24) -> int:
+    """Bucket-key width as a function of corpus size: n_bits =
+    log2(n/target_bucket) keeps expected bucket occupancy ~target_bucket, so
+    the within-bucket work stays constant as the corpus grows (the fixed
+    n_bits=8 default is only right up to ~16M vectors). Capped at max_bits
+    — beyond that, bucket count exceeds any practical partition count and
+    multi-probe recall decays; shard buckets instead."""
+    import math
+
+    if n_vecs <= target_bucket:
+        return 8
+    return int(min(max_bits, max(8, math.ceil(math.log2(n_vecs / target_bucket)))))
+
+
 def with_sign_bucket(emb: DataFrame, n_bits: int = 8) -> DataFrame:
     """LSH bucket from sign bits of the first n_bits components."""
     b = F.lit(0)
@@ -172,13 +186,27 @@ SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, n_bits: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup pairs via sign-bucket candidate join."""
+def embedding_near_dup(
+    emb: DataFrame, threshold: float = 0.95, n_bits: int = 8, n_salts: int = 1
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-bucket candidate join.
+
+    Scale knobs: n_bits from ann_bits(n_vecs) keeps bucket occupancy flat as
+    the corpus grows; n_salts > 1 salts the self-join (left side content-
+    salted, right side replicated — result-identical, bounded task sizes)
+    for residual hot buckets (e.g. near-zero vectors piling into one sign
+    pattern)."""
     e = with_sign_bucket(emb, n_bits).select("vec_id", "bucket", _as_double("embedding").alias("v"))
+    if n_salts <= 1:
+        joined = e.alias("l").join(e.alias("r"), on="bucket")
+    else:
+        l = e.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(n_salts)).cast("int")
+        )
+        r = e.withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
+        joined = l.alias("l").join(r.alias("r"), on=["bucket", "salt"])
     pairs = (
-        e.alias("l")
-        .join(e.alias("r"), on="bucket")
-        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        joined.where(F.col("l.vec_id") < F.col("r.vec_id"))
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),

@@ -23,11 +23,39 @@ and cluster size.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-N_MINHASH = 8  # 2 bands x 4 rows
+N_MINHASH = 8  # 2 bands x 4 rows (small-SF default; see lsh_params for scale)
 SHINGLE = 3
+
+
+def lsh_params(
+    n_docs: int,
+    threshold: float,
+    background_jaccard: float = 0.05,
+    miss_prob: float = 0.1,
+    max_k: int = 512,
+) -> tuple[int, int]:
+    """(k, bands) as a function of corpus size — the scale knob the fixed
+    k=8/b=2 default lacks.
+
+    rows-per-band r: expected random-collision candidates stay ~linear —
+    a band collides for background pairs with prob J_bg^r, so r >=
+    ln(n_docs)/ln(1/J_bg) keeps expected collisions per doc <= 1.
+    bands b: detection prob for a true pair at `threshold` is
+    1-(1-t^r)^b >= 1-miss_prob. k = r*b, capped at max_k (the cap trades
+    recall, never correctness: verification is exact Jaccard downstream).
+    At n=1e12/t=0.5 this yields r~10, b in the hundreds — hundreds of
+    hashes IS the honest cost of 0.5-threshold LSH at that scale."""
+    r = max(2, math.ceil(math.log(max(n_docs, 2)) / math.log(1.0 / background_jaccard)))
+    p_band = threshold**r
+    b = max(2, math.ceil(math.log(miss_prob) / math.log(max(1.0 - p_band, 1e-300))))
+    if r * b > max_k:
+        b = max(2, max_k // r)
+    return r * b, b
 
 
 # --------------------------------------------------------------------------
@@ -221,21 +249,51 @@ def minhash_bands_sql(k: int = N_MINHASH, bands: int = 2, docs_src: str = "docum
     return " UNION ALL ".join(parts)
 
 
-def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+def near_dup_candidates(
+    docs: DataFrame, k: int = N_MINHASH, bands: int = 2, n_salts: int = 1
+) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b) from the band bucket join.
 
-    bucket-join (equi-join, shuffle on bucket) -> distinct candidate pairs ->
-    join back shingle sets -> exact Jaccard filter. No cross join anywhere;
-    at 10^12 docs the bucket join is the only quadratic risk and stays
-    bounded by bucket sizes (hot buckets would be salted/length-split)."""
-    bandsdf = minhash_bands(docs)
-    cand = (
-        bandsdf.alias("l")
-        .join(bandsdf.alias("r"), on=["band", "bucket"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+    n_salts > 1 activates hot-bucket salting (the skew.salted_join pattern
+    applied to a self-join): the left side takes a deterministic content
+    salt, the right side replicates to every salt, so a bucket of size B
+    becomes n_salts join tasks of B/n_salts x B instead of one B x B task.
+    Result-identical to the unsalted join — each (a, b) pair meets exactly
+    once, on (band, bucket, salt_of_a)."""
+    bandsdf = minhash_bands(docs, k, bands)
+    if n_salts <= 1:
+        cand = bandsdf.alias("l").join(bandsdf.alias("r"), on=["band", "bucket"])
+    else:
+        l = bandsdf.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_salts)).cast("int")
+        )
+        r = bandsdf.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        )
+        cand = l.alias("l").join(r.alias("r"), on=["band", "bucket", "salt"])
+    return (
+        cand.where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    k: int = N_MINHASH,
+    bands: int = 2,
+    n_salts: int = 1,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+
+    bucket-join (equi-join, shuffle on bucket) -> distinct candidate pairs ->
+    join back shingle sets -> exact Jaccard filter. No cross join anywhere.
+    At 10^12 docs: size (k, bands) with lsh_params(n_docs, threshold), salt
+    hot buckets with n_salts, and run exact dedup FIRST
+    (near_dup_pairs_dedup_first) so identical-text cliques — the dominant
+    hot-bucket source in web corpora — collapse before LSH."""
+    cand = near_dup_candidates(docs, k, bands, n_salts)
     sh = (
         with_tokens(docs)
         .withColumn("shingles", _shingles_expr())
@@ -282,6 +340,37 @@ FROM (
 )
 WHERE ROUND(jac, 6) >= {jaccard_threshold}
 """
+
+
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """Exact-dedup projection: one canonical doc per distinct text
+    (canonical id = min doc_id). The mandatory stage BEFORE LSH at web
+    scale — identical-text cliques otherwise make every band bucket they
+    occupy quadratic."""
+    return docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "text")
+
+
+CANONICAL_DOCS_SQL = "SELECT MIN(doc_id) AS doc_id, text FROM ({src}) GROUP BY text"
+
+
+def near_dup_pairs_dedup_first(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    k: int = N_MINHASH,
+    bands: int = 2,
+    n_salts: int = 1,
+) -> DataFrame:
+    """Production composition: exact dedup -> LSH near-dup over canonical
+    texts. Pair counts stay bounded by CONTENT diversity, not copy counts:
+    a text duplicated a million times contributes one LSH row instead of a
+    10^12-pair bucket."""
+    return near_dup_pairs(canonical_docs(docs), jaccard_threshold, k, bands, n_salts)
+
+
+def near_dup_dedup_first_sql(jaccard_threshold: float = 0.5, docs_src: str = "documents") -> str:
+    return near_dup_pairs_sql(
+        jaccard_threshold, docs_src=CANONICAL_DOCS_SQL.format(src=docs_src)
+    )
 
 
 # --------------------------------------------------------------------------
