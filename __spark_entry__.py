@@ -673,6 +673,80 @@ def _q_compression_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rotated+skewed spec for the affine-transform oracle query: the 2x3
+# raster->model matrix and its exact analytic inverse must round-trip every
+# cell (GvrsFileSpecification.setTransformRasterToModel :2014-2028,
+# createInverse semantics :2335-2363).
+import math as _math
+
+_ROT = 0.3
+_ROT_SPEC = GridSpec(
+    n_rows=50,
+    n_cols=60,
+    n_rows_in_tile=16,
+    n_cols_in_tile=16,
+    r2m=(
+        1.5 * _math.cos(_ROT), -1.5 * _math.sin(_ROT), 12.5,
+        0.75 * _math.sin(_ROT), 0.75 * _math.cos(_ROT), -7.25,
+    ),
+)
+
+
+def _q_affine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every cell of a rotated/skewed grid maps raster->model->raster back to
+    itself; model coords value-matched against DuckDB's identical matrix
+    arithmetic."""
+    from gridfour_spark.tiling import with_grid_to_model, with_model_to_grid
+
+    spec = _ROT_SPEC
+    pts = spark.range(spec.n_rows * spec.n_cols).select(
+        F.col("id").alias("pt_id"),
+        (F.col("id") / spec.n_cols).cast("long").alias("row0"),
+        (F.col("id") % spec.n_cols).alias("col0"),
+    )
+    g2m = with_grid_to_model(pts, spec, row_col="row0", col_col="col0")
+    back = with_model_to_grid(g2m, spec)
+    return back.select(
+        "pt_id",
+        F.round("x", 6).alias("x_r"),
+        F.round("y", 6).alias("y_r"),
+        F.col("row").alias("row_back"),
+        F.col("col").alias("col_back"),
+    )
+
+
+def _affine_roundtrip_sql() -> str:
+    spec = _ROT_SPEC
+    m00, m01, m02, m10, m11, m12 = spec.r2m
+    i00, i01, i02, i10, i11, i12 = spec.m2r
+    fr = (
+        "CAST(CASE WHEN {v} >= {f0!r} AND {v} <= {f1!r} "
+        "THEN least(greatest(floor({v} + 0.5), 0), {n} - 1) ELSE -1 END AS BIGINT)"
+    )
+    return f"""
+WITH pts AS (
+  SELECT range AS pt_id, range // {spec.n_cols} AS row0, range % {spec.n_cols} AS col0
+  FROM range({spec.n_rows * spec.n_cols})
+),
+g2m AS (
+  SELECT pt_id, row0, col0,
+         col0 * {m00!r} + row0 * {m01!r} + {m02!r} AS x,
+         col0 * {m10!r} + row0 * {m11!r} + {m12!r} AS y
+  FROM pts
+),
+m2g AS (
+  SELECT pt_id, x, y,
+         x * {i10!r} + y * {i11!r} + {i12!r} AS rf,
+         x * {i00!r} + y * {i01!r} + {i02!r} AS cf
+  FROM g2m
+)
+SELECT pt_id, ROUND(x, 6) AS x_r, ROUND(y, 6) AS y_r,
+       {fr.format(v='rf', f0=spec.row_fringe_0, f1=spec.row_fringe_1, n=spec.n_rows)} AS row_back,
+       {fr.format(v='cf', f0=spec.col_fringe_0, f1=spec.col_fringe_1, n=spec.n_cols)} AS col_back
+FROM m2g
+"""
+
+
 # Hole predicate shared by the Spark query and the DuckDB oracle: ~5% of
 # cells are voids (real DEMs have no-data cells; C4 exists for exactly this).
 _HOLE = "(row * 31 + col * 17) % 97 < 5"
@@ -715,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_geometry": _q_span_geometry,
         "span_invariant": _q_span_invariant,
         "tile_assign": _q_tile_assign,
+        "affine_roundtrip": _q_affine_roundtrip,
         "docs_tile_assign": _q_docs_tile_assign,
         "grid_stats": _q_grid_stats,
         "histogram": _q_histogram,
@@ -790,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM({ta['index_in_tile']}) AS BIGINT) AS sum_iit
             FROM ({_grid_a(None)}) GROUP BY 1, 2, 3
         """,
+        "affine_roundtrip": _affine_roundtrip_sql(),
         "docs_tile_assign": f"""
             SELECT tile_index, COUNT(*) AS n_spans,
                    MIN(index_in_tile) AS min_iit, MAX(index_in_tile) AS max_iit

@@ -68,11 +68,28 @@ class GridSpec:
     cell_size_y: float = 1.0
     geographic: bool = False  # if True, x=longitude deg, y=latitude deg
 
+    # Full raster->model affine (rotation/skew supported): 6-tuple
+    # (m00, m01, m02, m10, m11, m12) in Java AffineTransform order mapping
+    # (column, row) -> (x, y):  x = col*m00 + row*m01 + m02,
+    # y = col*m10 + row*m11 + m12 (GvrsFileSpecification.java:2101-2105,
+    # setTransformRasterToModel :2014-2028). None = axis-aligned legacy path
+    # (kept separate so existing float formulas stay bit-stable).
+    r2m: tuple | None = None
+
     def __post_init__(self) -> None:
         if self.n_rows < 1 or self.n_cols < 1:
             raise ValueError("grid must be at least 1x1")
         if self.n_rows_in_tile < 1 or self.n_cols_in_tile < 1:
             raise ValueError("tile dims must be >= 1")
+        if self.r2m is not None:
+            if self.geographic:
+                raise ValueError("affine transform applies to Cartesian models only")
+            if len(self.r2m) != 6:
+                raise ValueError("r2m must be (m00, m01, m02, m10, m11, m12)")
+            a00, a01, _a02, a10, a11, _a12 = self.r2m
+            det = a00 * a11 - a01 * a10
+            if det == 0 or not math.isfinite(det):
+                raise ValueError("Specified transform is not invertible")
         if self.geographic:
             lat0 = self.y0
             lat1 = self.y0 + (self.n_rows - 1) * self.cell_size_y
@@ -135,13 +152,49 @@ class GridSpec:
         return tile_index // self.n_cols_of_tiles, tile_index % self.n_cols_of_tiles
 
     # --- model <-> grid transforms ------------------------------------------
-    # Axis-aligned affine (no rotation in v1): x = x0 + col*cellSizeX,
-    # y = y0 + row*cellSizeY (GvrsFileSpecification.java:2101-2105 with
-    # r2m01 = r2m10 = 0).
+    # Axis-aligned: x = x0 + col*cellSizeX, y = y0 + row*cellSizeY
+    # (GvrsFileSpecification.java:2101-2105 with r2m01 = r2m10 = 0).
+    # With spec.r2m set, the full 2x3 affine pair runs instead: m2r is the
+    # EXACT analytic inverse (Java AffineTransform.createInverse semantics,
+    # used by setTransformRasterToModel, GvrsFileSpecification.java:2014-2028).
+    @property
+    def m2r(self) -> tuple:
+        """Model->raster 2x3 matrix: (x, y) -> (col, row)."""
+        if self.r2m is None:
+            # computeAndStoreInternalTransforms (:2335-2347)
+            m00 = 1.0 / self.cell_size_x
+            m11 = 1.0 / self.cell_size_y
+            return (m00, 0.0, -self.x0 * m00, 0.0, m11, -self.y0 * m11)
+        a00, a01, a02, a10, a11, a12 = self.r2m
+        det = a00 * a11 - a01 * a10
+        return (
+            a11 / det, -a01 / det, (a01 * a12 - a11 * a02) / det,
+            -a10 / det, a00 / det, (a10 * a02 - a00 * a12) / det,
+        )
+
+    @property
+    def model_domain(self) -> tuple[float, float, float, float]:
+        """(x0, y0, x1, y1): bounding box of the four transformed grid
+        corners (applyTransforms, GvrsFileSpecification.java:1952-1979)."""
+        corners = [
+            self.grid_to_model(r, c)
+            for c, r in [(0, 0), (self.n_cols - 1, 0), (self.n_cols - 1, self.n_rows - 1), (0, self.n_rows - 1)]
+        ]
+        xs = [p[0] for p in corners]
+        ys = [p[1] for p in corners]
+        return min(xs), min(ys), max(xs), max(ys)
+
     def grid_to_model(self, row: float, col: float) -> tuple[float, float]:
+        if self.r2m is not None:
+            m00, m01, m02, m10, m11, m12 = self.r2m
+            return col * m00 + row * m01 + m02, col * m10 + row * m11 + m12
         return self.x0 + col * self.cell_size_x, self.y0 + row * self.cell_size_y
 
     def model_to_grid_fractional(self, x: float, y: float) -> tuple[float, float]:
+        if self.r2m is not None:
+            i00, i01, i02, i10, i11, i12 = self.m2r
+            # mapModelToGridPoint (:2122-2126): col then row
+            return x * i10 + y * i11 + i12, x * i00 + y * i01 + i02
         return (y - self.y0) / self.cell_size_y, (x - self.x0) / self.cell_size_x
 
     def _fringe_round(self, v: float, n: int, f0: float, f1: float) -> int:

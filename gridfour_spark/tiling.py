@@ -183,10 +183,43 @@ def with_geo_to_grid(
 
 
 def with_grid_to_model(df: DataFrame, spec: GridSpec, row_col: str = "row", col_col: str = "col") -> DataFrame:
-    """x = x0 + col*cellW, y = y0 + row*cellH (GvrsFileSpecification.java:2101-2105)."""
+    """Raster -> model. Axis-aligned: x = x0 + col*cellW, y = y0 + row*cellH
+    (GvrsFileSpecification.java:2101-2105); with spec.r2m set, the full 2x3
+    affine (rotation/skew) runs instead — same scalar math as
+    GridSpec.grid_to_model, as columns."""
+    r = F.col(row_col).cast("double")
+    c = F.col(col_col).cast("double")
+    if spec.r2m is not None:
+        m00, m01, m02, m10, m11, m12 = spec.r2m
+        x = c * F.lit(m00) + r * F.lit(m01) + F.lit(m02)
+        y = c * F.lit(m10) + r * F.lit(m11) + F.lit(m12)
+    else:
+        x = F.lit(spec.x0) + c * F.lit(spec.cell_size_x)
+        y = F.lit(spec.y0) + r * F.lit(spec.cell_size_y)
+    return df.withColumn("x", x).withColumn("y", y)
+
+
+def with_model_to_grid(
+    df: DataFrame, spec: GridSpec, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Model -> fractional + fringe-rounded integral grid coords
+    (mapModelToGridPoint, GvrsFileSpecification.java:2122-2126), columnar.
+    Affine-aware: uses the exact-inverse m2r when spec.r2m is set."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    if spec.r2m is not None:
+        i00, i01, i02, i10, i11, i12 = spec.m2r
+        col_f = x * F.lit(i00) + y * F.lit(i01) + F.lit(i02)
+        row_f = x * F.lit(i10) + y * F.lit(i11) + F.lit(i12)
+    else:
+        row_f = (y - F.lit(spec.y0)) / F.lit(spec.cell_size_y)
+        col_f = (x - F.lit(spec.x0)) / F.lit(spec.cell_size_x)
+    df = df.withColumn("grid_row_f", row_f).withColumn("grid_col_f", col_f)
     return df.withColumn(
-        "x", F.lit(spec.x0) + F.col(col_col).cast("double") * F.lit(spec.cell_size_x)
-    ).withColumn("y", F.lit(spec.y0) + F.col(row_col).cast("double") * F.lit(spec.cell_size_y))
+        "row", fringe_round(F.col("grid_row_f"), spec.n_rows, spec.row_fringe_0, spec.row_fringe_1)
+    ).withColumn(
+        "col", fringe_round(F.col("grid_col_f"), spec.n_cols, spec.col_fringe_0, spec.col_fringe_1)
+    )
 
 
 def in_grid(spec: GridSpec, row_col: str = "row", col_col: str = "col") -> Column:
