@@ -782,6 +782,35 @@ def _q_compression_nulls_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BAND2 = "(row * 3 + col * 5) % 1000"
+
+
+def _q_compression_multi_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-element tiles through the codec race: a 2-element store (dem +
+    derived band) compresses into per-tile [length][data] element sets
+    (RecordManager.writeTile:386-406) and round-trips exactly — per-element
+    stats value-matched against the raw grid in DuckDB."""
+    spec = SPEC_A
+    g = synth.grid_df(spark, spec, value="dem")
+    cells = g.select("row", "col", F.lit("dem").alias("element"), F.col("z")).unionByName(
+        g.select("row", "col", F.lit("band2").alias("element"), F.expr(_BAND2).cast("double").alias("z"))
+    )
+    tiles = store.build_tiles(cells, spec, element_col="element")
+    comp = tilecodec.compress_tiles_multi(tiles, spec, elements=["band2", "dem"], use_lsop=True)
+    back = tilecodec.decompress_tiles_multi(comp, spec, elements=["band2", "dem"])
+    outs = []
+    for el in ["band2", "dem"]:
+        c = store.tiles_to_cells(back.filter(F.col("element") == el), spec)
+        outs.append(c.withColumn("element", F.lit(el)))
+    allc = outs[0].unionByName(outs[1])
+    return allc.groupBy("element").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.col("z").cast("long")).alias("sum_z"),
+        F.min(F.col("z").cast("long")).alias("min_z"),
+        F.max(F.col("z").cast("long")).alias("max_z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": _q_flagship,
@@ -814,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression": _q_compression,
         "compression_verify": _q_compression_verify,
         "compression_nulls_verify": _q_compression_nulls_verify,
+        "compression_multi_verify": _q_compression_multi_verify,
         "icf_roundtrip": _q_icf_roundtrip,
         "inspector": _q_inspector,
         "floatcodec_verify": _q_floatcodec_verify,
@@ -997,6 +1027,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
                    CAST(0 AS BIGINT) AS n_mismatch,
                    (SELECT COUNT(*) FROM ({_grid_a(None)}) WHERE {_HOLE}) AS n_nulls
+        """,
+        "compression_multi_verify": f"""
+            SELECT 'dem' AS element, COUNT(*) AS n_cells,
+                   CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z,
+                   CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
+            FROM ({_grid_a('dem')})
+            UNION ALL
+            SELECT 'band2' AS element, COUNT(*) AS n_cells,
+                   CAST(SUM(CAST({_BAND2} AS BIGINT)) AS BIGINT) AS sum_z,
+                   CAST(MIN({_BAND2}) AS BIGINT) AS min_z,
+                   CAST(MAX({_BAND2}) AS BIGINT) AS max_z
+            FROM ({_grid_a(None)})
         """,
         "icf_roundtrip": f"""
             WITH g AS (

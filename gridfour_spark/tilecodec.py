@@ -97,6 +97,105 @@ def decompress_tiles(compressed: DataFrame, spec: GridSpec) -> DataFrame:
     return compressed.mapInPandas(kernel, out_schema)
 
 
+MULTI_SCHEMA = (
+    "tile_index long, tile_row long, tile_col long, n_elements int, "
+    "n_bytes int, standard_bytes int, codecs string, payload binary, crc32c long"
+)
+
+
+def compress_tiles_multi(
+    tiles: DataFrame, spec: GridSpec, elements: list[str], use_lsop: bool = True
+) -> DataFrame:
+    """Multi-element tile records: ONE record per tile holding every
+    element's payload as [length i32 LE][data] sets in element-spec order —
+    `length == standard size` means uncompressed data, `length < standard`
+    means a codec packing (RecordManager.writeTile:386-406). Each element's
+    cells race the codecs independently.
+
+    tiles: build_tiles(..., element_col=...) output (one row per
+    (element, tile)); elements absent for a tile read as all-fill."""
+    nr, nc = spec.n_rows_in_tile, spec.n_cols_in_tile
+    standard = nr * nc * 4
+    fill = int(spec.fill_int)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_index = int(key[0])
+        by_el = {row["element"]: row for _, row in pdf.iterrows()}
+        payload = bytearray()
+        codecs = []
+        for el in elements:
+            if el in by_el:
+                vi = np.asarray(by_el[el]["cells"], dtype=np.float64).astype(np.int32)
+            else:
+                vi = np.full(nr * nc, fill, dtype=np.int32)
+            best = C.encode_tile(vi, nr, nc, use_lsop=use_lsop)
+            if best["kept"]:
+                data = bytes(best["payload"])
+                codecs.append(f"{el}:{best['codec']}")
+            else:
+                data = vi.tobytes()  # length == standard signals raw
+                codecs.append(f"{el}:raw")
+            payload += len(data).to_bytes(4, "little") + data
+        payload = bytes(payload)
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "tile_index": [tile_index],
+                "tile_row": [first["tile_row"]],
+                "tile_col": [first["tile_col"]],
+                "n_elements": [len(elements)],
+                "n_bytes": [len(payload)],
+                "standard_bytes": [standard * len(elements)],
+                "codecs": [",".join(codecs)],
+                "payload": [payload],
+                "crc32c": [FC.crc32c(payload)],
+            }
+        )
+
+    return tiles.groupBy("tile_index").applyInPandas(kernel, MULTI_SCHEMA)
+
+
+def decompress_tiles_multi(
+    compressed: DataFrame, spec: GridSpec, elements: list[str]
+) -> DataFrame:
+    """Inverse of compress_tiles_multi: walk the [length][data] sets
+    (RecordManager.readTile dispatch: standard length = raw copy, shorter =
+    codec decode), one output row per (element, tile)."""
+    nr, nc = spec.n_rows_in_tile, spec.n_cols_in_tile
+    standard = nr * nc * 4
+    out_schema = "element string, tile_index long, tile_row long, tile_col long, cells array<double>"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                pos = 0
+                for el in elements:
+                    ln = int.from_bytes(payload[pos : pos + 4], "little")
+                    pos += 4
+                    data = payload[pos : pos + ln]
+                    pos += ln
+                    if ln == standard:
+                        v = np.frombuffer(data, dtype=np.int32)
+                    elif data[0] == L.LSOP_CODEC_INDEX:
+                        v = L.decode_lsop(data, nr, nc).ravel()
+                    else:
+                        v = C.decode_tile(data, nr, nc).ravel()
+                    rows.append(
+                        {
+                            "element": el,
+                            "tile_index": row["tile_index"],
+                            "tile_row": row["tile_row"],
+                            "tile_col": row["tile_col"],
+                            "cells": v.astype(np.float64),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return compressed.mapInPandas(kernel, out_schema)
+
+
 def inspect(compressed: DataFrame) -> DataFrame:
     """Integrity scan (S12, gvrs/GvrsInspector.inspect:100-209): walk every
     stored record, recompute CRC32C, compare against the stored checksum."""

@@ -132,3 +132,43 @@ def test_multi_element_store(spark):
     for (r, c), v in a.items():
         assert v == r * 10 + c - 1
         assert b[(r, c)] == 2 * v
+
+
+def test_multi_element_tiles_round_trip(spark):
+    """T-multi: 2-element store -> one [length][data] record set per tile
+    (RecordManager.writeTile:386-406) -> exact recovery; an element absent
+    from a tile reads back as fill."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gridfour_spark import tilecodec
+    from gridfour_spark.spec import GridSpec
+    from gridfour_spark.store import build_tiles, tiles_to_cells
+    from gridfour_spark.synth import grid_df
+
+    spec = GridSpec(n_rows=40, n_cols=50, n_rows_in_tile=16, n_cols_in_tile=16)
+    g = grid_df(spark, spec, value="dem")
+    # element "b" only exists in the top-left corner -> most tiles lack it
+    cells = g.select("row", "col", F.lit("a").alias("element"), "z").unionByName(
+        g.filter((F.col("row") < 10) & (F.col("col") < 10)).select(
+            "row", "col", F.lit("b").alias("element"), (F.col("z") * 2).alias("z")
+        )
+    )
+    tiles = build_tiles(cells, spec, element_col="element")
+    comp = tilecodec.compress_tiles_multi(tiles, spec, elements=["a", "b"])
+    rows = comp.collect()
+    assert all(r.n_elements == 2 for r in rows)
+    # every payload is smaller than 2x standard (element 'a' compresses)
+    assert all(r.n_bytes <= r.standard_bytes for r in rows)
+    back = tilecodec.decompress_tiles_multi(comp, spec, elements=["a", "b"])
+    a = {(r.row, r.col): r.z for r in tiles_to_cells(back.filter(F.col("element") == "a"), spec).collect()}
+    b = {(r.row, r.col): r.z for r in tiles_to_cells(back.filter(F.col("element") == "b"), spec).collect()}
+    expected = {(r.row, r.col): r.z for r in g.collect()}
+    assert len(a) == 40 * 50
+    fill = float(spec.fill_int)
+    for k, v in expected.items():
+        assert a[k] == v
+        if k[0] < 10 and k[1] < 10:
+            assert b[k] == 2 * v
+        else:
+            assert b[k] == fill
