@@ -82,32 +82,49 @@ def write_tiles_resumable(
     done = completed_buckets(spark, base, job_id, stage)
     tiles = tiles.withColumn("tile_bucket", F.pmod(F.col("tile_index"), F.lit(n_buckets)).cast("int"))
     todo = [b for b in range(n_buckets) if b not in done]
-    # one pass over the input computes every outstanding bucket; persist so
-    # per-bucket writes do not recompute the lineage-defining transformation
     if todo:
-        remaining = tiles.filter(F.col("tile_bucket").isin(todo)).persist()
+        # ONE write job for every outstanding bucket (partitionBy replaces
+        # the former 2-jobs-per-bucket loop — at hundreds of buckets that
+        # loop was the driver bottleneck), staged then published by atomic
+        # per-bucket rename; a crash mid-stage leaves lineage uncommitted so
+        # resume recomputes exactly the unpublished buckets.
+        import shutil
+
+        staging = os.path.join(base, f"_staging_{job_id}_{stage}")
+        shutil.rmtree(staging, ignore_errors=True)  # leftovers from a crash
+        remaining = tiles.filter(F.col("tile_bucket").isin(todo))
+        remaining.write.mode("overwrite").partitionBy("tile_bucket").parquet(staging)
+        # per-bucket counters in one small job over the staged files
         try:
-            for b in todo:
-                part = remaining.filter(F.col("tile_bucket") == b)
-                out = os.path.join(base, f"bucket={b}")
-                part.write.mode("overwrite").parquet(out)
-                stats = part.agg(
-                    F.count("*").alias("n_tiles"), F.sum("n_cells").alias("n_rows")
-                ).collect()[0]
-                _commit_lineage(
-                    base,
-                    {
-                        "job_id": job_id,
-                        "stage": stage,
-                        "bucket": b,
-                        "n_tiles": stats.n_tiles,
-                        "n_rows": int(stats.n_rows or 0),
-                        "fingerprint": fingerprint,
-                        "ts": time.time(),
-                    },
-                )
-        finally:
-            remaining.unpersist()
+            staged = spark.read.option("basePath", staging).parquet(staging)
+            stats = {
+                r.tile_bucket: (r.n_tiles, int(r.n_rows or 0))
+                for r in staged.groupBy("tile_bucket")
+                .agg(F.count("*").alias("n_tiles"), F.sum("n_cells").alias("n_rows"))
+                .collect()
+            }
+        except Exception:  # all todo buckets empty: nothing staged
+            stats = {}
+        for b in todo:
+            src = os.path.join(staging, f"tile_bucket={b}")
+            dst = os.path.join(base, f"bucket={b}")
+            if os.path.exists(src):
+                shutil.rmtree(dst, ignore_errors=True)  # partial pre-crash data
+                os.replace(src, dst)
+            n_tiles, n_rows = stats.get(b, (0, 0))
+            _commit_lineage(
+                base,
+                {
+                    "job_id": job_id,
+                    "stage": stage,
+                    "bucket": b,
+                    "n_tiles": n_tiles,
+                    "n_rows": n_rows,
+                    "fingerprint": fingerprint,
+                    "ts": time.time(),
+                },
+            )
+        shutil.rmtree(staging, ignore_errors=True)
     return {
         "skipped_buckets": sorted(done),
         "written_buckets": todo,
