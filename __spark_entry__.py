@@ -605,6 +605,34 @@ def _q_icf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_icf_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICF element END-TO-END through the tile store: quantize on write
+    (i = floor((v-offset)*scale + 0.5)), codec race over the quantized ints,
+    decompress on read, dequantize (v = i/scale + offset), verify the
+    reference tolerance |delta| <= 1.01/scale (PackageData.java:361-391,
+    619-629). The store round trip is lossless on ints, so the DuckDB twin
+    is the pure quantization formula — a real value oracle."""
+    from gridfour_spark import floatcodec as FC
+
+    spec = SPEC_A
+    g = synth.grid_df(spark, spec, value=None).withColumn("v", F.expr(_ICF_V))
+    cells = g.withColumn("z", F.expr(FC.icf_encode_sql("v", _ICF_SCALE)))
+    tiles = store.build_tiles(cells, spec, value_col="z")
+    comp = tilecodec.compress_tiles(tiles, spec, use_lsop=True)
+    back = tilecodec.decompress_tiles(comp, spec)
+    cells2 = store.tiles_to_cells(back, spec).withColumn("i", F.col("z").cast("int"))
+    # v is a pure function of (row, col): recompute it for the comparison
+    cells2 = cells2.withColumn("v", F.expr(_ICF_V))
+    dec = F.expr(FC.icf_decode_sql("i", _ICF_SCALE))
+    err_micro = F.floor(F.abs(dec.cast("double") - F.col("v").cast("double")) * 1e6).cast("long")
+    tol = 1.01 / _ICF_SCALE
+    return cells2.withColumn("err_micro", err_micro).agg(
+        F.count("*").alias("n"),
+        F.max("err_micro").alias("max_err_micro"),
+        F.sum(F.when(F.col("err_micro") <= tol * 1e6, 1).otherwise(0)).alias("n_within_tol"),
+    )
+
+
 def _q_inspector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRC32C integrity scan over the compressed store (S12): every record's
     recomputed checksum must match the stored one."""
@@ -649,11 +677,22 @@ def _q_floatcodec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- compression (Arrow kernels; rows-only oracle checks) -------------------
 
 def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec race over the DEM tile store: codec mix + bits/sample
-    (the baseline 'bits-per-sample' metric, PackageData.java:546-549)."""
+    """Codec race invariants (self-verifying; the detailed codec-mix report
+    lives in bench.py via tilecodec.compression_report): every tile encodes,
+    kept packings are strictly smaller than the standard payload
+    (RecordManager.writeTile:448-461), raw fallbacks are exactly standard
+    size."""
     tiles = _tiles_cached(spark, SPEC_A, "dem")
     comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
-    return tilecodec.compression_report(comp)
+    return comp.agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(
+            F.when(F.col("kept") & (F.col("n_bytes") >= F.col("standard_bytes")), 1).otherwise(0)
+        ).alias("n_keep_violations"),
+        F.sum(
+            F.when(~F.col("kept") & (F.col("n_bytes") != F.col("standard_bytes")), 1).otherwise(0)
+        ).alias("n_raw_violations"),
+    )
 
 
 def _q_compression_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_nulls_verify": _q_compression_nulls_verify,
         "compression_multi_verify": _q_compression_multi_verify,
         "icf_roundtrip": _q_icf_roundtrip,
+        "icf_store_roundtrip": _q_icf_store_roundtrip,
         "inspector": _q_inspector,
         "floatcodec_verify": _q_floatcodec_verify,
         "bspline": _q_bspline,
@@ -875,7 +915,7 @@ def oracle_sql() -> dict[str, str]:
     geo = synth.span_geometry_duckdb()
     spans_tiles = pipeline.spans_with_tiles_sql(GLOBAL_GRID)
     g = GLOBAL_GRID
-    return {
+    d = {
         "flagship": pipeline.flagship_sql(GLOBAL_GRID),
         "spans": synth.DOCS_SPANS_DUCKDB,
         "span_geometry": (
@@ -1014,9 +1054,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE ROUND(dot / sqrt(na * nb), 6) >= 0.999999
         """,
         "media_features": _MEDIA_FEATURES_SQL,
-        # compression: kernel-only codec mix -> rows-only check.
-        # compression_verify: the round-trip invariant IS the oracle — every
-        # cell must survive compress->decompress exactly.
+        # compression: race invariants — keep rule (kept < standard, raw ==
+        # standard) over the full tile count. compression_verify: the
+        # round-trip invariant IS the oracle — every cell must survive
+        # compress->decompress exactly.
+        "compression": f"""
+            SELECT CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles,
+                   CAST(0 AS BIGINT) AS n_keep_violations,
+                   CAST(0 AS BIGINT) AS n_raw_violations
+        """,
         "compression_verify": f"""
             SELECT CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
                    CAST(0 AS BIGINT) AS n_mismatch
@@ -1160,3 +1206,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_bspline_deriv_sql()})
         """,
     }
+    # the store round trip is lossless on the quantized ints, so the
+    # end-to-end ICF query shares the pure-formula oracle
+    d["icf_store_roundtrip"] = d["icf_roundtrip"]
+    return d

@@ -129,7 +129,13 @@ def main() -> None:
 
     # bits-per-sample: the compression half of the baseline metric
     # (PackageData.java:546-549); run the codec race over the SPEC_A DEM store
-    comp_rows = qs["compression"](spark, SF_DIR).collect()
+    from gridfour_spark import tilecodec as _tc0
+
+    comp_rows = _tc0.compression_report(
+        _tc0.compress_tiles(
+            entrymod._tiles_cached(spark, entrymod.SPEC_A, "dem"), entrymod.SPEC_A, use_lsop=True
+        )
+    ).collect()
     total_bytes = sum(r.total_bytes for r in comp_rows)
     total_cells = sum(r.total_cells for r in comp_rows)
     codec_mix = {f"{r.codec}/p{r.predictor}": r.n_tiles for r in comp_rows}
