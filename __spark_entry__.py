@@ -540,6 +540,22 @@ def _q_bspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bspline.interpolate_points(pts, tiles, spec, quantize=True)
 
 
+def _q_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 bilinear cross-check sampling at every span point (zTest:348-372):
+    int truncation, modular column wrap, the exact two-level lerp tree."""
+    spec = GLOBAL_GRID
+    tiles = _tiles_cached(spark, spec, "dem")
+    spans = synth.with_span_geometry(synth.docs_spans(spark, sf_dir))
+    from gridfour_spark.tiling import with_geo_to_grid
+
+    pts = with_geo_to_grid(spans, spec).select(
+        (F.col("doc_id") * 10000 + F.col("span_offset")).alias("pt_id"),
+        "grid_row_f",
+        "grid_col_f",
+    )
+    return bspline.bilinear_points(pts, tiles, spec, quantize=True)
+
+
 def _q_bspline_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value + first/second derivatives on a Cartesian grid (A2), boundary
     clamping exercised via points near the edges."""
@@ -888,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inspector": _q_inspector,
         "floatcodec_verify": _q_floatcodec_verify,
         "bspline": _q_bspline,
+        "bilinear": _q_bilinear,
         "bspline_deriv": _q_bspline_deriv,
         "hillshade": _q_hillshade,
         "pip": _q_pip,
@@ -1107,6 +1124,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles, CAST(0 AS BIGINT) AS n_bad
         """,
         "bspline": bspline.interpolate_points_sql(
+            GLOBAL_GRID,
+            (
+                "SELECT doc_id * 10000 + span_offset AS pt_id, "
+                f"{pipeline.geo_to_grid_sql(GLOBAL_GRID)['row_f']} AS grid_row_f, "
+                f"{pipeline.geo_to_grid_sql(GLOBAL_GRID)['col_f']} AS grid_col_f "
+                f"FROM ({synth.span_geometry_duckdb()})"
+            ),
+            synth.grid_duckdb_sql(GLOBAL_GRID, value="dem"),
+            quantize=True,
+        ),
+        "bilinear": bspline.bilinear_points_sql(
             GLOBAL_GRID,
             (
                 "SELECT doc_id * 10000 + span_offset AS pt_id, "

@@ -371,3 +371,86 @@ SELECT {pt_id}, {agg_sql}
 FROM ex JOIN grid ON grid.row = ex.srow AND grid.col = ex.scol
 GROUP BY {pt_id}
 """
+
+
+# ---------------------------------------------------------------------------
+# A4: bilinear cross-check interpolator (GvrsInterpolatorBSpline.zTest:348-372)
+# ---------------------------------------------------------------------------
+
+def bilinear_points(
+    pts: DataFrame,
+    tiles: DataFrame,
+    spec: GridSpec,
+    pt_id: str = "pt_id",
+    quantize: bool = True,
+    broadcast_tiles: bool = False,
+) -> DataFrame:
+    """Bilinear sample the tile store — the reference's own cross-check
+    interpolator (zTest): row0/col0 by int truncation, MODULAR column wrap
+    (c = (col0 + nCols + k) % nCols), rows unwrapped, and the exact
+    two-level lerp expression tree
+        z = (1-cs)*((1-ct)*z0 + ct*z1) + cs*((1-ct)*z2 + ct*z3)
+    so results are bit-stable across engines (no unordered 4-term sum).
+
+    Plan: 4 stencil cells per point via posexplode -> ONE tile equi-join ->
+    conditional aggregation pivots z0..z3 back onto the point row. Points
+    with row0+1 outside the grid are dropped (readValue would throw)."""
+    nc, nr = spec.n_cols, spec.n_rows
+    p = pts.withColumn("_row0", F.col("grid_row_f").cast("int"))
+    p = p.withColumn("_col0", F.col("grid_col_f").cast("int"))
+    p = p.filter((F.col("grid_row_f") >= 0) & (F.col("_row0") + 1 <= F.lit(nr - 1)))
+    p = p.withColumn("_ct", F.col("grid_col_f") - F.col("_col0"))
+    p = p.withColumn("_cs", F.col("grid_row_f") - F.col("_row0"))
+
+    ex = p.withColumn("sid", F.explode(F.sequence(F.lit(0), F.lit(3))))
+    ex = ex.withColumn("row", F.col("_row0") + F.expr("sid div 2"))
+    ex = ex.withColumn("col", (F.col("_col0") + F.lit(nc) + F.col("sid") % 2) % F.lit(nc))
+    ex = with_tile_assignment(ex, spec)
+    tside = tiles.select("tile_index", "cells")
+    if broadcast_tiles:
+        tside = F.broadcast(tside)
+    joined = ex.join(tside, on="tile_index", how="left")
+    z = F.element_at(F.col("cells"), (F.col("index_in_tile") + 1).cast("int"))
+    joined = joined.withColumn("_z", z)
+    g = joined.groupBy(pt_id, "_ct", "_cs").agg(
+        *[F.max(F.when(F.col("sid") == s, F.col("_z"))).alias(f"z{s}") for s in range(4)]
+    )
+    ct, cs = F.col("_ct"), F.col("_cs")
+    y0 = (1 - ct) * F.col("z0") + ct * F.col("z1")
+    y1 = (1 - ct) * F.col("z2") + ct * F.col("z3")
+    zout = (1 - cs) * y0 + cs * y1
+    if quantize:
+        return g.select(pt_id, F.floor(zout * 1e6).cast("long").alias("z_q"))
+    return g.select(pt_id, zout.alias("z"))
+
+
+def bilinear_points_sql(spec: GridSpec, pts_sql: str, grid_sql: str, quantize: bool = True) -> str:
+    """DuckDB twin of bilinear_points: identical truncation, modular wrap,
+    and lerp expression tree; the grid plays the tile store."""
+    nc, nr = spec.n_cols, spec.n_rows
+    out = (
+        "CAST(floor(((1 - cs) * ((1 - ct) * z0 + ct * z1) + cs * ((1 - ct) * z2 + ct * z3)) * 1e6) AS BIGINT) AS z_q"
+        if quantize
+        else "(1 - cs) * ((1 - ct) * z0 + ct * z1) + cs * ((1 - ct) * z2 + ct * z3) AS z"
+    )
+    return f"""
+WITH p0 AS (
+  SELECT pt_id, grid_row_f, grid_col_f,
+         CAST(trunc(grid_row_f) AS INTEGER) AS row0, CAST(trunc(grid_col_f) AS INTEGER) AS col0
+  FROM ({pts_sql})
+  WHERE grid_row_f >= 0 AND CAST(trunc(grid_row_f) AS INTEGER) + 1 <= {nr - 1}
+),
+p AS (
+  SELECT pt_id, row0, col0,
+         grid_col_f - col0 AS ct, grid_row_f - row0 AS cs,
+         (col0 + {nc}) % {nc} AS c0, (col0 + {nc} + 1) % {nc} AS c1
+  FROM p0
+),
+g AS (SELECT row, col, z FROM ({grid_sql}))
+SELECT p.pt_id, {out}
+FROM p
+JOIN g g0 ON g0.row = p.row0     AND g0.col = p.c0
+JOIN g g1 ON g1.row = p.row0     AND g1.col = p.c1
+JOIN g g2 ON g2.row = p.row0 + 1 AND g2.col = p.c0
+JOIN g g3 ON g3.row = p.row0 + 1 AND g3.col = p.c1
+""".replace("z0", "g0.z").replace("z1", "g1.z").replace("z2", "g2.z").replace("z3", "g3.z")
