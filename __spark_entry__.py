@@ -158,6 +158,28 @@ def _q_block_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 tile-block scan (GvrsReadPerformance.testTileBlockScan:253-334):
+    whole-tile aggregation WITHOUT exploding — higher-order array functions
+    over each tile's cell array, out-of-grid fill cells of partial edge
+    tiles excluded by index arithmetic."""
+    spec = SPEC_A
+    tiles = _tiles_cached(spark, spec, "dem")
+    rt, ct = spec.n_rows_in_tile, spec.n_cols_in_tile
+    valid = F.expr(
+        f"filter(cells, (c, i) -> tile_row * {rt} + i div {ct} < {spec.n_rows} "
+        f"AND tile_col * {ct} + i % {ct} < {spec.n_cols})"
+    )
+    t = tiles.withColumn("_v", valid)
+    return t.select(
+        "tile_index",
+        F.size("_v").cast("long").alias("n_cells"),
+        F.expr("aggregate(_v, CAST(0 AS BIGINT), (acc, c) -> acc + CAST(c AS BIGINT))").alias("sum_z"),
+        F.array_min("_v").cast("long").alias("min_z"),
+        F.array_max("_v").cast("long").alias("max_z"),
+    )
+
+
 def _q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-access point reads through the tile store (S3)."""
     spec = SPEC_A
@@ -880,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": _q_entropy,
         "downsample": _q_downsample,
         "block_read": _q_block_read,
+        "tile_scan": _q_tile_scan,
         "point_read": _q_point_read,
         "point_write": _q_point_write,
         "ocean_volume": _q_ocean_volume,
@@ -990,6 +1013,12 @@ def oracle_sql() -> dict[str, str]:
             FROM windows JOIN ({_grid_a('dem')}) grid
               ON grid.row BETWEEN row0 AND row0 + 24 AND grid.col BETWEEN col0 AND col0 + 29
             GROUP BY 1
+        """,
+        "tile_scan": f"""
+            SELECT {ta['tile_index']} AS tile_index, COUNT(*) AS n_cells,
+                   CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z,
+                   CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
+            FROM ({_grid_a('dem')}) GROUP BY 1
         """,
         "point_read": f"""
             SELECT range AS pt_id, (range * 179) % {SPEC_A.n_rows} AS row,
