@@ -20,10 +20,11 @@ numpy int32 ops wrap identically; the linear/triangle predictors compute the
 prediction in int64 then truncate to int32, exactly like the reference's
 `(int)(2L*b - a)` casts.
 
-Encoding is fully vectorized (no per-value Python). M32 decode walks the
-byte stream (used by round-trip tests and tile reads; a vectorized decode is
-a later optimization — reads at scale prefer the raw-payload fast path when
-compression did not win, RecordManager.readTile:492-515).
+Both directions are fully vectorized. Encoding scatters with cumsum offsets;
+decoding (the RecordManager.readTile:492-515 hot path) recovers symbol starts
+with pointer-doubling list ranking (_orbit) and reconstructs the predictors
+with double-cumulative-sum closed forms (every predictor recurrence is linear
+mod 2^32). The original per-symbol walks are kept as *_scalar test oracles.
 """
 
 from __future__ import annotations
@@ -494,7 +495,12 @@ CODEC_DEFLATE_INDEX = 0
 
 
 def encode_tile(
-    values: np.ndarray, nr: int, nc: int, use_lsop: bool = False, use_huffman: bool = True
+    values: np.ndarray,
+    nr: int,
+    nc: int,
+    use_lsop: bool = False,
+    use_huffman: bool = True,
+    use_lsop8: bool = False,
 ) -> dict:
     """Race all predictors through M32+Deflate; keep the smallest packing.
 
@@ -509,15 +515,19 @@ def encode_tile(
     if use_lsop and not has_nulls:
         from gridfour_spark import lsop as _lsop
 
-        r = _lsop.encode_lsop(values.astype(np.int32), nr, nc)
-        if r is not None:
-            best = {
-                "predictor": r["predictor"],
-                "payload": r["payload"],
-                "n_bytes": r["n_bytes"],
-                "n_symbols": nr * nc - 1,
-                "codec": "lsop12",
-            }
+        lsop_cands = [(_lsop.encode_lsop, "lsop12")]
+        if use_lsop8:  # shipped disabled in the reference (LsCodecUtility:73)
+            lsop_cands.append((_lsop.encode_lsop8, "lsop08"))
+        for enc8, cname in lsop_cands:
+            r = enc8(values.astype(np.int32), nr, nc)
+            if r is not None and (best is None or r["n_bytes"] < best["n_bytes"]):
+                best = {
+                    "predictor": r["predictor"],
+                    "payload": r["payload"],
+                    "n_bytes": r["n_bytes"],
+                    "n_symbols": nr * nc - 1,
+                    "codec": cname,
+                }
     # null gating mirrors CodecDeflate.encode:158-186: tiles with embedded
     # nulls race ONLY the null-supporting predictor; tiles without race the
     # standard three

@@ -307,3 +307,154 @@ def _wavefronts(nr: int, nc: int) -> list:
         _WAVEFRONT_CACHE.clear()
     _WAVEFRONT_CACHE[key] = out
     return out
+
+
+# ---------------------------------------------------------------------------
+# LSOP-8: the 8-coefficient variant (lsop/LsOptimalPredictor08.java,
+# LsDecoder08.java). The reference ships it DISABLED (LsCodecUtility.java:73
+# comments out its registration), so it stays opt-in here too.
+# Differences from LSOP-12: initialization is plain differencing over row 0,
+# row 1 and the first TWO columns (no triangle rows, no trailing columns);
+# the 8-neighbor stencil has NO forward references, so the interior
+# decodes on plain anti-diagonals; rounding is (int)(p + 0.5f) TRUNCATION,
+# not StrictMath.round.
+# ---------------------------------------------------------------------------
+
+_STENCIL8 = [  # u-coefficient order (LsOptimalPredictor08.java:135-148)
+    (0, -1), (-1, -1), (-1, 0), (0, -2), (-1, -2), (-2, -2), (-2, -1), (-2, 0),
+]
+
+
+def _init_symbols8(v64: np.ndarray) -> np.ndarray:
+    nr, nc = v64.shape
+    parts = [
+        v64[0, 1:] - v64[0, :-1],            # row 0 differencing from seed
+        np.concatenate([[v64[1, 0] - v64[0, 0]], v64[1, 1:] - v64[1, :-1]]),  # row 1, prior=v[0,0]
+        # rows >= 2: cols 0 and 1, prior = first cell of the row above
+        np.stack(
+            [v64[2:, 0] - v64[1:-1, 0], v64[2:, 1] - v64[2:, 0]], axis=1
+        ).ravel(),
+    ]
+    return _wrap32(np.concatenate(parts)).astype(np.int32)
+
+
+def _stencil_views8(v: np.ndarray):
+    """z0 (target) + 8 shifted neighbor views over interior cells
+    (rows 2.., cols 2..), order as computeCoefficients :190-199."""
+    nr, nc = v.shape
+    cols = [v[2:, 2:]] + [v[2 + dr : nr + dr, 2 + dc : nc + dc] for dr, dc in _STENCIL8]
+    return [c.ravel() for c in cols]
+
+
+def compute_coefficients8(values: np.ndarray, nr: int, nc: int) -> np.ndarray | None:
+    """9x9 Lagrange normal-equation solve (computeCoefficients :179-246)."""
+    if nr < 4 or nc < 4:
+        return None
+    v = values.reshape(nr, nc).astype(np.float64)
+    Z = np.stack(_stencil_views8(v), axis=1)  # (n, 9): z0 target + 8 neighbors
+    s = Z.sum(axis=0)
+    C = Z.T @ Z
+    m = np.zeros((9, 9))
+    m[:8, :8] = C[1:, 1:]
+    m[:8, 8] = s[1:]
+    m[8, :8] = s[1:]
+    b = np.zeros(9)
+    b[:8] = C[0, 1:]
+    b[8] = s[0]
+    try:
+        sol = np.linalg.solve(m, b)
+    except np.linalg.LinAlgError:
+        return None
+    if not np.all(np.isfinite(sol)):
+        return None
+    return sol[:8]
+
+
+def encode_lsop8(values: np.ndarray, nr: int, nc: int) -> dict | None:
+    if nr < 4 or nc < 4:
+        return None
+    v = values.reshape(nr, nc)
+    v64 = v.astype(np.int64)
+    ud = compute_coefficients8(values, nr, nc)
+    if ud is None:
+        return None
+    u = ud.astype(np.float32)
+
+    init_syms = _init_symbols8(v64)
+    assert len(init_syms) == 2 * nc + 2 * nr - 5
+
+    views = _stencil_views8(v64)
+    zf = [w.astype(_F32) for w in views[1:]]
+    acc = (_F32(u[0]) * zf[0]).astype(_F32)
+    for i in range(1, 8):
+        acc = (acc + _F32(u[i]) * zf[i]).astype(_F32)
+    # (int)(p + 0.5f): float32 add then TRUNCATION toward zero
+    est = np.trunc((acc + _F32(0.5)).astype(_F32)).astype(np.int64)
+    interior = _wrap32(views[0] - est).astype(np.int32)
+
+    init_m32 = m32_encode(init_syms)
+    interior_m32 = m32_encode(interior)
+    header = (
+        bytes([LSOP_CODEC_INDEX, 8])
+        + int(np.int64(v64[0, 0]) & 0xFFFFFFFF).to_bytes(4, "little")
+        + u.astype("<f4").tobytes()
+        + len(init_m32).to_bytes(4, "little")
+        + len(interior_m32).to_bytes(4, "little")
+        + bytes([1])
+    )
+    payload = header + zlib.compress(init_m32, 6) + zlib.compress(interior_m32, 6)
+    return {"predictor": 8, "payload": payload, "n_bytes": len(payload)}
+
+
+def decode_lsop8(payload: bytes, nr: int, nc: int) -> np.ndarray:
+    """Wavefront decode (LsDecoder08.unpackInitializers/unpackInterior):
+    every stencil dependency of (r, c) has a strictly smaller r + c."""
+    assert payload[0] == LSOP_CODEC_INDEX and payload[1] == 8
+    seed = int.from_bytes(payload[2:6], "little", signed=True)
+    u = np.frombuffer(payload[6:38], dtype="<f4")
+    n_init = int.from_bytes(payload[38:42], "little")
+    n_interior = int.from_bytes(payload[42:46], "little")
+    assert payload[46] == 1
+    d = zlib.decompressobj()
+    init_m32 = d.decompress(payload[47:])
+    interior_m32 = zlib.decompress(d.unused_data)
+    assert len(init_m32) == n_init and len(interior_m32) == n_interior
+    init = m32_decode(init_m32, 2 * nr + 2 * nc - 5).astype(np.int64)
+    interior = m32_decode(interior_m32, (nr - 2) * (nc - 2)).astype(np.int64)
+
+    v = np.zeros((nr, nc), dtype=np.int64)
+    k = 0
+    v[0, 0] = seed
+    v[0, 1:] = _wrap32(seed + np.cumsum(init[k : k + nc - 1])); k += nc - 1
+    v[1, :] = _wrap32(seed + np.cumsum(init[k : k + nc])); k += nc
+    two = init[k:].reshape(nr - 2, 2)
+    v[2:, 0] = _wrap32(v[1, 0] + np.cumsum(two[:, 0]))
+    v[2:, 1] = _wrap32(v[2:, 0] + two[:, 1])
+
+    uf = u.astype(_F32)
+    vf = v.astype(_F32).ravel()
+    vflat = v.ravel()
+    int_grid = interior.reshape(nr - 2, nc - 2)
+    stf = np.array([dr * nc + dc for dr, dc in _STENCIL8], dtype=np.int64)
+    for dgl in range(4, nr + nc - 1):
+        r_lo = max(2, dgl - (nc - 1))
+        r_hi = min(nr - 1, dgl - 2)
+        if r_lo > r_hi:
+            continue
+        ri = np.arange(r_lo, r_hi + 1, dtype=np.int64)
+        ci = dgl - ri
+        base = ri * nc + ci
+        z = vf[(base[None, :] + stf[:, None]).ravel()].reshape(8, len(ri))
+        acc = (uf[0] * z[0]).astype(_F32)
+        for i in range(1, 8):
+            acc = (acc + uf[i] * z[i]).astype(_F32)
+        est = np.trunc((acc + _F32(0.5)).astype(_F32)).astype(np.int64)
+        got = _wrap32(est + int_grid[ri - 2, ci - 2])
+        vflat[base] = got
+        vf[base] = got
+    return v.astype(np.int32)
+
+
+def decode_lsop_any(payload: bytes, nr: int, nc: int) -> np.ndarray:
+    """Dispatch on the stored coefficient count (LsHeader byte 1)."""
+    return decode_lsop8(payload, nr, nc) if payload[1] == 8 else decode_lsop(payload, nr, nc)

@@ -79,8 +79,8 @@ def decompress_tiles(compressed: DataFrame, spec: GridSpec) -> DataFrame:
                 payload = bytes(row["payload"])
                 if row["codec"] == "raw":
                     v = np.frombuffer(payload, dtype=np.int32)
-                elif row["codec"] == "lsop12":
-                    v = L.decode_lsop(payload, nr, nc).ravel()
+                elif row["codec"] in ("lsop12", "lsop08"):
+                    v = L.decode_lsop_any(payload, nr, nc).ravel()
                 else:
                     v = C.decode_tile(payload, nr, nc).ravel()
                 rows.append(
@@ -179,7 +179,7 @@ def decompress_tiles_multi(
                     if ln == standard:
                         v = np.frombuffer(data, dtype=np.int32)
                     elif data[0] == L.LSOP_CODEC_INDEX:
-                        v = L.decode_lsop(data, nr, nc).ravel()
+                        v = L.decode_lsop_any(data, nr, nc).ravel()
                     else:
                         v = C.decode_tile(data, nr, nc).ravel()
                     rows.append(
