@@ -81,3 +81,38 @@ def streaming_tile_counts(events: DataFrame, spec: GridSpec = GLOBAL_GRID) -> Da
         .filter(F.col("_ti") >= 0)
         .drop("_ti")
     )
+
+
+def stateful_tile_stats(events: DataFrame, spec: GridSpec = GLOBAL_GRID) -> DataFrame:
+    """CUSTOM stateful operator via applyInPandasWithState: per-tile running
+    (count, sum, max) maintained in the state store across micro-batches —
+    the arbitrary-state shape (e.g. online sketches, session models) that
+    windowed aggregation can't express. Emits the refreshed state row for
+    every tile touched by each batch (update semantics); the newest row per
+    tile is the current state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pts = event_points(events, spec).filter(F.col("tile_index") >= 0).select(
+        "tile_index", "value"
+    )
+
+    def update(key, pdfs, state):
+        n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {"tile_index": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [mx]}
+        )
+
+    return pts.groupBy("tile_index").applyInPandasWithState(
+        update,
+        outputStructType="tile_index long, n_events long, sum_value double, max_value double",
+        stateStructType="n long, s double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

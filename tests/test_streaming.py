@@ -103,3 +103,37 @@ def test_stream_dedup(spark, event_chunks):
     rows = spark.sql("select event_id from dedup_out").collect()
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)) == 1000
+
+
+def test_stateful_tile_stats_stream_equals_batch(spark, event_chunks):
+    """applyInPandasWithState custom state: the newest emitted row per tile
+    (monotone n_events) must equal the batch aggregate over all chunks."""
+    ev = streaming.read_event_stream(spark, event_chunks)
+    out = streaming.stateful_tile_stats(ev)
+    _run_stream_to_memory(out, "stateful_tiles", "update")
+    rows = spark.sql("select * from stateful_tiles").collect()
+    assert rows, "stream emitted nothing"
+    final = {}
+    for r in rows:  # newest state per tile = row with the largest n_events
+        cur = final.get(r.tile_index)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.tile_index] = r
+    pts = streaming.event_points(spark.read.parquet(event_chunks)).filter(
+        F.col("tile_index") >= 0
+    )
+    batch = {
+        r.tile_index: r
+        for r in pts.groupBy("tile_index")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch) and len(final) > 10
+    for t, r in final.items():
+        b = batch[t]
+        assert r.n_events == b.n_events, t
+        assert abs(r.sum_value - b.sum_value) < 1e-6 * max(1.0, abs(b.sum_value)), t
+        assert r.max_value == b.max_value, t
