@@ -575,7 +575,7 @@ def _q_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grid_row_f",
         "grid_col_f",
     )
-    return bspline.bilinear_points(pts, tiles, spec, quantize=True)
+    return bspline.bilinear_points(pts, tiles, spec, quantize=True, broadcast_tiles=True)
 
 
 def _q_bspline_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
