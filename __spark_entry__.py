@@ -360,6 +360,30 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: probe the 4 nearest of 16 inverted lists."""
+    emb = similarity.load_embeddings(spark, sf_dir)
+    return similarity.ivf_topk(emb, _emb_queries(spark, sf_dir), k=5)
+
+
+def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF vs exact brute force (honesty metric; see ann_recall
+    for why absolute recall is low on isotropic random vectors)."""
+    emb = similarity.load_embeddings(spark, sf_dir)
+    q = _emb_queries(spark, sf_dir)
+    bf = similarity.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    ivf = similarity.ivf_topk(emb, q, k=5).select("q_id", "vec_id")
+    hits = bf.join(ivf, on=["q_id", "vec_id"]).groupBy("q_id").agg(F.count("*").alias("n_hit"))
+    per_q = q.select("q_id").join(hits, on="q_id", how="left").select(
+        "q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_hit").alias("n_hits"),
+        F.round(F.sum("n_hit") / (F.count("*") * 5.0), 6).alias("recall_at_5"),
+    )
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup over corpus + scaled copies (cos=1 by construction)."""
     emb = similarity.load_embeddings(spark, sf_dir)
@@ -916,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "ann_topk": _q_ann_topk,
         "ann_recall": _q_ann_recall,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_recall": _q_ivf_recall,
         "emb_near_dup": _q_emb_near_dup,
         "media_features": _q_media_features,
         "compression": _q_compression,
@@ -1060,6 +1086,24 @@ def oracle_sql() -> dict[str, str]:
                  hits AS (
                    SELECT bf.q_id, COUNT(*) AS n_hit
                    FROM bf JOIN ann ON bf.q_id = ann.q_id AND bf.vec_id = ann.vec_id
+                   GROUP BY 1
+                 ),
+                 per_q AS (
+                   SELECT q.q_id, COALESCE(hits.n_hit, 0) AS n_hit
+                   FROM (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10) q
+                   LEFT JOIN hits ON q.q_id = hits.q_id
+                 )
+            SELECT COUNT(*) AS n_queries, CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+                   ROUND(SUM(n_hit) / (COUNT(*) * 5.0), 6) AS recall_at_5
+            FROM per_q
+        """,
+        "ivf_topk": similarity.ivf_topk_sql(n_queries=10, k=5),
+        "ivf_recall": f"""
+            WITH bf AS (SELECT q_id, vec_id FROM ({similarity.brute_force_topk_sql(10, 5)})),
+                 ivf AS (SELECT q_id, vec_id FROM ({similarity.ivf_topk_sql(10, 5)})),
+                 hits AS (
+                   SELECT bf.q_id, COUNT(*) AS n_hit
+                   FROM bf JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
                    GROUP BY 1
                  ),
                  per_q AS (

@@ -186,6 +186,118 @@ SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path complementary to
+# sign-bucket LSH: corpus vectors are assigned to their nearest centroid
+# (one scan, broadcast centroids); queries probe the nprobe nearest lists.
+# At 10^12 vectors the corpus is written bucketed by list_id, so a query
+# touches nprobe partitions. Centroids here are DETERMINISTIC (the first
+# n_lists corpus vectors) so the DuckDB oracle can replicate assignment
+# exactly; production would k-means them — the plan shape is identical.
+# --------------------------------------------------------------------------
+
+def ivf_centroids(emb: DataFrame, n_lists: int = 16) -> DataFrame:
+    return emb.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"), _as_double("embedding").alias("c_vec")
+    )
+
+
+def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties broken on
+    list_id): broadcast-join the tiny centroid set, window argmin. ONE corpus
+    scan; the shuffled rows are (vec_id, list_id, sim) ids only."""
+    pairs = emb.select("vec_id", _as_double("embedding").alias("v")).crossJoin(
+        F.broadcast(cent)
+    )
+    sims = pairs.select(
+        "vec_id", "v", "list_id", F.round(_cosine(F.col("v"), F.col("c_vec")), 6).alias("_cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("list_id"))
+    return (
+        sims.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "list_id", "v")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5, n_lists: int = 16, nprobe: int = 4
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their nprobe nearest lists; the
+    candidate set is the union of those inverted lists (equi-join on
+    list_id), ranked by exact cosine."""
+    cent = ivf_centroids(emb, n_lists)
+    assigned = ivf_assign(emb, cent)
+    qp = queries.select("q_id", _as_double("q_vec").alias("q")).crossJoin(F.broadcast(cent))
+    qs = qp.select("q_id", "q", "list_id", F.round(_cosine(F.col("q"), F.col("c_vec")), 6).alias("_cs"))
+    wq = Window.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("list_id"))
+    probes = (
+        qs.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("q_id", "q", "list_id")
+    )
+    cand = assigned.join(F.broadcast(probes), on="list_id").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sims = cand.select("q_id", "vec_id", F.round(_cosine(F.col("v"), F.col("q")), 6).alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        f" * list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+def ivf_topk_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16, nprobe: int = 4) -> str:
+    cos_ec = _cosine_sql("e.embedding", "c.c_vec")
+    cos_qc = _cosine_sql("q.q_vec", "c.c_vec")
+    cos_eq = _cosine_sql("e.embedding", "q.q_vec")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS list_id, embedding AS c_vec FROM embeddings WHERE vec_id < {n_lists}
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({cos_ec}, 6) DESC, c.list_id) AS rk
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+q0 AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT q_id, list_id FROM (
+    SELECT q.q_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY ROUND({cos_qc}, 6) DESC, c.list_id) AS rk
+    FROM q0 q CROSS JOIN cent c
+  ) WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id, ROUND({cos_eq}, 6) AS cos_sim
+  FROM probes p
+  JOIN assigned a ON a.list_id = p.list_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q0 q ON q.q_id = p.q_id
+  WHERE a.vec_id != p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup(
     emb: DataFrame, threshold: float = 0.95, n_bits: int = 8, n_salts: int = 1
 ) -> DataFrame:
