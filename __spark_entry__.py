@@ -667,6 +667,63 @@ def _q_icf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_metadata_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 metadata records end-to-end (GvrsFile.readMetadata/writeMetadata,
+    GvrsMetadata keyed by (name, recordID)): base records derived from the
+    documents table + well-known literals, then a replace-on-write upsert
+    (Copyright replaced, Product added) — final table value-matched."""
+    from pyspark.sql.window import Window
+    from gridfour_spark import metadata as M
+
+    docs = _docs(spark, sf_dir)
+    srcs = docs.select("source").distinct()
+    w = Window.orderBy("source")
+    src_recs = srcs.select(
+        F.lit("Source").alias("name"),
+        F.row_number().over(w).cast("int").alias("record_id"),
+        F.lit("ASCII").alias("mtype"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.col("source").alias("text"),
+    )
+    base = M.make_metadata(
+        spark,
+        [
+            (M.WKT, 0, "ASCII", None, "GEOGCS[WGS84]"),
+            (M.COPYRIGHT, 0, "ASCII", None, "(c) round1"),
+        ],
+    ).unionByName(src_recs)
+    updates = M.make_metadata(
+        spark,
+        [
+            (M.COPYRIGHT, 0, "ASCII", None, "(c) round2"),
+            (M.PRODUCT, 0, "ASCII", None, "gridfour-spark"),
+        ],
+    )
+    final = M.upsert_metadata(base, updates)
+    return final.select("name", "record_id", "mtype", "text")
+
+
+_METADATA_UPSERT_SQL = """
+WITH base AS (
+  SELECT 'WKT' AS name, 0 AS record_id, 'ASCII' AS mtype, 'GEOGCS[WGS84]' AS text
+  UNION ALL
+  SELECT 'Copyright', 0, 'ASCII', '(c) round1'
+  UNION ALL
+  SELECT 'Source', CAST(ROW_NUMBER() OVER (ORDER BY source) AS INTEGER), 'ASCII', source
+  FROM (SELECT DISTINCT source FROM documents)
+),
+updates AS (
+  SELECT 'Copyright' AS name, 0 AS record_id, 'ASCII' AS mtype, '(c) round2' AS text
+  UNION ALL
+  SELECT 'Product', 0, 'ASCII', 'gridfour-spark'
+)
+SELECT name, record_id, mtype, text FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.name = b.name AND u.record_id = b.record_id)
+UNION ALL
+SELECT name, record_id, mtype, text FROM updates
+"""
+
+
 def _q_icf_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ICF element END-TO-END through the tile store: quantize on write
     (i = floor((v-offset)*scale + 0.5)), codec race over the quantized ints,
@@ -950,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_multi_verify": _q_compression_multi_verify,
         "icf_roundtrip": _q_icf_roundtrip,
         "icf_store_roundtrip": _q_icf_store_roundtrip,
+        "metadata_upsert": _q_metadata_upsert,
         "inspector": _q_inspector,
         "floatcodec_verify": _q_floatcodec_verify,
         "bspline": _q_bspline,
@@ -1190,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN err_micro <= {1.01 / _ICF_SCALE * 1e6!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tol
             FROM e
         """,
+        "metadata_upsert": _METADATA_UPSERT_SQL,
         "inspector": f"""
             SELECT CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles, CAST(0 AS BIGINT) AS n_bad
         """,
