@@ -501,6 +501,7 @@ def encode_tile(
     use_lsop: bool = False,
     use_huffman: bool = True,
     use_lsop8: bool = False,
+    use_gvrs_huffman: bool = False,
 ) -> dict:
     """Race all predictors through M32+Deflate; keep the smallest packing.
 
@@ -560,6 +561,19 @@ def encode_tile(
             candidates.append(
                 ("huffman", bytes([_h.HUFFMAN_CODEC_INDEX]) + header + _h.huff_encode(m32))
             )
+        if use_gvrs_huffman:  # reference tree-in-stream bitstream (format parity)
+            from gridfour_spark import gvrshuffman as _g
+
+            gb, gp = _g.encode(m32)
+            candidates.append(
+                (
+                    "huffman_gvrs",
+                    bytes([_g.GVRS_HUFFMAN_CODEC_INDEX])
+                    + header
+                    + gb.to_bytes(4, "little")
+                    + gp,
+                )
+            )
         for codec_name, packing in candidates:
             if best is None or len(packing) < best["n_bytes"]:
                 best = {
@@ -587,10 +601,15 @@ def decode_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
     if codec == CODEC_DEFLATE_INDEX:
         m32 = zlib.decompress(packing[10:])
     else:
+        from gridfour_spark import gvrshuffman as _g
         from gridfour_spark import huffman as _h
 
-        assert codec == _h.HUFFMAN_CODEC_INDEX, codec
-        m32 = _h.huff_decode(packing[10:])
+        if codec == _g.GVRS_HUFFMAN_CODEC_INDEX:
+            gb = int.from_bytes(packing[10:14], "little")
+            m32 = _g.decode(gb, packing[14:], n_m32)
+        else:
+            assert codec == _h.HUFFMAN_CODEC_INDEX, codec
+            m32 = _h.huff_decode(packing[10:])
     assert len(m32) == n_m32, (len(m32), n_m32)
     syms = m32_decode(m32, n_symbols_for(ptype, nr, nc))
     return ALL_PREDICTORS[ptype][1](seed, syms, nr, nc)

@@ -41,7 +41,7 @@ def compress_tiles(tiles: DataFrame, spec: GridSpec, use_lsop: bool = True) -> D
             for _, row in pdf.iterrows():
                 v = np.asarray(row["cells"], dtype=np.float64)
                 vi = v.astype(np.int32)
-                best = C.encode_tile(vi, nr, nc, use_lsop=use_lsop)
+                best = C.encode_tile(vi, nr, nc, use_lsop=use_lsop, use_gvrs_huffman=True)
                 kept = bool(best["kept"])
                 payload = bytes(best["payload"]) if kept else vi.tobytes()
                 rows.append(
@@ -128,7 +128,7 @@ def compress_tiles_multi(
                 vi = np.asarray(by_el[el]["cells"], dtype=np.float64).astype(np.int32)
             else:
                 vi = np.full(nr * nc, fill, dtype=np.int32)
-            best = C.encode_tile(vi, nr, nc, use_lsop=use_lsop)
+            best = C.encode_tile(vi, nr, nc, use_lsop=use_lsop, use_gvrs_huffman=True)
             if best["kept"]:
                 data = bytes(best["payload"])
                 codecs.append(f"{el}:{best['codec']}")
