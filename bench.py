@@ -224,7 +224,39 @@ def main() -> None:
                     return
                 time.sleep(10.0)
 
-        for cores in (2, 8, 2, 8):
+        def _hw_ceiling() -> float | None:
+            """Measured hardware ceiling for 2->8 busy cores AT RUN TIME:
+            identical cache-resident numpy work per worker via plain
+            multiprocessing (no Spark). The shared box's turbo/oversubscribe
+            behavior drifts between windows (0.6-0.9 observed), so the
+            engine's efficiency is only interpretable against the ceiling
+            measured in the SAME window."""
+            import multiprocessing as mp
+
+            def work(n):
+                os.sched_setaffinity(0, {n % os.cpu_count()})
+                import numpy as _np
+
+                x = _np.arange(100_000, dtype=_np.float64)
+                t0 = time.time()
+                for _ in range(1200):
+                    y = _np.sin(x * 0.021) * _np.cos(x * 0.017)
+                    y.sum()
+                return time.time() - t0
+
+            try:
+                walls = {}
+                for k in (2, 8):
+                    with mp.Pool(k) as p:
+                        t0 = time.time()
+                        p.map(work, range(k))
+                        walls[k] = time.time() - t0
+                return round((8 / walls[8]) / (2 / walls[2]) / 4, 3)
+            except Exception:
+                return None
+
+        scaling["hw_ceiling_2_to_8"] = _hw_ceiling()
+        for cores in (2, 8, 2, 8, 2, 8):
             _wait_quiet()
             # pin the N-core probe to N CPUs: an unpinned local[N] JVM still
             # burns all 32 CPUs on GC/IO/python workers, inflating the
@@ -250,6 +282,9 @@ def main() -> None:
             speedup = t_n / t_4n
             scaling["speedup_n_to_4n"] = round(speedup, 3)
             scaling["efficiency"] = round(speedup / 4.0, 3)
+            ceil = scaling.get("hw_ceiling_2_to_8")
+            if ceil:
+                scaling["efficiency_vs_hw_ceiling"] = round(min(speedup / 4.0 / ceil, 1.0), 3)
         result["scaling"] = scaling
 
     print(json.dumps(result))
