@@ -495,6 +495,76 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- relational checklist (SURVEY §2.5) over the TPC-H-ish tables -------------
 
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows over the events table — the batch twin of
+    streaming.windowed_event_counts (same window/agg semantics the streaming
+    path runs with a watermark; driver harness is batch, so the oracle
+    checks the window math here)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window("ts", "1 hour")
+    return ev.groupBy(w.alias("win"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.floor(F.sum("value") * 1000).alias("sum_value_milli"),
+    ).select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value_milli",
+    )
+
+
+_EVENT_WINDOWS_SQL = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 1000) AS BIGINT) AS sum_value_milli
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_resumable_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 end-to-end through the oracle gate: resumable lineage-committed
+    store write (partial first write simulating a crash, then resume with
+    the full input), read back and aggregate — totals value-matched against
+    the raw grid, and the lineage table must cover every bucket."""
+    import shutil
+    import tempfile
+
+    from gridfour_spark import lineage
+
+    spec = SPEC_A
+    base = tempfile.mkdtemp(prefix="oracle_tiles_")
+    try:
+        tiles = store.build_tiles(synth.grid_df(spark, spec, value="dem"), spec)
+        # "crashed" first attempt: only half the buckets' lineage survives
+        lineage.write_tiles_resumable(
+            tiles.filter(F.pmod("tile_index", F.lit(8)) < 4), base, "oracle_job", n_buckets=8
+        )
+        import os
+
+        for f in os.listdir(lineage.lineage_path(base)):
+            if int(f.split("_")[-1].split(".")[0]) >= 4:
+                os.remove(os.path.join(lineage.lineage_path(base), f))
+        r = lineage.write_tiles_resumable(tiles, base, "oracle_job", n_buckets=8)
+        got = lineage.read_tiles(spark, base)
+        cells = store.tiles_to_cells(got.drop("tile_bucket"), spec)
+        rep = lineage.lineage_report(spark, base)
+        out = cells.agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("z").cast("long")).alias("sum_z"),
+        ).crossJoin(
+            rep.agg(
+                F.count("*").alias("n_lineage_rows"),
+                F.sum("n_tiles").alias("lineage_tiles"),
+            )
+        ).withColumn("n_skipped_on_resume", F.lit(len(r["skipped_buckets"])).cast("long"))
+        out = out.collect()
+        return spark.createDataFrame(
+            out, "n_cells long, sum_z long, n_lineage_rows long, lineage_tiles long, n_skipped_on_resume long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-style aggregation; money quantized to exact cents pre-sum."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1018,6 +1088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "adaptive_cells": _q_adaptive_cells,
         "salted_join": _q_salted_join,
+        "event_windows": _q_event_windows,
+        "resumable_write": _q_resumable_write,
         "tpch_pricing": _q_tpch_pricing,
         "rollup": _q_rollup,
         "semi_anti": _q_semi_anti,
@@ -1316,6 +1388,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tile_index, COUNT(*) AS n_spans, MIN(tile_mean_z) AS tile_mean_z
             FROM pts JOIN stats USING (tile_index) GROUP BY 1
+        """,
+        "event_windows": _EVENT_WINDOWS_SQL,
+        "resumable_write": f"""
+            SELECT CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
+                   (SELECT CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) FROM ({_grid_a('dem')})) AS sum_z,
+                   CAST(8 AS BIGINT) AS n_lineage_rows,
+                   CAST({SPEC_A.n_tiles} AS BIGINT) AS lineage_tiles,
+                   CAST(4 AS BIGINT) AS n_skipped_on_resume
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -43,6 +43,20 @@ BENCH_QUERIES = [
 PROBE_SPANS = int(os.environ.get("SPARK_GRAFT_PROBE_SPANS", "500000000"))
 
 
+def _ceiling_work(n: int) -> float:
+    """Module-level (picklable) worker for the hardware-ceiling probe:
+    identical cache-resident numpy work pinned to one core."""
+    os.sched_setaffinity(0, {n % (os.cpu_count() or 32)})
+    import numpy as np
+
+    x = np.arange(100_000, dtype=np.float64)
+    t0 = time.time()
+    for _ in range(1200):
+        y = np.sin(x * 0.021) * np.cos(x * 0.017)
+        y.sum()
+    return time.time() - t0
+
+
 def scale_probe(n_cores: int) -> None:
     """Run the tile-assignment + spatial-agg job on PROBE_SPANS synthetic
     spans (pure compute, no input I/O) — the same per-span math as the
@@ -233,23 +247,12 @@ def main() -> None:
             measured in the SAME window."""
             import multiprocessing as mp
 
-            def work(n):
-                os.sched_setaffinity(0, {n % os.cpu_count()})
-                import numpy as _np
-
-                x = _np.arange(100_000, dtype=_np.float64)
-                t0 = time.time()
-                for _ in range(1200):
-                    y = _np.sin(x * 0.021) * _np.cos(x * 0.017)
-                    y.sum()
-                return time.time() - t0
-
             try:
                 walls = {}
                 for k in (2, 8):
                     with mp.Pool(k) as p:
                         t0 = time.time()
-                        p.map(work, range(k))
+                        p.map(_ceiling_work, range(k))
                         walls[k] = time.time() - t0
                 return round((8 / walls[8]) / (2 / walls[2]) / 4, 3)
             except Exception:
