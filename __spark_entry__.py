@@ -702,6 +702,68 @@ def _q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("pt_id", F.round(shade, 6).alias("shade"))
 
 
+def _q_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 palette mapping + A11 Mercator projection over the global DEM
+    (every 8th cell): piecewise-linear ARGB (ColorPaletteRecordRGB semantics)
+    and spherical Mercator coords, all JVM columns."""
+    spec = GLOBAL_GRID
+    g = synth.grid_df(spark, spec, value="dem").filter(
+        (F.col("row") % 8 == 0) & (F.col("col") % 8 == 0)
+    )
+    lat = F.lit(spec.y0) + F.col("row").cast("double") * F.lit(spec.cell_size_y)
+    lon = F.lit(spec.x0) + F.col("col").cast("double") * F.lit(spec.cell_size_x)
+    mx, my = raster_ops.mercator_cols(lat, lon)
+    return g.select(
+        "row",
+        "col",
+        raster_ops.argb_expr(F.col("z").cast("double")).alias("argb"),
+        F.round(mx, 6).alias("merc_x"),
+        F.round(my, 6).alias("merc_y"),
+    )
+
+
+def _palette_sql() -> str:
+    spec = GLOBAL_GRID
+    lat = f"({spec.y0!r} + CAST(row AS DOUBLE) * {spec.cell_size_y!r})"
+    lon = f"({spec.x0!r} + CAST(col AS DOUBLE) * {spec.cell_size_x!r})"
+    mx, my = raster_ops.mercator_sql(lat, lon)
+    return f"""
+        SELECT row, col, {raster_ops.argb_sql('CAST(z AS DOUBLE)')} AS argb,
+               ROUND({mx}, 6) AS merc_x, ROUND({my}, 6) AS merc_y
+        FROM ({synth.grid_duckdb_sql(spec, value='dem')})
+        WHERE row % 8 = 0 AND col % 8 = 0
+    """
+
+
+def _q_shaded_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 shaded-relief RGB: hillshade (from B-spline derivatives) applied
+    inside the palette rounding (getArgbWithShade:110-121)."""
+    d = _q_bspline_deriv(spark, sf_dir)
+    zx = F.col("zx_q") / 1e9
+    zy = F.col("zy_q") / 1e9
+    lx, ly, lz = 0.5000000000000001, -0.49999999999999994, 0.7071067811865476
+    L = F.sqrt(zx * zx + zy * zy + 1.0)
+    shade = F.greatest((-zx / L) * lx + (-zy / L) * ly + (1.0 / L) * lz, F.lit(0.0))
+    z = F.col("z_q") / 1e6
+    return d.select(
+        "pt_id", raster_ops.argb_expr(z, shade=shade).alias("shaded_argb")
+    )
+
+
+def _shaded_relief_sql() -> str:
+    zx, zy = "(zx_q/1e9)", "(zy_q/1e9)"
+    L = f"sqrt({zx}*{zx} + {zy}*{zy} + 1.0)"
+    shade = (
+        f"greatest((-{zx} / {L}) * {0.5000000000000001!r}"
+        f" + (-{zy} / {L}) * {-0.49999999999999994!r}"
+        f" + (1.0 / {L}) * {0.7071067811865476!r}, 0.0)"
+    )
+    return f"""
+        SELECT pt_id, {raster_ops.argb_sql('(z_q/1e6)', shade=shade)} AS shaded_argb
+        FROM ({_bspline_deriv_sql()})
+    """
+
+
 def _bspline_deriv_sql() -> str:
     pts = f"SELECT range AS pt_id, {_BSP_ROWF.replace('pt_id', 'range')} AS grid_row_f, {_BSP_COLF.replace('pt_id', 'range')} AS grid_col_f FROM range(800)"
     grid = synth.grid_duckdb_sql(SPEC_A, value="dem")
@@ -1082,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "floatcodec_verify": _q_floatcodec_verify,
         "bspline": _q_bspline,
         "bilinear": _q_bilinear,
+        "palette": _q_palette,
+        "shaded_relief": _q_shaded_relief,
         "bspline_deriv": _q_bspline_deriv,
         "hillshade": _q_hillshade,
         "pip": _q_pip,
@@ -1350,6 +1414,8 @@ def oracle_sql() -> dict[str, str]:
             quantize=True,
         ),
         "bspline_deriv": _bspline_deriv_sql(),
+        "palette": _palette_sql(),
+        "shaded_relief": _shaded_relief_sql(),
         "pip": f"""
             SELECT doc_id, span_offset, poly_id
             FROM ({spatial.pip_join_sql(_SPAN_POINTS_SQL, 24)})

@@ -96,3 +96,73 @@ def ocean_volume(
         F.round(F.sum(area * (-F.col(z_col)) / 1000.0), 3).alias("volume_km3"),
         F.count("*").alias("n_sea_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A10/A11/A12: palette mapping, map projection, shaded-relief RGB — the
+# reference's imaging demo tier as pure column expressions.
+# ---------------------------------------------------------------------------
+
+# ETOPO1-style elevation palette: piecewise-linear RGB records
+# (imaging/palette/ColorPaletteRecordRGB.java:96-121 interpolation semantics)
+PALETTE_ETOPO = [
+    (-11000.0, -4000.0, (16, 16, 80), (30, 70, 140)),
+    (-4000.0, 0.0, (30, 70, 140), (180, 220, 250)),
+    (0.0, 1000.0, (60, 140, 60), (200, 190, 120)),
+    (1000.0, 4000.0, (200, 190, 120), (150, 90, 60)),
+    (4000.0, 9000.0, (150, 90, 60), (255, 255, 255)),
+]
+
+
+def argb_expr(z, records=PALETTE_ETOPO, shade=None):
+    """ARGB from the matching palette record: t = clamp((z-z0)/(z1-z0)),
+    channel = (int)(delta*t + c0 + 0.5) — with a shade multiplier the
+    reference applies it INSIDE the rounding (getArgbWithShade:110-121).
+    Returns a BIGINT (0xff000000 | r<<16 | g<<8 | b, unsigned form)."""
+    out = None
+    for z0, z1, (r0, g0, b0), (r1, g1, b1) in records:
+        t = (z - F.lit(z0)) / F.lit(z1 - z0)
+        t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+        chans = []
+        for c0, c1 in ((r0, r1), (g0, g1), (b0, b1)):
+            v = F.lit(float(c1 - c0)) * t + F.lit(float(c0))
+            if shade is not None:
+                v = shade * v
+            chans.append(F.floor(v + F.lit(0.5)).cast("long"))
+        argb = F.lit(0xFF000000) + chans[0] * 65536 + chans[1] * 256 + chans[2]
+        cond = (z >= F.lit(z0)) & (z < F.lit(z1))
+        out = F.when(cond, argb) if out is None else out.when(cond, argb)
+    return out
+
+
+def argb_sql(z: str, records=PALETTE_ETOPO, shade: str | None = None) -> str:
+    """DuckDB twin of argb_expr (identical clamp/round arithmetic)."""
+    whens = []
+    for z0, z1, (r0, g0, b0), (r1, g1, b1) in records:
+        t = f"least(greatest((({z}) - {z0!r}) / {z1 - z0!r}, 0.0), 1.0)"
+        chans = []
+        for c0, c1 in ((r0, r1), (g0, g1), (b0, b1)):
+            v = f"({float(c1 - c0)!r} * {t} + {float(c0)!r})"
+            if shade is not None:
+                v = f"(({shade}) * {v})"
+            chans.append(f"CAST(floor({v} + 0.5) AS BIGINT)")
+        argb = f"(4278190080 + {chans[0]} * 65536 + {chans[1]} * 256 + {chans[2]})"
+        whens.append(f"WHEN ({z}) >= {z0!r} AND ({z}) < {z1!r} THEN {argb}")
+    return "CASE " + " ".join(whens) + " END"
+
+
+R_EARTH_KM = 6371.0072
+
+
+def mercator_cols(lat, lon):
+    """A11 demo projection: spherical Mercator x = R*lon_rad,
+    y = R*ln(tan(pi/4 + lat_rad/2))."""
+    x = F.radians(lon) * F.lit(R_EARTH_KM)
+    y = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / 2)) * F.lit(R_EARTH_KM)
+    return x, y
+
+
+def mercator_sql(lat: str, lon: str) -> tuple[str, str]:
+    x = f"radians({lon}) * {R_EARTH_KM!r}"
+    y = f"ln(tan(pi() / 4.0 + radians({lat}) / 2)) * {R_EARTH_KM!r}"
+    return x, y
