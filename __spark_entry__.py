@@ -495,6 +495,39 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- relational checklist (SURVEY §2.5) over the TPC-H-ish tables -------------
 
+def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 end-to-end: DEM -> tiled deflate GeoTIFF (COG layout) -> Spark
+    range-read scan -> aggregate; totals value-matched against the raw grid
+    in DuckDB. The written pixels are the Spark-computed DEM (cell-identical
+    to the oracle's grid, as every grid query proves)."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from gridfour_spark import geotiff
+
+    spec = SPEC_A
+    pdf = synth.grid_df(spark, spec, value="dem").toPandas()
+    arr = np.zeros((spec.n_rows, spec.n_cols), dtype=np.int32)
+    arr[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["z"].to_numpy().astype(np.int32)
+    d = tempfile.mkdtemp(prefix="oracle_tiff_")
+    try:
+        path = os.path.join(d, "dem.tif")
+        geotiff.write_geotiff(path, arr, spec, tile_w=128, tile_h=128, compress=True)
+        cells = geotiff.read_geotiff_cells(spark, path)
+        out = cells.agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("z").cast("long")).alias("sum_z"),
+            F.min(F.col("z").cast("long")).alias("min_z"),
+            F.max(F.col("z").cast("long")).alias("max_z"),
+        ).collect()
+        return spark.createDataFrame(out, "n_cells long, sum_z long, min_z long, max_z long")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows over the events table — the batch twin of
     streaming.windowed_event_counts (same window/agg semantics the streaming
@@ -1152,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "adaptive_cells": _q_adaptive_cells,
         "salted_join": _q_salted_join,
+        "geotiff_roundtrip": _q_geotiff_roundtrip,
         "event_windows": _q_event_windows,
         "resumable_write": _q_resumable_write,
         "tpch_pricing": _q_tpch_pricing,
@@ -1454,6 +1488,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tile_index, COUNT(*) AS n_spans, MIN(tile_mean_z) AS tile_mean_z
             FROM pts JOIN stats USING (tile_index) GROUP BY 1
+        """,
+        "geotiff_roundtrip": f"""
+            SELECT COUNT(*) AS n_cells,
+                   CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z,
+                   CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
+            FROM ({_grid_a('dem')})
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "resumable_write": f"""
