@@ -100,9 +100,11 @@ def scale_probe(n_cores: int) -> None:
 
     job(100_000).collect()  # JVM/codegen/python-worker warmup
     # the sandbox host is shared and noisy (load spikes from co-tenants);
-    # take the min of 3 runs as the contention-free estimate
+    # take the min of repeated runs as the contention-free estimate. The
+    # fast (4N) side gets an extra round: its absolute noise moves the
+    # efficiency ratio ~4x more than the slow side's.
     best, n_spans, n_tiles = None, 0, 0
-    for _ in range(2):
+    for _ in range(3 if n_cores >= 8 else 2):
         t0 = time.time()
         out = job(PROBE_SPANS).collect()
         dt = time.time() - t0
