@@ -93,3 +93,28 @@ def test_columnar_affine_matches_scalar(spark):
         ex, ey = spec.grid_to_model(r.row0, r.col0)
         assert abs(r.x - ex) < 1e-12 and abs(r.y - ey) < 1e-12
         assert (r.row, r.col) == (r.row0, r.col0)
+
+
+def test_rotated_spec_through_tile_store(spark):
+    """Integration: model-space points on a rotated grid -> affine
+    model->grid -> tile assignment -> point_read returns the right cells."""
+    from gridfour_spark import store, synth
+
+    spec = GridSpec(
+        n_rows=60, n_cols=80, n_rows_in_tile=16, n_cols_in_tile=16,
+        r2m=(1.25 * math.cos(0.4), -1.25 * math.sin(0.4), 40.0,
+             0.5 * math.sin(0.4), 0.5 * math.cos(0.4), -10.0),
+    )
+    tiles = store.build_tiles(synth.grid_df(spark, spec, value="dem"), spec)
+    # probe model coordinates OF known cells
+    probe_cells = [(r, c) for r in range(0, 60, 13) for c in range(0, 80, 17)]
+    rows = [(i, *spec.grid_to_model(r, c), r, c) for i, (r, c) in enumerate(probe_cells)]
+    pts = spark.createDataFrame(rows, "pt_id int, x double, y double, erow long, ecol long")
+    g = with_model_to_grid(pts, spec)
+    got = store.point_read(g.select("pt_id", "erow", "ecol", "row", "col"), tiles, spec)
+    expect = {(r.row, r.col): r.z for r in synth.grid_df(spark, spec, value="dem").collect()}
+    out = got.collect()
+    assert len(out) == len(probe_cells)
+    for r in out:
+        assert (r.row, r.col) == (r.erow, r.ecol)
+        assert r.z == expect[(r.row, r.col)]
