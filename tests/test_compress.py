@@ -331,3 +331,25 @@ def test_huffman_length_cap_and_optimality():
     assert int(lengths.max()) <= H.MAX_CODE_LEN
     assert sum(2.0 ** -int(l) for l in lengths if l) == 1.0
     assert H.huff_decode(enc) == data
+
+
+def test_nulls_predictor_reference_test_vector():
+    """Exact port of PredictorModelDifferencingWithNullsTest.testRoundTrip
+    (:53-83): even-column ramp with a diagonal of nulls, byte-level M32
+    round trip."""
+    nr, nc = 10, 10
+    v = np.zeros((nr, nc), dtype=np.int64)
+    for ir in range(nr):
+        val = ir
+        for ic in range(0, 10, 2):
+            v[ir, ic] = val
+            val += 1
+        v[ir, ir] = NULL
+    v = v.astype(np.int32)
+    r = C.residuals_differencing_nulls(v)
+    assert r is not None
+    seed, syms = r
+    buf = C.m32_encode(syms)
+    back_syms = C.m32_decode(buf, nr * nc)
+    back = C.ALL_PREDICTORS[C.PREDICTOR_DIFFERENCING_NULLS][1](seed, back_syms, nr, nc)
+    np.testing.assert_array_equal(back, v)
