@@ -116,3 +116,41 @@ def stateful_tile_stats(events: DataFrame, spec: GridSpec = GLOBAL_GRID) -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_store(
+    events: DataFrame,
+    base: str,
+    job_id: str,
+    spec: GridSpec = GLOBAL_GRID,
+    n_buckets: int = 8,
+):
+    """Idempotent streaming sink: foreachBatch -> tile build -> the
+    lineage-committed resumable store. Each micro-batch lands as its own
+    DELTA partition (base/stage=batch_N/bucket=b) with batch-keyed lineage,
+    so a replayed micro-batch skips every bucket it already committed —
+    effective exactly-once on an at-least-once source. Readers union the
+    deltas and merge per tile (store.write_points semantics); production
+    compaction folds deltas into the base store (Iceberg MERGE INTO).
+    Returns the StreamingQuery."""
+    import os
+
+    from gridfour_spark import lineage, store
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pts = event_points(batch_df, spec).filter(F.col("tile_index") >= 0)
+        cells = pts.select("row", "col", F.col("value").alias("z"))
+        tiles = store.build_tiles(cells, spec, fill=float("nan"))
+        lineage.write_tiles_resumable(
+            tiles,
+            os.path.join(base, f"stage=batch_{batch_id}"),
+            job_id,
+            stage=f"batch_{batch_id}",
+            n_buckets=n_buckets,
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{base}/_checkpoint_{job_id}")
+        .start()
+    )

@@ -137,3 +137,64 @@ def test_stateful_tile_stats_stream_equals_batch(spark, event_chunks):
         assert r.n_events == b.n_events, t
         assert abs(r.sum_value - b.sum_value) < 1e-6 * max(1.0, abs(b.sum_value)), t
         assert r.max_value == b.max_value, t
+
+
+def test_stream_to_store_idempotent_sink(spark, event_chunks):
+    """foreachBatch -> lineage-committed store: every micro-batch lands as
+    its own lineage stage; REPLAYING a batch is a no-op (all buckets
+    skipped) — the effective-exactly-once property the engine claims."""
+    import glob
+    import shutil
+    import tempfile
+
+    from gridfour_spark import lineage, store, streaming as S
+    from gridfour_spark.spec import GLOBAL_GRID
+
+    base = tempfile.mkdtemp(prefix="stream_store_")
+    try:
+        ev = S.read_event_stream(spark, event_chunks)
+        q = S.stream_to_store(ev, base, "sjob", n_buckets=4)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            time.sleep(1.0)
+            if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+                break
+        q.processAllAvailable()
+        q.stop()
+
+        import os
+
+        stage_dirs = sorted(glob.glob(f"{base}/stage=batch_*"))
+        assert len(stage_dirs) >= 2, stage_dirs  # one delta partition per batch
+        total_tiles = 0
+        for sd in stage_dirs:
+            rep = lineage.lineage_report(spark, sd)
+            assert rep.count() == 4  # every bucket committed
+            total_tiles += rep.agg(F.sum("n_tiles")).collect()[0][0]
+        assert total_tiles > 0
+
+        # replay batch 0's content through the same stage id: all buckets skip
+        batch0 = spark.read.parquet(sorted(glob.glob(f"{event_chunks}/file_*.parquet"))[0])
+        pts = S.event_points(batch0, GLOBAL_GRID).filter(F.col("tile_index") >= 0)
+        tiles = store.build_tiles(
+            pts.select("row", "col", F.col("value").alias("z")), GLOBAL_GRID, fill=float("nan")
+        )
+        r = lineage.write_tiles_resumable(
+            tiles, os.path.join(base, "stage=batch_0"), "sjob", stage="batch_0", n_buckets=4
+        )
+        assert r["written_buckets"] == [] and len(r["skipped_buckets"]) == 4
+
+        # the union of delta partitions carries every ingested event's cell
+        got = spark.read.option("basePath", base).parquet(f"{base}/stage=*/bucket=*")
+        n_cells_stored = got.agg(
+            F.sum(F.expr("size(filter(cells, c -> NOT isnan(c)))"))
+        ).collect()[0][0]
+        ev_all = spark.read.parquet(event_chunks)
+        n_distinct_cells = (
+            S.event_points(ev_all, GLOBAL_GRID)
+            .filter(F.col("tile_index") >= 0)
+            .select("row", "col").distinct().count()
+        )
+        assert n_cells_stored >= n_distinct_cells
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
