@@ -166,3 +166,63 @@ def mercator_sql(lat: str, lon: str) -> tuple[str, str]:
     x = f"radians({lon}) * {R_EARTH_KM!r}"
     y = f"ln(tan(pi() / 4.0 + radians({lat}) / 2)) * {R_EARTH_KM!r}"
     return x, y
+
+
+def read_cpt(text: str) -> dict:
+    """Parse a GMT-style .cpt color palette
+    (imaging/palette/ColorPaletteTableReader.java:155-430, RGB model):
+    records `z0 r g b z1 r g b` (slash-separated colors also accepted),
+    optional `;Label` suffixes, single-value categorical records, and
+    B/F/N background/foreground/null colors. Returns
+    {records: [(z0, z1, rgb0, rgb1)], labels: [...], background, foreground,
+    null_color, range_min, range_max} — records feed argb_expr/argb_sql
+    directly."""
+    import re
+
+    records, labels = [], []
+    bfn = {"B": None, "F": None, "N": None}
+    for line in text.splitlines():
+        s = line.strip()
+        if not s:
+            continue
+        if s.startswith("#"):
+            m = re.search(r"COLOR_MODEL\s*=\s*(\w+)", s)
+            if m and m.group(1).upper() != "RGB":
+                raise ValueError("only the RGB color model is supported")
+            continue
+        label = None
+        if ";" in s:
+            s, label = s.split(";", 1)
+            label = label.strip()
+            s = s.strip()
+        if s and s[0] in "BFN" and (len(s) == 1 or s[1].isspace() or s[1] == "\t"):
+            a = re.split(r"[\s/]+", s.strip())
+            bfn[a[0]] = (int(a[1]), int(a[2]), int(a[3]))
+            continue
+        a = re.split(r"[\s/]+", s)
+        if len(a) == 8:
+            z0, z1 = float(a[0]), float(a[4])
+            rgb0 = (int(a[1]), int(a[2]), int(a[3]))
+            rgb1 = (int(a[5]), int(a[6]), int(a[7]))
+        elif len(a) == 4:  # categorical: one value, one color
+            z0 = float(a[0])
+            z1 = float(a[0])
+            rgb0 = rgb1 = (int(a[1]), int(a[2]), int(a[3]))
+        else:
+            raise ValueError(f"unparseable palette line: {line!r}")
+        records.append((z0, z1, rgb0, rgb1))
+        labels.append(label)
+    if not records:
+        raise ValueError("palette has no records")
+    records_sorted = sorted(zip(records, labels), key=lambda rl: (rl[0][0], rl[0][1]))
+    records = [r for r, _ in records_sorted]
+    labels = [l for _, l in records_sorted]
+    return {
+        "records": records,
+        "labels": labels,
+        "background": bfn["B"],
+        "foreground": bfn["F"],
+        "null_color": bfn["N"],
+        "range_min": min(r[0] for r in records),
+        "range_max": max(r[1] for r in records),
+    }
