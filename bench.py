@@ -232,7 +232,9 @@ def main() -> None:
         # pair fits beside the noise and reproduces within ~10% (measured
         # 0.82 efficiency under load avg 6-10). Probes ALTERNATE and the min
         # per size is kept so a burst hits both sizes instead of biasing one.
-        def _wait_quiet(max_wait_s: float = 180.0, threshold: float = 8.0) -> None:
+        def _wait_quiet(max_wait_s: float = 90.0, threshold: float = 8.0) -> None:
+            # bounded: 6 probes x 90s worst-case waiting keeps the whole
+            # bench under ~18 min even when the host never goes quiet
             # the host is shared: wait (bounded) for a quiet window so the
             # probe measures the engine, not the neighbors
             t0 = time.time()
