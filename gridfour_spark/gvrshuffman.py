@@ -119,12 +119,22 @@ def decode(n_bits: int, packed: bytes, n_symbols: int) -> bytes:
     and pointer-doubled like huffman.huff_decode when max code length <= 16,
     per-symbol walk otherwise (HuffmanDecoder semantics either way)."""
     bits = np.unpackbits(np.frombuffer(packed, dtype=np.uint8), bitorder="little")[:n_bits]
+    out, _ = decode_stream(bits, 0, n_symbols)
+    return out
+
+
+def decode_stream(bits: np.ndarray, start: int, n_symbols: int) -> tuple[bytes, int]:
+    """Decode one Huffman-coded sequence starting at bit ``start`` of an
+    LSB-first unpacked bit array; returns (symbols, next-bit position). The
+    reference decodes several sequences from ONE BitInputStore back to back
+    (LsDecoder12.decode:123-128), so the caller needs the resume position."""
+    bits = bits[start:]
     n_leaves = int(bits[:8] @ (1 << np.arange(8))) + 1
     pos = 8
     if n_leaves == 1:
         assert bits[pos] == 1
         sym = int(bits[pos + 1 : pos + 9] @ (1 << np.arange(8)))
-        return bytes([sym]) * n_symbols
+        return bytes([sym]) * n_symbols, start + pos + 9
 
     # parse pre-order tree
     codes: dict[int, list[int]] = {}
@@ -167,7 +177,8 @@ def decode(n_bits: int, packed: bytes, n_symbols: int) -> bytes:
             len(text),
         )
         starts = _orbit(nxt, n_symbols)
-        return table_sym[w[starts]].tobytes()
+        end = int(starts[-1]) + int(table_len[w[starts[-1]]])
+        return table_sym[w[starts]].tobytes(), start + pos + end
 
     # deep-tree fallback: sequential walk (rare; fibonacci-like counts only)
     root: dict = {}
@@ -184,4 +195,4 @@ def decode(n_bits: int, packed: bytes, n_symbols: int) -> bytes:
             node = node[int(text[p])]
             p += 1
         out[i] = node["sym"]
-    return out.tobytes()
+    return out.tobytes(), start + pos + p

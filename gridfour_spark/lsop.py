@@ -230,6 +230,17 @@ def decode_lsop(payload: bytes, nr: int, nc: int) -> np.ndarray:
     is unchanged (u0*z0, +u1*z1, ...), so results are bit-identical to the
     strictfp reference (LsOptimalPredictor12.java:252-281)."""
     seed, u, init, interior = _parse_lsop(payload, nr, nc)
+    return decode_lsop_parsed(seed, u, init, interior, nr, nc)
+
+
+def decode_lsop_parsed(
+    seed: int, u: np.ndarray, init: np.ndarray, interior: np.ndarray, nr: int, nc: int
+) -> np.ndarray:
+    """Core wavefront decode over already-parsed header arrays — shared by the
+    engine's own store payloads and the reference-format reader (gvrsfile.py,
+    LsDecoder12.java:98-148)."""
+    init = np.asarray(init, dtype=np.int64)
+    interior = np.asarray(interior, dtype=np.int64)
     v = np.zeros((nr, nc), dtype=np.int64)
     k = 0
     v[0, 0] = seed
@@ -421,7 +432,15 @@ def decode_lsop8(payload: bytes, nr: int, nc: int) -> np.ndarray:
     assert len(init_m32) == n_init and len(interior_m32) == n_interior
     init = m32_decode(init_m32, 2 * nr + 2 * nc - 5).astype(np.int64)
     interior = m32_decode(interior_m32, (nr - 2) * (nc - 2)).astype(np.int64)
+    return decode_lsop8_parsed(seed, u, init, interior, nr, nc)
 
+
+def decode_lsop8_parsed(
+    seed: int, u: np.ndarray, init: np.ndarray, interior: np.ndarray, nr: int, nc: int
+) -> np.ndarray:
+    """Core LSOP-8 wavefront decode over parsed arrays (LsDecoder08.java)."""
+    init = np.asarray(init, dtype=np.int64)
+    interior = np.asarray(interior, dtype=np.int64)
     v = np.zeros((nr, nc), dtype=np.int64)
     k = 0
     v[0, 0] = seed
