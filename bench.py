@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "span_invariant",
     "tile_assign",
     "downsample",
-    "entropy",
+    "grid_stats",
     "block_read",
     "point_read",
     "ocean_volume",
@@ -202,6 +202,29 @@ def main() -> None:
     t0 = _t.time()
     _bspline.interpolate_points(ppts, tiles, _GG, broadcast_tiles=True).count()
     interp_sec = _t.time() - t0
+
+    # ANN recall on a CLUSTERED corpus (round-2 done criterion: Lloyd-trained
+    # IVF must beat LSH where centroid quality matters; the isotropic
+    # embeddings table can't show that)
+    from gridfour_spark import similarity as _S
+
+    cemb = _S.synth_clustered_embeddings(spark, n=4000, dim=16, n_clusters=32, noise=0.5).cache()
+    cq = cemb.filter(_F.col("vec_id") % 200 == 0).select(
+        _F.col("vec_id").alias("q_id"), _F.col("embedding").alias("q_vec")
+    )
+    bf = _S.brute_force_topk(cemb, cq, k=5).select("q_id", "vec_id").cache()
+    n_bf = bf.count()
+
+    def _recall(approx) -> float:
+        return round(bf.join(approx.select("q_id", "vec_id"), on=["q_id", "vec_id"]).count() / n_bf, 4)
+
+    recall_clustered = {
+        "lsh": _recall(_S.ann_topk(cemb, cq, k=5, n_bits=_S.ann_bits(4000))),
+        "ivf_first_n": _recall(_S.ivf_topk(cemb, cq, k=5, n_lists=32, nprobe=2)),
+        "ivf_trained": _recall(
+            _S.ivf_topk(cemb, cq, k=5, n_lists=32, nprobe=2, cent=_S.ivf_train(cemb, n_lists=32, n_iters=2))
+        ),
+    }
     spark.stop()
 
     flagship_sec = timings.get("flagship", float("nan"))
@@ -221,6 +244,7 @@ def main() -> None:
         "compress_cells_per_sec": round(n_comp_cells / compress_sec, 1),
         "decompress_cells_per_sec": round(n_comp_cells / decompress_sec, 1),
         "decompress_vs_compress": round(decompress_sec / compress_sec, 3),
+        "recall_at_5_clustered": recall_clustered,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
