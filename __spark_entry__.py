@@ -515,15 +515,28 @@ def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="oracle_tiff_")
     try:
         path = os.path.join(d, "dem.tif")
-        geotiff.write_geotiff(path, arr, spec, tile_w=128, tile_h=128, compress=True)
-        cells = geotiff.read_geotiff_cells(spark, path)
-        out = cells.agg(
-            F.count("*").alias("n_cells"),
-            F.sum(F.col("z").cast("long")).alias("sum_z"),
-            F.min(F.col("z").cast("long")).alias("min_z"),
-            F.max(F.col("z").cast("long")).alias("max_z"),
-        ).collect()
-        return spark.createDataFrame(out, "n_cells long, sum_z long, min_z long, max_z long")
+        geotiff.write_geotiff(
+            path, arr, spec, tile_w=128, tile_h=128, compress=True, overviews=[2]
+        )
+
+        def agg_level(level: int, leg: str):
+            cells = geotiff.read_geotiff_cells(spark, path, level=level)
+            return [
+                (leg, *r)
+                for r in cells.agg(
+                    F.count("*").alias("n_cells"),
+                    F.sum(F.col("z").cast("long")).alias("sum_z"),
+                    F.min(F.col("z").cast("long")).alias("min_z"),
+                    F.max(F.col("z").cast("long")).alias("max_z"),
+                ).collect()
+            ]
+
+        # level 1 = the factor-2 COG overview (floor(mean) blocks, the A5
+        # downsample pyramid materialized as a chained IFD)
+        out = agg_level(0, "full") + agg_level(1, "overview2")
+        return spark.createDataFrame(
+            out, "leg string, n_cells long, sum_z long, min_z long, max_z long"
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -1722,11 +1735,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile_index, COUNT(*) AS n_spans, MIN(tile_mean_z) AS tile_mean_z
             FROM pts JOIN stats USING (tile_index) GROUP BY 1
         """,
+        # overview leg: floor(mean) over 2x2 blocks — flip-invariant because
+        # SPEC_A.n_rows is even, so north-up storage pairs the same rows
         "geotiff_roundtrip": f"""
-            SELECT COUNT(*) AS n_cells,
+            SELECT 'full' AS leg, COUNT(*) AS n_cells,
                    CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z,
                    CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
             FROM ({_grid_a('dem')})
+            UNION ALL
+            SELECT 'overview2', COUNT(*),
+                   CAST(SUM(ov) AS BIGINT), CAST(MIN(ov) AS BIGINT), CAST(MAX(ov) AS BIGINT)
+            FROM (
+              SELECT CAST(floor(AVG(CAST(z AS DOUBLE))) AS BIGINT) AS ov
+              FROM ({_grid_a('dem')})
+              GROUP BY row // 2, col // 2
+            )
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "resumable_write": f"""

@@ -415,6 +415,13 @@ def bilinear_points(
     g = joined.groupBy(pt_id, "_ct", "_cs").agg(
         *[F.max(F.when(F.col("sid") == s, F.col("_z"))).alias(f"z{s}") for s in range(4)]
     )
+    # a stencil cell in a missing/sparse tile leaves z_i NULL: drop the point
+    # (readValue throws there; also matches the oracle's four INNER joins —
+    # ADVICE round 2, sparse-store parity)
+    g = g.filter(
+        F.col("z0").isNotNull() & F.col("z1").isNotNull()
+        & F.col("z2").isNotNull() & F.col("z3").isNotNull()
+    )
     ct, cs = F.col("_ct"), F.col("_cs")
     y0 = (1 - ct) * F.col("z0") + ct * F.col("z1")
     y1 = (1 - ct) * F.col("z2") + ct * F.col("z3")

@@ -541,7 +541,9 @@ def encode_tile(
             continue
         try:
             r = enc(v)
-        except ValueError:
+        except (ValueError, IndexError):
+            # degenerate shapes (e.g. 1x1 tiles, permitted by GridSpec) fall
+            # back to raw instead of crashing the kernel (ADVICE round 2)
             continue
         if r is None:  # all-null tile or null-code delta collision
             continue
@@ -555,6 +557,8 @@ def encode_tile(
         candidates = [
             ("deflate", bytes([CODEC_DEFLATE_INDEX]) + header + zlib.compress(m32, 6)),
         ]
+        if len(m32) == 0:  # 1x1 tile: no symbols, Huffman has no tree to build
+            use_huffman = use_gvrs_huffman = False
         if use_huffman:
             from gridfour_spark import huffman as _h
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gridfour_spark.spec import GridSpec
 
 # TIFF tag ids
+_NEW_SUBFILE_TYPE = 254
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
@@ -51,21 +52,14 @@ _TYPE_LONG = 4
 _TYPE_DOUBLE = 12
 
 
-def write_geotiff(
-    path: str,
-    cells: np.ndarray,
-    spec: GridSpec,
-    tile_w: int = 256,
-    tile_h: int = 256,
-    compress: bool = True,
-) -> None:
-    """Write an int32 grid as a tiled (COG-layout) GeoTIFF.
-
-    Row 0 of `cells` is grid row 0; the tiepoint maps raster (0,0) EDGE to
-    the model coordinate of cell (0,0)'s upper-left corner using GridSpec's
-    cell-center origin convention."""
-    nr, nc = cells.shape
-    v = cells.astype("<i4")
+def _ifd_block(arr: np.ndarray, tile_w: int, tile_h: int, compress: bool,
+               sx: float, sy_pos: float, ulx: float, uly: float,
+               base: int, is_overview: bool) -> tuple[bytes, list, int]:
+    """Serialize ONE IFD + its out-of-line data + tile payloads starting at
+    absolute offset ``base``. Returns (bytes_without_next_ptr_patched,
+    entries_meta, next_ifd_ptr_offset_within_block)."""
+    nr, nc = arr.shape
+    v = arr.astype("<i4")
     tiles_across = (nc + tile_w - 1) // tile_w
     tiles_down = (nr + tile_h - 1) // tile_h
     payloads = []
@@ -79,15 +73,9 @@ def write_geotiff(
             payloads.append(zlib.compress(raw, 6) if compress else raw)
 
     n_tiles = len(payloads)
-    # header + IFD layout
-    entries = []  # (tag, type, count, value_or_offset_placeholder)
-    # out-of-line data area starts after header(8) + ifd(2 + 12*n + 4)
-    n_entries = 12
-    ifd_off = 8
-    data_off = ifd_off + 2 + 12 * n_entries + 4
-
-    # out-of-line blocks: tile offsets, byte counts, pixel scale, tiepoint
-    offsets_pos = data_off
+    n_entries = 14 if is_overview else 13  # + NewSubfileType on overviews
+    ifd_size = 2 + 12 * n_entries + 4
+    offsets_pos = base + ifd_size
     counts_pos = offsets_pos + 4 * n_tiles
     scale_pos = counts_pos + 4 * n_tiles
     tie_pos = scale_pos + 8 * 3
@@ -102,6 +90,9 @@ def write_geotiff(
     def entry(tag, typ, count, value):
         return struct.pack("<HHII", tag, typ, count, value)
 
+    entries = []
+    if is_overview:
+        entries.append(entry(_NEW_SUBFILE_TYPE, _TYPE_LONG, 1, 1))  # reduced-res
     entries.append(entry(_IMAGE_WIDTH, _TYPE_LONG, 1, nc))
     entries.append(entry(_IMAGE_LENGTH, _TYPE_LONG, 1, nr))
     entries.append(entry(_BITS_PER_SAMPLE, _TYPE_SHORT, 1, 32))
@@ -110,79 +101,166 @@ def write_geotiff(
     entries.append(entry(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, 1))
     entries.append(entry(_TILE_WIDTH, _TYPE_SHORT, 1, tile_w))
     entries.append(entry(_TILE_LENGTH, _TYPE_SHORT, 1, tile_h))
-    entries.append(entry(_TILE_OFFSETS, _TYPE_LONG, n_tiles, offsets_pos))
-    entries.append(entry(_TILE_BYTE_COUNTS, _TYPE_LONG, n_tiles, counts_pos))
+    # TIFF 6.0: a count-1 LONG value is stored INLINE in the entry, not via
+    # a pointer — matters for single-tile overview levels
+    entries.append(
+        entry(_TILE_OFFSETS, _TYPE_LONG, n_tiles,
+              tile_offsets[0] if n_tiles == 1 else offsets_pos)
+    )
+    entries.append(
+        entry(_TILE_BYTE_COUNTS, _TYPE_LONG, n_tiles,
+              len(payloads[0]) if n_tiles == 1 else counts_pos)
+    )
+    # SampleFormat 2 = signed int (ADVICE round 2: omitting it makes external
+    # readers treat negative ocean depths as unsigned)
+    entries.append(entry(_SAMPLE_FORMAT, _TYPE_SHORT, 1, 2))
     entries.append(entry(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, 3, scale_pos))
     entries.append(entry(_MODEL_TIEPOINT, _TYPE_DOUBLE, 6, tie_pos))
 
-    # tiepoint: raster (0,0,0) -> model upper-left EDGE of cell (0,0).
-    # GridSpec: (x0, y0) is the CENTER of cell (0,0) and row 0 is the
-    # y0 edge of the grid; GeoTIFF rasters are stored north-up (row 0 = max
-    # y), so we store rows in grid order and a NEGATIVE... — we keep row 0 =
-    # grid row 0 with +y scale via the tiepoint convention below.
-    sx, sy = spec.cell_size_x, spec.cell_size_y
-    ulx = spec.x0 - sx / 2.0
-    uly = spec.y0 - sy / 2.0
+    out = bytearray()
+    out += struct.pack("<H", n_entries)
+    for e in entries:
+        out += e
+    next_ptr_off = len(out)
+    out += struct.pack("<I", 0)  # next IFD pointer (patched by caller)
+    out += struct.pack(f"<{n_tiles}I", *tile_offsets)
+    out += struct.pack(f"<{n_tiles}I", *[len(pl) for pl in payloads])
+    out += struct.pack("<3d", sx, sy_pos, 0.0)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, ulx, uly, 0.0)
+    for pl in payloads:
+        out += pl
+    return bytes(out), payloads, next_ptr_off
+
+
+def write_geotiff(
+    path: str,
+    cells: np.ndarray,
+    spec: GridSpec,
+    tile_w: int = 256,
+    tile_h: int = 256,
+    compress: bool = True,
+    overviews: list[int] | None = None,
+) -> None:
+    """Write an int32 grid as a NORTH-UP tiled (COG-layout) GeoTIFF, with
+    optional reduced-resolution overview IFDs (the COG pyramid,
+    demo/.../geoTiff/DemoCOG.java:55-90).
+
+    Standard GeoTIFF convention (ADVICE round 2): stored row 0 is the MAX-y
+    row, ModelPixelScale y is POSITIVE, and y(row r) = ULY - (r + 0.5) * sy.
+    Grids whose GridSpec has cell_size_y > 0 (row index increases northward)
+    are flipped on write; grids already north-up (cell_size_y < 0) are
+    stored as-is. SampleFormat=2 marks the samples signed.
+
+    overviews: list of decimation factors (e.g. [2, 4]); each level stores
+    floor(mean) over factor x factor blocks of the FULL-RES grid — the A5
+    downsample pyramid materialized as COG overviews."""
+    nr, nc = cells.shape
+    cs_x, cs_y = spec.cell_size_x, spec.cell_size_y
+    if cs_y > 0:
+        arr0 = cells[::-1, :]
+        sy_pos = cs_y
+        uly = spec.y0 + (nr - 0.5) * cs_y  # top edge above the LAST grid row
+    else:
+        arr0 = cells
+        sy_pos = -cs_y
+        uly = spec.y0 - cs_y / 2.0  # cs_y negative: top edge above row 0
+    ulx = spec.x0 - cs_x / 2.0
+
+    levels = [(arr0, (cs_x, sy_pos), (ulx, uly))]
+    for f in overviews or []:
+        h = (nr // f) * f
+        w = (nc // f) * f
+        blocks = arr0[:h, :w].reshape(h // f, f, w // f, f)
+        ov = np.floor(blocks.astype(np.float64).mean(axis=(1, 3))).astype(np.int32)
+        levels.append((ov, (cs_x * f, sy_pos * f), (ulx, uly)))
+
+    blobs = []
+    pos = 8
+    for i, (arr, (sx, sy), (ux, uy)) in enumerate(levels):
+        blob, _, next_off = _ifd_block(
+            arr, min(tile_w, max(16, arr.shape[1])), min(tile_h, max(16, arr.shape[0])),
+            compress, sx, sy, ux, uy, pos, is_overview=(i > 0),
+        )
+        blobs.append((pos, bytearray(blob), next_off))
+        pos += len(blob)
+
+    # chain the IFDs
+    for i in range(len(blobs) - 1):
+        base, blob, next_off = blobs[i]
+        struct.pack_into("<I", blob, next_off, blobs[i + 1][0])
 
     with open(path, "wb") as f:
-        f.write(struct.pack("<2sHI", b"II", 42, ifd_off))
-        f.write(struct.pack("<H", n_entries))
-        for e in entries:
-            f.write(e)
-        f.write(struct.pack("<I", 0))  # next IFD
-        f.write(struct.pack(f"<{n_tiles}I", *tile_offsets))
-        f.write(struct.pack(f"<{n_tiles}I", *[len(pl) for pl in payloads]))
-        f.write(struct.pack("<3d", sx, sy, 0.0))
-        f.write(struct.pack("<6d", 0.0, 0.0, 0.0, ulx, uly, 0.0))
-        for pl in payloads:
-            f.write(pl)
+        f.write(struct.pack("<2sHI", b"II", 42, 8))
+        for _, blob, _ in blobs:
+            f.write(blob)
 
 
-def parse_ifd(path: str) -> dict:
-    """Driver-side IFD parse (metadata-sized read)."""
+def parse_ifds(path: str) -> list[dict]:
+    """Driver-side parse of the full IFD CHAIN (metadata-sized reads):
+    element 0 is the full-resolution image, later elements are COG
+    overview levels (NewSubfileType=1, DemoCOG.java:55-90)."""
+    out = []
     with open(path, "rb") as f:
         head = f.read(8)
         order, magic, ifd_off = struct.unpack("<2sHI", head)
         if order != b"II" or magic != 42:
             raise ValueError("only little-endian classic TIFF supported")
-        f.seek(ifd_off)
-        (n,) = struct.unpack("<H", f.read(2))
-        raw = f.read(12 * n)
-        tags = {}
-        for i in range(n):
-            tag, typ, count, val = struct.unpack_from("<HHII", raw, 12 * i)
-            tags[tag] = (typ, count, val)
+        while ifd_off:
+            f.seek(ifd_off)
+            (n,) = struct.unpack("<H", f.read(2))
+            raw = f.read(12 * n)
+            (next_off,) = struct.unpack("<I", f.read(4))
+            tags = {}
+            for i in range(n):
+                tag, typ, count, val = struct.unpack_from("<HHII", raw, 12 * i)
+                tags[tag] = (typ, count, val)
 
-        def read_array(tag, fmt, size):
-            typ, count, val = tags[tag]
-            if count * size <= 4:
-                return [val]
-            f.seek(val)
-            return list(struct.unpack(f"<{count}{fmt}", f.read(count * size)))
+            def read_array(tag, fmt, size):
+                typ, count, val = tags[tag]
+                if count * size <= 4:
+                    return [val]
+                f.seek(val)
+                return list(struct.unpack(f"<{count}{fmt}", f.read(count * size)))
 
-        info = {
-            "width": tags[_IMAGE_WIDTH][2],
-            "height": tags[_IMAGE_LENGTH][2],
-            "bits": tags[_BITS_PER_SAMPLE][2],
-            "compression": tags[_COMPRESSION][2],
-            "tile_w": tags[_TILE_WIDTH][2],
-            "tile_h": tags[_TILE_LENGTH][2],
-            "tile_offsets": read_array(_TILE_OFFSETS, "I", 4),
-            "tile_counts": read_array(_TILE_BYTE_COUNTS, "I", 4),
-        }
-        if info["bits"] != 32:
-            raise ValueError("only 32-bit samples supported")
-        if info["compression"] not in (1, 8):
-            raise ValueError("only uncompressed/deflate tiles supported")
-        if _MODEL_PIXEL_SCALE in tags:
-            info["pixel_scale"] = read_array(_MODEL_PIXEL_SCALE, "d", 8)
-            info["tiepoint"] = read_array(_MODEL_TIEPOINT, "d", 8)
-        return info
+            info = {
+                "width": tags[_IMAGE_WIDTH][2],
+                "height": tags[_IMAGE_LENGTH][2],
+                "bits": tags[_BITS_PER_SAMPLE][2],
+                "compression": tags[_COMPRESSION][2],
+                "tile_w": tags[_TILE_WIDTH][2],
+                "tile_h": tags[_TILE_LENGTH][2],
+                "tile_offsets": read_array(_TILE_OFFSETS, "I", 4),
+                "tile_counts": read_array(_TILE_BYTE_COUNTS, "I", 4),
+                "sample_format": tags.get(_SAMPLE_FORMAT, (3, 1, 1))[2],
+                "is_overview": bool(tags.get(_NEW_SUBFILE_TYPE, (4, 1, 0))[2] & 1),
+            }
+            if info["bits"] != 32:
+                raise ValueError("only 32-bit samples supported")
+            if info["compression"] not in (1, 8):
+                raise ValueError("only uncompressed/deflate tiles supported")
+            if _MODEL_PIXEL_SCALE in tags:
+                info["pixel_scale"] = read_array(_MODEL_PIXEL_SCALE, "d", 8)
+                info["tiepoint"] = read_array(_MODEL_TIEPOINT, "d", 8)
+                if info["pixel_scale"][1] <= 0:
+                    # north-up convention stores a POSITIVE y scale; a
+                    # non-positive scale is a malformed/rotated file we
+                    # refuse rather than silently flipping latitudes
+                    raise ValueError("non-north-up GeoTIFF (ModelPixelScale y <= 0)")
+            out.append(info)
+            ifd_off = next_off
+    return out
 
 
-def spec_from_geotiff(path: str, n_rows_in_tile: int | None = None, n_cols_in_tile: int | None = None) -> GridSpec:
-    """GridSpec from the IFD's geo tags (tiepoint edge -> cell-center x0/y0)."""
-    info = parse_ifd(path)
+def parse_ifd(path: str) -> dict:
+    """First (full-resolution) IFD."""
+    return parse_ifds(path)[0]
+
+
+def spec_from_geotiff(path: str, n_rows_in_tile: int | None = None, n_cols_in_tile: int | None = None, level: int = 0) -> GridSpec:
+    """GridSpec from the IFD geo tags, honoring the NORTH-UP convention
+    (ADVICE round 2): stored row r has center y = ULY - (r + 0.5) * sy, so
+    the GridSpec gets y0 = uly - sy/2 and a NEGATIVE cell_size_y."""
+    info = parse_ifds(path)[level]
     sx, sy = info["pixel_scale"][0], info["pixel_scale"][1]
     ulx, uly = info["tiepoint"][3], info["tiepoint"][4]
     return GridSpec(
@@ -191,20 +269,20 @@ def spec_from_geotiff(path: str, n_rows_in_tile: int | None = None, n_cols_in_ti
         n_rows_in_tile=n_rows_in_tile or info["tile_h"],
         n_cols_in_tile=n_cols_in_tile or info["tile_w"],
         x0=ulx + sx / 2.0,
-        y0=uly + sy / 2.0,
+        y0=uly - sy / 2.0,
         cell_size_x=sx,
-        cell_size_y=sy,
+        cell_size_y=-sy,
     )
 
 
-def read_geotiff_cells(spark: SparkSession, path: str) -> DataFrame:
+def read_geotiff_cells(spark: SparkSession, path: str, level: int = 0) -> DataFrame:
     """GeoTIFF -> cells(row, col, z) DataFrame.
 
     The driver ships only tile DESCRIPTORS (offset, length, tile coords);
     executors range-read and inflate their tiles in an Arrow kernel — the
     COG access pattern (per-tile range requests) expressed as a Spark scan.
     Feed the result to store.build_tiles to re-tile into any GVRS spec."""
-    info = parse_ifd(path)
+    info = parse_ifds(path)[level]
     nr, nc = info["height"], info["width"]
     tw, th = info["tile_w"], info["tile_h"]
     comp = info["compression"]

@@ -80,6 +80,11 @@ def _walk(root) -> tuple[list[int], dict[int, list[int]]]:
 
 def encode(data: bytes) -> tuple[int, bytes]:
     """-> (n_bits, packed bytes): the exact BitOutputStore content."""
+    if len(data) == 0:
+        # an empty symbol stream has no tree; let the codec race fall back
+        # (encode_tile catches ValueError) rather than IndexError-crash in
+        # _build_tree (ADVICE round 2)
+        raise ValueError("empty symbol stream")
     b = np.frombuffer(data, dtype=np.uint8)
     counts = np.bincount(b, minlength=256)
     root, n_leaves = _build_tree(counts)

@@ -127,6 +127,44 @@ def _decode_tables(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return table_sym, table_len
 
 
+def _decode_slow(lengths: np.ndarray, bits: np.ndarray, n_syms: int) -> bytes:
+    """Compatibility path for payloads whose code lengths exceed
+    MAX_CODE_LEN (the pre-package-merge encoder emitted heap-built codes up
+    to 32 bits; ADVICE round 2). First-code/offset canonical walk — scalar,
+    but only legacy payloads ever reach it."""
+    order = sorted((int(l), s) for s, l in enumerate(lengths) if l > 0)
+    max_l = order[-1][0]
+    first_code = [0] * (max_l + 2)
+    first_idx = [0] * (max_l + 2)
+    count = [0] * (max_l + 2)
+    for i, (l, _s) in enumerate(order):
+        if count[l] == 0:
+            first_idx[l] = i
+        count[l] += 1
+    code = 0
+    for l in range(1, max_l + 1):
+        code <<= 1
+        first_code[l] = code
+        code += count[l]
+    syms = bytearray(n_syms)
+    out_i = 0
+    acc = 0
+    l = 0
+    for bit in bits.tolist():
+        acc = (acc << 1) | bit
+        l += 1
+        if count[l] and (off := acc - first_code[l]) < count[l] and off >= 0:
+            syms[out_i] = order[first_idx[l] + off][1]
+            out_i += 1
+            if out_i == n_syms:
+                break
+            acc = 0
+            l = 0
+    if out_i != n_syms:
+        raise ValueError("truncated Huffman bitstream")
+    return bytes(syms)
+
+
 def huff_decode(packed: bytes) -> bytes:
     """Vectorized table-driven decode: sliding 16-bit windows over the
     bitstream, symbol length per position from the canonical table, then
@@ -135,8 +173,6 @@ def huff_decode(packed: bytes) -> bytes:
 
     tlen = int.from_bytes(packed[0:2], "little")
     lengths = np.frombuffer(zlib.decompress(packed[2 : 2 + tlen]), dtype=np.uint8)
-    if int(lengths.max(initial=0)) > MAX_CODE_LEN:
-        raise ValueError("code length exceeds decoder cap")
     pos = 2 + tlen
     total_bits = int.from_bytes(packed[pos : pos + 4], "little")
     n_syms = int.from_bytes(packed[pos + 4 : pos + 8], "little")
@@ -145,6 +181,9 @@ def huff_decode(packed: bytes) -> bytes:
     bits = np.unpackbits(
         np.frombuffer(packed[pos + 8 :], dtype=np.uint8), bitorder="big"
     )[:total_bits]
+
+    if int(lengths.max(initial=0)) > MAX_CODE_LEN:
+        return _decode_slow(lengths, bits, n_syms)
 
     table_sym, table_len = _decode_tables(lengths)
 

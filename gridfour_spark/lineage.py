@@ -94,8 +94,13 @@ def write_tiles_resumable(
         shutil.rmtree(staging, ignore_errors=True)  # leftovers from a crash
         remaining = tiles.filter(F.col("tile_bucket").isin(todo))
         remaining.write.mode("overwrite").partitionBy("tile_bucket").parquet(staging)
-        # per-bucket counters in one small job over the staged files
-        try:
+        # per-bucket counters in one small job over the staged files. The
+        # empty case (all todo buckets empty -> no partition dirs staged) is
+        # detected EXPLICITLY; a genuine read failure propagates instead of
+        # silently committing n_tiles=0 lineage rows (ADVICE round 2).
+        import glob as _glob
+
+        if _glob.glob(os.path.join(staging, "tile_bucket=*")):
             staged = spark.read.option("basePath", staging).parquet(staging)
             stats = {
                 r.tile_bucket: (r.n_tiles, int(r.n_rows or 0))
@@ -103,7 +108,7 @@ def write_tiles_resumable(
                 .agg(F.count("*").alias("n_tiles"), F.sum("n_cells").alias("n_rows"))
                 .collect()
             }
-        except Exception:  # all todo buckets empty: nothing staged
+        else:
             stats = {}
         for b in todo:
             src = os.path.join(staging, f"tile_bucket={b}")

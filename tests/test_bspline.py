@@ -106,3 +106,33 @@ def test_dateline_seam(spark):
     for pid_, la, lo, lb in pts:
         base.setdefault((la, lb), by_id[pid_])
         assert abs(by_id[pid_] - base[(la, lb)]) <= 1e-9, (la, lo, lb)
+
+
+def test_bilinear_sparse_store_drops_missing_stencil(spark):
+    """A4 on a SPARSE tile store: points whose 2x2 stencil touches a missing
+    tile are DROPPED (readValue throws; matches the oracle's inner joins —
+    ADVICE round 2), never emitted with NULL z."""
+    spec = GridSpec(
+        n_rows=20, n_cols=20, n_rows_in_tile=10, n_cols_in_tile=10,
+        x0=0.0, y0=0.0, cell_size_x=1.0, cell_size_y=1.0,
+    )
+    r, c = np.meshgrid(np.arange(20), np.arange(20), indexing="ij")
+    z = (r * 20 + c).astype(np.float64)
+    cells = spark.createDataFrame(
+        [(int(rr), int(cc), float(z[rr, cc])) for rr in range(20) for cc in range(20)],
+        "row int, col int, z double",
+    )
+    # drop tile (0,0): rows 0-9 x cols 0-9 missing
+    tiles = store.build_tiles(cells, spec).filter(F.col("tile_index") != 0)
+
+    pts = [
+        (0, 4.5, 4.5),    # fully inside the missing tile -> dropped
+        (1, 4.5, 14.5),   # inside tile (0,1) -> kept
+        (2, 9.5, 4.5),    # straddles missing tile rows 9/10 -> dropped
+        (3, 14.5, 14.5),  # tile (1,1) -> kept
+    ]
+    pdf = spark.createDataFrame(pts, "pt_id int, grid_row_f double, grid_col_f double")
+    got = {r.pt_id: r.z_q for r in bspline.bilinear_points(pdf, tiles, spec).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == int(np.floor((4.5 * 20 + 14.5) * 1e6))
+    assert got[3] == int(np.floor((14.5 * 20 + 14.5) * 1e6))

@@ -333,6 +333,42 @@ def test_huffman_length_cap_and_optimality():
     assert H.huff_decode(enc) == data
 
 
+def test_huffman_legacy_long_code_decode():
+    """Payloads persisted by the pre-package-merge encoder may carry code
+    lengths up to 32 bits; huff_decode must fall back to the first-code walk
+    instead of raising (ADVICE round 2)."""
+    import zlib
+
+    from gridfour_spark import huffman as H
+
+    # Kraft-complete length set with max length 18 > MAX_CODE_LEN:
+    # lengths 1,2,...,17,18,18 over symbols 0..18
+    lengths = np.zeros(256, dtype=np.uint8)
+    for s in range(17):
+        lengths[s] = s + 1
+    lengths[17] = lengths[18] = 18
+    assert sum(2.0 ** -int(l) for l in lengths if l) == 1.0
+    codes = H.canonical_codes(lengths)
+
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 19, size=500, dtype=np.uint8))
+    bits = []
+    for s in data:
+        l = int(lengths[s])
+        c = int(codes[s])
+        bits.extend((c >> (l - 1 - k)) & 1 for k in range(l))
+    stream = np.packbits(np.array(bits, dtype=np.uint8), bitorder="big").tobytes()
+    table = zlib.compress(lengths.tobytes(), 9)
+    packed = (
+        len(table).to_bytes(2, "little")
+        + table
+        + len(bits).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + stream
+    )
+    assert H.huff_decode(packed) == data
+
+
 def test_nulls_predictor_reference_test_vector():
     """Exact port of PredictorModelDifferencingWithNullsTest.testRoundTrip
     (:53-83): even-column ramp with a diagonal of nulls, byte-level M32

@@ -1,10 +1,12 @@
 """S10: COG-style tiled GeoTIFF source round trips (pure-binary parser —
 no GDAL in this container; the format subset is the cloud-optimized
-elevation shape: tiled, int32, deflate or raw)."""
+elevation shape: tiled, int32 SampleFormat=2, deflate or raw, NORTH-UP
+orientation with optional overview IFDs)."""
 
 from __future__ import annotations
 
 import os
+import struct
 import tempfile
 
 import numpy as np
@@ -25,28 +27,114 @@ def _dem(nr, nc):
     return np.floor(4000 * np.sin(r * 0.021) * np.cos(c * 0.017)).astype(np.int32)
 
 
+def _model_y(spec, row):
+    return spec.y0 + row * spec.cell_size_y
+
+
 @pytest.mark.parametrize("compress", [True, False])
-def test_geotiff_round_trip(spark, compress):
+def test_geotiff_round_trip_north_up(spark, compress):
+    """The file is stored north-up (row 0 = max y, positive pixel scale);
+    the round trip is faithful in MODEL coordinates: the z value at a given
+    (y, x) is preserved even though stored row order flips."""
     v = _dem(SPEC.n_rows, SPEC.n_cols)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "dem.tif")
         geotiff.write_geotiff(path, v, SPEC, tile_w=128, tile_h=96, compress=compress)
-        # spec extraction: cell-center origin reconstructed from edge tiepoint
         spec2 = geotiff.spec_from_geotiff(path)
         assert (spec2.n_rows, spec2.n_cols) == (300, 500)
-        assert abs(spec2.x0 - SPEC.x0) < 1e-12 and abs(spec2.y0 - SPEC.y0) < 1e-12
-        assert spec2.cell_size_x == SPEC.cell_size_x
+        # north-up: read spec has NEGATIVE y cell size; row 0 is the top
+        assert spec2.cell_size_y == -SPEC.cell_size_y
+        assert abs(spec2.x0 - SPEC.x0) < 1e-12
+        assert abs(spec2.y0 - _model_y(SPEC, SPEC.n_rows - 1)) < 1e-9
 
         cells = geotiff.read_geotiff_cells(spark, path)
         got = cells.orderBy("row", "col").collect()
         assert len(got) == 300 * 500
         arr = np.array([r.z for r in got], dtype=np.int64).reshape(300, 500)
+        # stored row r = grid row (n_rows - 1 - r): model-coordinate identity
+        np.testing.assert_array_equal(arr, v[::-1, :])
+        for row in (0, 137, 299):
+            assert abs(_model_y(spec2, row) - _model_y(SPEC, SPEC.n_rows - 1 - row)) < 1e-9
+
+
+def test_geotiff_already_north_up_not_flipped(spark):
+    spec_n = GridSpec(
+        n_rows=60, n_cols=80, n_rows_in_tile=32, n_cols_in_tile=32,
+        x0=0.05, y0=25.95, cell_size_x=0.1, cell_size_y=-0.1,
+    )
+    v = _dem(60, 80)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dem.tif")
+        geotiff.write_geotiff(path, v, spec_n, tile_w=32, tile_h=32)
+        spec2 = geotiff.spec_from_geotiff(path)
+        assert abs(spec2.y0 - spec_n.y0) < 1e-12
+        assert spec2.cell_size_y == spec_n.cell_size_y
+        got = geotiff.read_geotiff_cells(spark, path).orderBy("row", "col").collect()
+        arr = np.array([r.z for r in got], dtype=np.int64).reshape(60, 80)
         np.testing.assert_array_equal(arr, v)
+
+
+def test_sample_format_tag_written():
+    v = _dem(40, 40)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dem.tif")
+        geotiff.write_geotiff(path, v, SPEC, tile_w=32, tile_h=32)
+        info = geotiff.parse_ifd(path)
+        assert info["sample_format"] == 2  # signed int (ADVICE round 2)
+
+
+def test_geotiff_rejects_non_north_up():
+    v = _dem(40, 40)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dem.tif")
+        geotiff.write_geotiff(path, v, SPEC, tile_w=32, tile_h=32, compress=False)
+        # corrupt the y pixel scale to a negative value
+        info = geotiff.parse_ifds(path)
+        raw = bytearray(open(path, "rb").read())
+        # find the 3-double pixel-scale block and negate sy
+        sx, sy = info[0]["pixel_scale"][0], info[0]["pixel_scale"][1]
+        pat = struct.pack("<3d", sx, sy, 0.0)
+        idx = raw.find(pat)
+        assert idx > 0
+        raw[idx : idx + 24] = struct.pack("<3d", sx, -sy, 0.0)
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="north-up"):
+            geotiff.parse_ifds(path)
+
+
+def test_cog_overviews(spark):
+    """Multi-IFD pyramid: overview levels decode and equal floor(block mean)
+    of the full-res NORTH-UP image; georeferencing scales with the factor."""
+    v = _dem(SPEC.n_rows, SPEC.n_cols)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dem.tif")
+        geotiff.write_geotiff(path, v, SPEC, tile_w=128, tile_h=128, overviews=[2, 4])
+        infos = geotiff.parse_ifds(path)
+        assert len(infos) == 3
+        assert not infos[0]["is_overview"] and infos[1]["is_overview"]
+        assert (infos[1]["height"], infos[1]["width"]) == (150, 250)
+        assert (infos[2]["height"], infos[2]["width"]) == (75, 125)
+
+        north = v[::-1, :]
+        for li, f in [(1, 2), (2, 4)]:
+            got = (
+                geotiff.read_geotiff_cells(spark, path, level=li)
+                .orderBy("row", "col")
+                .collect()
+            )
+            h, w = (300 // f), (500 // f)
+            arr = np.array([r.z for r in got], dtype=np.int64).reshape(h, w)
+            blocks = north[: h * f, : w * f].reshape(h, f, w, f)
+            expect = np.floor(blocks.astype(np.float64).mean(axis=(1, 3))).astype(np.int64)
+            np.testing.assert_array_equal(arr, expect)
+            spec_l = geotiff.spec_from_geotiff(path, level=li)
+            assert abs(spec_l.cell_size_x - SPEC.cell_size_x * f) < 1e-12
+            assert abs(spec_l.cell_size_y + SPEC.cell_size_y * f) < 1e-12
 
 
 def test_geotiff_feeds_tile_store(spark):
     """The scan output drops straight into build_tiles: re-tile a GeoTIFF
-    into a GVRS spec and point-read it."""
+    into a GVRS spec and point-read it (north-up row order)."""
     v = _dem(SPEC.n_rows, SPEC.n_cols)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "dem.tif")
@@ -58,6 +146,7 @@ def test_geotiff_feeds_tile_store(spark):
             ((F.col("id") * 37) % SPEC.n_rows).alias("row"),
             ((F.col("id") * 61) % SPEC.n_cols).alias("col"),
         )
+        north = v[::-1, :]
         got = store.point_read(pts, tiles, SPEC)
         for r in got.collect():
-            assert int(r.z) == int(v[r.row, r.col]), (r.row, r.col)
+            assert int(r.z) == int(north[r.row, r.col]), (r.row, r.col)
