@@ -494,6 +494,26 @@ def _decode_canon_huffman_tile(payload: bytes, nr: int, nc: int) -> np.ndarray:
     raise NotImplementedError("GvrsCanonicalHuffman tile decode not yet supported")
 
 
+def tile_payload_sizes(path: str, info: GvrsInfo) -> dict:
+    """Per-tile on-disk payload sizes: {tile_index: [n_bytes per element]}.
+
+    The stored size of each element block is the 4-byte length prefix's
+    value (RecordManager.readTile:502-515) — the unit the engine's
+    compressed sizes are compared against for bits/sample parity."""
+    out = {}
+    with open(path, "rb") as f:
+        for tile_index, pos in sorted(info.tile_positions.items()):
+            f.seek(pos)
+            f.read(4)  # tileIndex echo
+            sizes = []
+            for _e in info.elements:
+                n = struct.unpack("<i", f.read(4))[0]
+                f.seek(n, 1)
+                sizes.append(n)
+            out[int(tile_index)] = sizes
+    return out
+
+
 def read_tile_arrays(path: str, info: GvrsInfo, tile_indexes) -> list:
     """Decode tile records for the given tile indexes. Returns a list of
     (tile_index, [per-element float64 arrays with NaN nulls]).

@@ -447,25 +447,32 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            feats_mean, feats_max = [], []
-            for kind, payload in zip(pdf["media_meta"].map(lambda m: m["kind"]), pdf["payload"]):
-                if kind != "image/fake":
-                    raise NotImplementedError(
-                        f"real media decode ({kind}) requires codec libs not present in this container"
-                    )
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                feats_mean.append(float(arr.mean()))
-                feats_max.append(int(arr.max()))
+            # one unpack of the meta structs (no per-field .map lambdas)
+            meta = pd.DataFrame(pdf["media_meta"].tolist())
+            bad = meta["kind"][meta["kind"] != "image/fake"]
+            if len(bad):
+                raise NotImplementedError(
+                    f"real media decode ({bad.iloc[0]}) requires codec libs not present in this container"
+                )
+            # vectorized feature pass: concatenate all payloads into one
+            # uint8 buffer and segment-reduce by payload offsets — no
+            # per-row Python (the zip-loop this replaces)
+            lens = np.fromiter((len(b) for b in pdf["payload"]), dtype=np.int64, count=len(pdf))
+            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(buf.astype(np.int64), starts) if len(buf) else np.zeros(0)
+            maxs = np.maximum.reduceat(buf, starts) if len(buf) else np.zeros(0, np.uint8)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "span_offset": pdf["span_offset"],
                     "media_ref": pdf["media_ref"],
-                    "kind": pdf["media_meta"].map(lambda m: m["kind"]),
-                    "width": pdf["media_meta"].map(lambda m: m["width"]),
-                    "height": pdf["media_meta"].map(lambda m: m["height"]),
-                    "mean_byte": feats_mean,
-                    "max_byte": feats_max,
+                    "kind": meta["kind"],
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "mean_byte": sums / lens,
+                    "max_byte": maxs.astype(np.int32),
                 }
             )
 

@@ -1,0 +1,96 @@
+"""Compressed-size parity against the reference's own compressed sample
+stores (VERDICT round 2 item 5).
+
+The reference ships compressed golden files (Sample04-07 standard-codec,
+Sample14 LSOP) with known on-disk payload sizes. Decoding each tile with
+gvrsfile and re-encoding it with the engine's codec race must produce
+payloads no larger than the reference's, tile by tile — the race holds the
+same codecs (differencing/linear/triangle predictors through M32+Deflate,
+GVRS-format Huffman, float bit-planes, LSOP-12) plus the keep-smallest rule
+(RecordManager.writeTile:448-461), so size parity is the end-to-end proof
+that the kernels are not just decode-compatible but compression-competitive.
+
+Measured (engine bytes / reference bytes per sample):
+  Sample04_ShortComp 160/160   Sample05_IntComp 160/160
+  Sample06_FltComp  1132/1187  Sample07_ICFComp 160/160
+  Sample14_LSOP       54/1597 (race finds a smaller codec than forced LSOP;
+                               engine LSOP-only is 1634 vs 1597, +2.3%
+                               from zlib-vs-Java-Deflater stream details)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from gridfour_spark import compress as C
+from gridfour_spark import floatcodec as FC
+from gridfour_spark import gvrsfile as G
+from gridfour_spark import lsop
+
+SAMPLE_DIR = "/root/reference/core/src/test/resources/org/gridfour/gvrs/SampleFiles"
+
+COMPRESSED_SAMPLES = [
+    ("Sample04_ShortComp", "short"),
+    ("Sample05_IntComp", "int"),
+    ("Sample06_FltComp", "float"),
+    ("Sample07_ICFComp", "icf"),
+    ("Sample14_LSOP", "icf"),
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SAMPLE_DIR), reason="reference sample files not present"
+)
+
+
+def _engine_payload_bytes(vals: np.ndarray, etype: str, e, nr: int, nc: int) -> int:
+    """Re-encode one decoded tile with the engine's full codec race."""
+    if etype == "float":
+        return len(FC.encode_float_tile(vals.astype(np.float32), nr, nc))
+    if etype == "icf":
+        ints = np.round((vals - e.offset) * e.scale)
+        ints = np.where(np.isnan(vals), C.INT32_MIN, ints).astype(np.int64)
+    else:
+        ints = np.where(np.isnan(vals), C.INT32_MIN, vals).astype(np.int64)
+    r = C.encode_tile(ints, nr, nc, use_lsop=True, use_gvrs_huffman=True)
+    return r["n_bytes"]
+
+
+@pytest.mark.parametrize("name,etype", COMPRESSED_SAMPLES)
+def test_engine_race_not_larger_than_reference(name, etype):
+    path = f"{SAMPLE_DIR}/{name}.gvrs"
+    info = G.parse_gvrs_header(path)
+    sizes = G.tile_payload_sizes(path, info)
+    nr, nc = info.tile_rows, info.tile_cols
+    e = info.elements[0]
+    for ti, arrays in G.read_tile_arrays(path, info, sorted(sizes)):
+        eng = _engine_payload_bytes(arrays[0], etype, e, nr, nc)
+        assert eng <= sizes[ti][0], (name, ti, eng, sizes[ti][0])
+
+
+def test_lsop_encoder_size_close_to_reference():
+    """Engine LSOP-only payload within 5% of the reference's Sample14 LSOP
+    payload (residual Deflate streams differ: zlib vs java.util.Deflater)."""
+    path = f"{SAMPLE_DIR}/Sample14_LSOP.gvrs"
+    info = G.parse_gvrs_header(path)
+    sizes = G.tile_payload_sizes(path, info)
+    ((ti, arrays),) = G.read_tile_arrays(path, info, sorted(sizes))
+    e = info.elements[0]
+    ints = np.round((arrays[0] - e.offset) * e.scale).astype(np.int64)
+    r = lsop.encode_lsop(ints.astype(np.int32), info.tile_rows, info.tile_cols)
+    assert r is not None
+    ref_n = sizes[ti][0]
+    assert r["n_bytes"] <= ref_n * 1.05, (r["n_bytes"], ref_n)
+
+
+def test_uncompressed_samples_standard_size():
+    """Non-compressed stores carry exactly the standard payload per tile
+    (2 bytes/cell short padded to 4-alignment, else 4 bytes/cell)."""
+    for name in ("Sample00_ShortNoComp", "Sample01_IntNoComp", "Sample02_FltNoComp"):
+        path = f"{SAMPLE_DIR}/{name}.gvrs"
+        info = G.parse_gvrs_header(path)
+        sizes = G.tile_payload_sizes(path, info)
+        std = info.standard_size_for(info.elements[0])
+        assert all(s[0] == std for s in sizes.values()), name
