@@ -567,6 +567,65 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_tile_counts executed as a REAL micro-batch stream (readStream
+    -> update-mode tile aggregation -> memory sink, availableNow) — the
+    stream==batch parity proven in tests/test_streaming.py, wired through the
+    oracle gate: the DuckDB twin recomputes the per-tile counts in batch SQL
+    (event geometry is a pure function of event_id/user_id, streaming.py
+    event_points)."""
+    import os
+    import shutil
+    import tempfile
+
+    from gridfour_spark import streaming
+
+    d = tempfile.mkdtemp(prefix="oracle_stream_")
+    try:
+        in_dir = os.path.join(d, "in")
+        os.makedirs(in_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "events.parquet"))
+        ev = streaming.read_event_stream(spark, in_dir)
+        out = streaming.streaming_tile_counts(ev)
+        qname = "stream_tile_counts_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pdf = spark.table(qname).toPandas()
+        spark.catalog.dropTempView(qname)
+        return spark.createDataFrame(pdf, "tile_index long, n_events long")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream_tile_counts_sql() -> str:
+    from gridfour_spark import pipeline
+
+    g = pipeline.geo_to_grid_sql(GLOBAL_GRID)
+    ta = tile_assignment_sql(GLOBAL_GRID)
+    return f"""
+WITH pts AS (
+  SELECT *, {g['row']} AS row, {g['col']} AS col FROM (
+    SELECT *, {synth.LAT_SQL} AS lat, {synth.LON_SQL} AS lon FROM (
+      SELECT event_id AS doc_id, CAST(user_id % 64 AS INTEGER) AS span_offset
+      FROM events
+    )
+  )
+),
+t AS (
+  SELECT CASE WHEN row < 0 OR col < 0 THEN -1 ELSE {ta['tile_index']} END AS tile_index
+  FROM pts
+)
+SELECT tile_index, COUNT(*) AS n_events FROM t WHERE tile_index >= 0 GROUP BY 1
+"""
+
+
 def _q_resumable_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T11 end-to-end through the oracle gate: resumable lineage-committed
     store write (partial first write simulating a crash, then resume with
@@ -931,8 +990,20 @@ def _q_metadata_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (M.PRODUCT, 0, "ASCII", None, "gridfour-spark"),
         ],
     )
+    # typed well-known path: a second WKT write goes through put_wkt
+    # (stamps the MNC 'string' tag) and a mistyped WKT row under a different
+    # record_id is EXCLUDED by the typed read (GvrsMetadataNames contract)
     final = M.upsert_metadata(base, updates)
-    return final.select("name", "record_id", "mtype", "text")
+    final = M.put_wkt(final, "PROJCS[UTM10N]")
+    bad = M.make_metadata(spark, [(M.WKT, 7, "integer", None, "not-text")])
+    final = M.upsert_metadata(final, bad)
+    typed = M.get_wkt(final).select(
+        F.lit("WKT_typed").alias("name"),
+        F.lit(100).alias("record_id"),
+        F.col("mtype"),
+        F.col("text"),
+    )
+    return final.select("name", "record_id", "mtype", "text").unionByName(typed)
 
 
 _METADATA_UPSERT_SQL = """
@@ -948,11 +1019,23 @@ updates AS (
   SELECT 'Copyright' AS name, 0 AS record_id, 'ASCII' AS mtype, '(c) round2' AS text
   UNION ALL
   SELECT 'Product', 0, 'ASCII', 'gridfour-spark'
+),
+final AS (
+  SELECT name, record_id, mtype, text FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.name = b.name AND u.record_id = b.record_id)
+  UNION ALL
+  SELECT name, record_id, mtype, text FROM updates
+),
+with_wkt AS (
+  SELECT name, record_id, mtype, text FROM final
+  WHERE NOT (name = 'WKT' AND record_id = 0)
+  UNION ALL SELECT 'WKT', 0, 'string', 'PROJCS[UTM10N]'
+  UNION ALL SELECT 'WKT', 7, 'integer', 'not-text'
 )
-SELECT name, record_id, mtype, text FROM base b
-WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.name = b.name AND u.record_id = b.record_id)
+SELECT name, record_id, mtype, text FROM with_wkt
 UNION ALL
-SELECT name, record_id, mtype, text FROM updates
+SELECT 'WKT_typed', 100, mtype, text FROM with_wkt
+WHERE name = 'WKT' AND record_id = 0 AND lower(mtype) IN ('string', 'ascii')
 """
 
 
@@ -1435,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "geotiff_roundtrip": _q_geotiff_roundtrip,
         "event_windows": _q_event_windows,
+        "stream_tile_counts": _q_stream_tile_counts,
         "resumable_write": _q_resumable_write,
         "tpch_pricing": _q_tpch_pricing,
         "relational_suite": _q_relational_suite,
@@ -1752,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
+        "stream_tile_counts": _stream_tile_counts_sql(),
         "resumable_write": f"""
             SELECT CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
                    (SELECT CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) FROM ({_grid_a('dem')})) AS sum_z,
