@@ -1315,20 +1315,48 @@ _GVRS_SAMPLES = [
 
 
 def _q_gvrs_sample_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2/whole-store format parity: read the reference's 17 binary .gvrs
-    sample files with the engine's own reader (header, tile directory, raw +
-    Huffman + Deflate + Float + LSOP12 payload decode — gvrsfile.py) and
-    aggregate per sample. The DuckDB oracle computes the README value rules
+    """S2/whole-store format parity BOTH WAYS: read the reference's 17
+    binary .gvrs sample files with the engine's own reader (header, tile
+    directory, raw + Huffman + Deflate + Float + LSOP12 payload decode —
+    gvrsfile.py), PLUS one store the engine itself WRITES (write_gvrs,
+    compressed, partial edge tiles) and re-reads — the same file is also
+    proven Java-readable in tests/test_gvrs_writer.py via the compiled
+    reference. The DuckDB oracle computes the README value rules
     ANALYTICALLY, never touching the files — so a hash match proves the
-    binary decode reproduces the rule, element for element.
+    binary decode (and encode) reproduces the rule, element for element.
 
     Executors do the decode (one task per file here; per TILE in read_gvrs
-    for big stores) — the driver only ships (name, rule) rows."""
+    for big stores) — the driver only ships (name, rule, path) rows."""
+    import os
+    import shutil
+    import tempfile
+
     import pandas as pd
 
+    from gridfour_spark import gvrsfile
+
+    d = tempfile.mkdtemp(prefix="oracle_gvrs_w_")
+    wpath = os.path.join(d, "engine.gvrs")
+    wspec = GridSpec(
+        n_rows=60, n_cols=80, n_rows_in_tile=25, n_cols_in_tile=30,
+        x0=0.5, y0=0.5, cell_size_x=1.0, cell_size_y=1.0,
+    )
+    wcells = spark.range(60 * 80).selectExpr(
+        "CAST(id div 80 AS INT) AS row", "CAST(id % 80 AS INT) AS col",
+        "CAST(id - 1 AS DOUBLE) AS z",
+    )
+    welem = gvrsfile.default_element("z", "int")
+    gvrsfile.write_gvrs(
+        wpath, wspec, welem,
+        gvrsfile.gvrs_export_blocks(store.build_tiles(wcells, wspec), wspec, welem),
+    )
+
+    rows_in = [
+        (n, r, t, f"{_GVRS_SAMPLES_DIR}/{n}.gvrs") for n, r, t in _GVRS_SAMPLES
+    ] + [("EngineWritten_IntComp", "index", 0.0, wpath)]
     files = spark.createDataFrame(
-        [(n, r, t) for n, r, t in _GVRS_SAMPLES], "sample string, rule string, tol double"
-    ).repartition(len(_GVRS_SAMPLES))
+        rows_in, "sample string, rule string, tol double, path string"
+    ).repartition(len(rows_in))
 
     def kernel(batches):
         import numpy as np
@@ -1337,8 +1365,9 @@ def _q_gvrs_sample_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for sample, rule, tol in zip(pdf["sample"], pdf["rule"], pdf["tol"]):
-                path = f"{_GVRS_SAMPLES_DIR}/{sample}.gvrs"
+            for sample, rule, tol, path in zip(
+                pdf["sample"], pdf["rule"], pdf["tol"], pdf["path"]
+            ):
                 info = parse_gvrs_header(path)
                 tr, tc = info.tile_rows, info.tile_cols
                 grid = np.full(
@@ -1381,9 +1410,15 @@ def _q_gvrs_sample_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return files.mapInPandas(
-        kernel, "sample string, n_valid long, n_rule_ok long, sum_z long"
-    )
+    try:
+        out = files.mapInPandas(
+            kernel, "sample string, n_valid long, n_rule_ok long, sum_z long"
+        ).collect()
+        return spark.createDataFrame(
+            out, "sample string, n_valid long, n_rule_ok long, sum_z long"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _gvrs_sample_read_sql() -> str:
@@ -1399,8 +1434,9 @@ def _gvrs_sample_read_sql() -> str:
         "Sample12_ICFNoComp": (10, 10), "Sample13_ModelCoord": (11, 11),
         "Sample14_LSOP": (101, 101), "SampleMetadata": (5, 5),
         "SamplePartialTileCover": (25, 25),
+        "EngineWritten_IntComp": (60, 80),
     }
-    for name, rule, _tol in _GVRS_SAMPLES:
+    for name, rule, _tol in _GVRS_SAMPLES + [("EngineWritten_IntComp", "index", 0.0)]:
         nr, nc = dims[name]
         n = nr * nc
         if rule == "index":

@@ -45,7 +45,9 @@ def encode_float_tile(values: np.ndarray, nr: int, nc: int) -> bytes:
     v = np.ascontiguousarray(values.reshape(nr, nc), dtype=np.float32)
     c = v.view(np.int32)
     sign = ((c >> 31) & 1).astype(np.uint8)
-    sign_bytes = np.packbits(sign.ravel(), bitorder="big").tobytes()
+    # LSB-first within bytes: BitOutputStore order (CodecFloat.encode) — the
+    # engine payload is byte-identical in structure to the reference format
+    sign_bytes = np.packbits(sign.ravel(), bitorder="little").tobytes()
     exp = ((c >> 23) & 0xFF).astype(np.uint8)
     m1 = ((c >> 16) & 0x7F).astype(np.uint8)
     m2 = ((c >> 8) & 0xFF).astype(np.uint8)
@@ -73,7 +75,7 @@ def decode_float_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
         sections.append(zlib.decompress(packing[pos : pos + ln]))
         pos += ln
     n = nr * nc
-    sign = np.unpackbits(np.frombuffer(sections[0], dtype=np.uint8), bitorder="big")[:n]
+    sign = np.unpackbits(np.frombuffer(sections[0], dtype=np.uint8), bitorder="little")[:n]
     exp = np.frombuffer(sections[1], dtype=np.uint8).astype(np.int64)
     m1 = _delta_decode(np.frombuffer(sections[2], dtype=np.int8).reshape(nr, nc)).ravel().astype(np.int64)
     m2 = _delta_decode(np.frombuffer(sections[3], dtype=np.int8).reshape(nr, nc)).ravel().astype(np.int64)

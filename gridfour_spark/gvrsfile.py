@@ -646,3 +646,377 @@ def gvrs_cells(spark, path: str, element: str | None = None):
         .filter((F.col("row") < info.n_rows) & (F.col("col") < info.n_cols))
         .select("row", "col", F.col("z").cast("double").alias("z"))
     )
+
+
+# --- binary writer --------------------------------------------------------------
+#
+# The inverse of the reader above: produce a .gvrs store the REFERENCE Java
+# implementation can open (GvrsFile.java:221-325 header layout,
+# RecordManager.java:162-215 record framing, writeTile:400-490,
+# writeTileDirectory:864-883, writeMetadataDirectory:991-1017, close:553-633).
+# Spark split: tile payload ENCODE runs distributed (gvrs_export_blocks,
+# mapInPandas over tile rows); the single-file assembly is a driver-side
+# streaming pass over toLocalIterator — same role as geotiff.write_geotiff
+# (interop/export packaging; the engine's production sink stays the bucketed
+# parquet store).
+
+# export codec table: FILE index order is the reference's DEFAULT codec list
+# (GvrsFileSpecification ctor order Huffman, Deflate, Float, CanonHuffman)
+# + LSOP12, so the payload indexes work even if a reader ignores the
+# GvrsJavaCodecs metadata. Engine kernel indexes are remapped at encode time.
+_EXPORT_CODECS = ["GvrsHuffman", "GvrsDeflate", "GvrsFloat", "GvrsCanonicalHuffman", "LSOP12"]
+_ENGINE_TO_EXPORT = {4: 0, 0: 1, 2: 2, 1: 4}  # gvrshuffman, deflate, float, lsop
+# NOTE the trailing newline: CodecSpecification.specificationStringParse
+# only commits a spec line when it sees '\n', so an unterminated last line
+# is silently dropped (and the codec indexes shift at decode time)
+_EXPORT_JAVA_CODECS = "".join(
+    s + "\n"
+    for s in [
+        "GvrsHuffman,org.gridfour.compress.CodecHuffman,org.gridfour.compress.CodecHuffman",
+        "GvrsDeflate,org.gridfour.compress.CodecDeflate,org.gridfour.compress.CodecDeflate",
+        "GvrsFloat,org.gridfour.compress.CodecFloat,org.gridfour.compress.CodecFloat",
+        "GvrsCanonicalHuffman,org.gridfour.compress.canonicalHuffman.CodecCanonHuffman,"
+        "org.gridfour.compress.canonicalHuffman.CodecCanonHuffman",
+        "LSOP12,org.gridfour.lsop.LsEncoder12,org.gridfour.lsop.LsDecoder12",
+    ]
+)
+_ETYPE_CODES = {"int": 0, "icf": 1, "float": 2, "short": 3}
+
+
+def default_element(name: str = "z", etype: str = "int", **kw) -> GvrsElement:
+    """Element spec with the reference's defaults for the type."""
+    d = dict(name=name, etype=etype, continuous=etype in ("float", "icf"))
+    if etype == "short":
+        d.update(fill=-32768, min_value=-32767, max_value=32767)
+    elif etype == "int":
+        d.update(fill=INT4_NULL_CODE, min_value=-(2**31) + 1, max_value=2**31 - 1)
+    else:
+        d.update(fill=float("nan"), min_value=-3.4028235e38, max_value=3.4028235e38)
+        if etype == "icf":
+            d.update(scale=1.0, offset=0.0, i_fill=INT4_NULL_CODE)
+    d.update(kw)
+    e = GvrsElement(**{k: d[k] for k in ("name", "etype", "fill", "min_value", "max_value")})
+    e.continuous = d["continuous"]
+    e.scale = d.get("scale", 1.0)
+    e.offset = d.get("offset", 0.0)
+    e.i_fill = d.get("i_fill", INT4_NULL_CODE)
+    e.label = d.get("label", "")
+    e.description = d.get("description", "")
+    e.uom = d.get("uom", "")
+    return e
+
+
+def gvrs_export_blocks(tiles, spec, element: GvrsElement, compress: bool = True):
+    """tiles (store.build_tiles output: tile_index, cells array<double>) ->
+    (tile_index, block binary) with GVRS-format payloads: the engine codec
+    race (GVRS-bitstream Huffman, Deflate predictors, LSOP-12, float planes)
+    remapped to the export codec indexes; standard (uncompressed) form when
+    the race does not win (RecordManager.writeTile:448-461). Runs in
+    EXECUTORS — the driver only assembles bytes."""
+    import pandas as pd
+    from gridfour_spark import compress as C
+    from gridfour_spark import floatcodec as FC
+
+    nr, nc = spec.n_rows_in_tile, spec.n_cols_in_tile
+    etype = element.etype
+    fill = element.fill
+    scale, offset, i_fill = element.scale, element.offset, element.i_fill
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ti, cells in zip(pdf["tile_index"], pdf["cells"]):
+                v = np.asarray(cells, dtype=np.float64)
+                nan = np.isnan(v)
+                payload = None
+                if etype == "float":
+                    f32 = v.astype(np.float32)
+                    if not np.isnan(fill):
+                        f32[nan] = np.float32(fill)
+                    std = f32.astype("<f4").tobytes()
+                    payload = std
+                    if compress:
+                        p = FC.encode_float_tile(f32, nr, nc)
+                        if len(p) < len(std):
+                            payload = p
+                else:
+                    if etype == "icf":
+                        ints = np.floor((v - offset) * scale + 0.5)
+                        ints[nan] = i_fill
+                    else:
+                        ints = v.copy()
+                        ints[nan] = fill
+                    ints = ints.astype(np.int64)
+                    r = (
+                        C.encode_tile(
+                            ints, nr, nc, use_lsop=True, use_huffman=False,
+                            use_gvrs_huffman=True,
+                        )
+                        if compress
+                        else {"kept": False, "n_bytes": 0, "payload": b""}
+                    )
+                    if etype == "short":
+                        std = ints.astype("<i2").tobytes()
+                        if len(std) & 2:
+                            std += b"\x00\x00"  # pad odd cell counts to 4
+                    else:
+                        std = ints.astype("<i4").tobytes()
+                    if compress and r["kept"] and r["n_bytes"] < len(std):
+                        p = bytearray(bytes(r["payload"]))
+                        p[0] = _ENGINE_TO_EXPORT[p[0]]
+                        payload = bytes(p)
+                    else:
+                        payload = std
+                rows.append({"tile_index": int(ti), "block": payload})
+            yield pd.DataFrame(rows)
+
+    return tiles.select("tile_index", "cells").mapInPandas(
+        kernel, "tile_index long, block binary"
+    )
+
+
+def _le_utf(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack("<H", len(b)) + b
+
+
+class _RecordStream:
+    """Sequential record allocator: [u32 size][u8 type][3x0][content][pad+4B
+    checksum slot], sizes multiple of 8 (RecordManager.fileSpaceAlloc)."""
+
+    def __init__(self, f, pos: int, checksum: bool):
+        self.f = f
+        self.pos = pos
+        self.checksum = checksum
+
+    def write(self, rtype: int, content: bytes) -> int:
+        size = (len(content) + 12 + 7) & ~7
+        rec = bytearray(size)
+        struct.pack_into("<I", rec, 0, size)
+        rec[4] = rtype
+        rec[8 : 8 + len(content)] = content
+        if self.checksum:
+            from gridfour_spark.floatcodec import crc32c
+
+            struct.pack_into("<I", rec, size - 4, crc32c(bytes(rec[: size - 4])))
+        self.f.seek(self.pos)
+        self.f.write(rec)
+        content_pos = self.pos + 8
+        self.pos += size
+        return content_pos
+
+
+def _element_spec_bytes(e: GvrsElement, pos: int) -> bytes:
+    """One element specification block, 4-aligned to absolute position
+    (GvrsFileSpecification.write:1225-1272)."""
+    out = bytearray()
+    out += bytes([_ETYPE_CODES[e.etype], 1 if e.continuous else 0]) + b"\x00" * 6
+    out += _le_utf(e.name)
+    out += b"\x00" * ((-(pos + len(out))) & 3)
+    if e.etype == "short":
+        out += struct.pack("<3h", int(e.min_value), int(e.max_value), int(e.fill))
+    elif e.etype == "float":
+        out += struct.pack("<3f", e.min_value, e.max_value, e.fill)
+    elif e.etype == "icf":
+        # clamp the integer range to int32 (wide float ranges with a large
+        # scale overflow; GvrsElementSpecificationIntCodedFloat clamps too)
+        lo, hi = -(2**31) + 1, 2**31 - 1
+        i_min = int(min(max(np.floor((e.min_value - e.offset) * e.scale + 0.5), lo), hi))
+        i_max = int(min(max(np.floor((e.max_value - e.offset) * e.scale + 0.5), lo), hi))
+        out += struct.pack(
+            "<5f3i", e.min_value, e.max_value, e.fill, e.scale, e.offset,
+            i_min, i_max, e.i_fill,
+        )
+    else:
+        out += struct.pack("<3i", int(e.min_value), int(e.max_value), int(e.fill))
+    out += _le_utf(e.label) + _le_utf(e.description) + _le_utf(e.uom)
+    out += b"\x00" * ((-(pos + len(out))) & 3)
+    return bytes(out)
+
+
+def _metadata_record_bytes(name: str, record_id: int, type_code: int, content: bytes, description: str = "") -> bytes:
+    out = bytearray()
+    out += _le_utf(name)
+    out += struct.pack("<i", record_id)
+    out += bytes([type_code, 0, 0, 0])
+    out += struct.pack("<i", len(content)) + content
+    out += _le_utf(description)
+    return bytes(out)
+
+
+def write_gvrs(
+    path: str,
+    spec,
+    element: GvrsElement,
+    blocks,
+    geographic: bool | None = None,
+    product_label: str = "gridfour_spark export",
+    checksum: bool = False,
+    compressed: bool = True,
+    extra_metadata: list | None = None,
+) -> None:
+    """Assemble a reference-readable ``.gvrs`` store.
+
+    spec: GridSpec (grid + tile geometry + model coordinates).
+    element: one GvrsElement, or a LIST for a multi-element store
+    (RasterTile.java:47-109 columnar-within-tile layout).
+    blocks: DataFrame from gvrs_export_blocks (tile_index, block) — streamed
+    via toLocalIterator, so the driver never holds the whole store. For
+    multi-element stores pass (tile_index, element, block) rows (one
+    gvrs_export_blocks per element, unioned with an element literal); a
+    tile missing one element's block gets that element's standard fill
+    payload, like a tile only partially touched by writes.
+    """
+    elements = list(element) if isinstance(element, (list, tuple)) else [element]
+    multi = len(elements) > 1
+    nrt, nct = spec.n_rows_in_tile, spec.n_cols_in_tile
+    n_cols_of_tiles = (spec.n_cols + nct - 1) // nct
+    if geographic is None:
+        geographic = bool(getattr(spec, "geographic", False))
+
+    # model domain: (x0, y0) cell CENTER of row 0/col 0; x1/y1 the last
+    # cell's center (setCartesianCoordinates/setGeographicCoordinates)
+    x0, y0 = spec.x0, spec.y0
+    csx, csy = spec.cell_size_x, spec.cell_size_y
+    x1 = x0 + (spec.n_cols - 1) * csx
+    y1 = y0 + (spec.n_rows - 1) * csy
+    m2r = (1.0 / csx, 0.0, -x0 / csx, 0.0, 1.0 / csy, -y0 / csy)
+    r2m = (csx, 0.0, x0, 0.0, csy, y0)
+
+    # ---- header (GvrsFile ctor byte-for-byte) ----
+    head = bytearray()
+    head += b"gvrs raster\x00"[:12]
+    head += bytes([1, 4, 0, 0])  # version 1.04
+    head += struct.pack("<I", 0)  # sizeOfHeaderInBytes (patched below)
+    head += bytes([6, 0, 0, 0])  # RecordType.FileHeader
+    head += b"\x00" * 16  # uuid (zero: deterministic export)
+    head += struct.pack("<q", 0)  # time modified (patched at close)
+    head += struct.pack("<q", 0)  # time opened: 0 = properly closed
+    head += struct.pack("<q", 0)  # freespace dir (none: sequential alloc)
+    head += struct.pack("<q", 0)  # metadata dir (patched)
+    head += struct.pack("<h", 1) + b"\x00" * 6
+    head += struct.pack("<q", 0)  # tile dir (patched)
+    head += b"\x00" * 16  # reserved
+
+    body = bytearray()
+    body += struct.pack("<4i", spec.n_rows, spec.n_cols, nrt, nct)
+    body += struct.pack("<2i", 0, 0)
+    body += bytes([1 if checksum else 0, 0, 2 if geographic else 1])
+    body += b"\x00" * 5
+    body += struct.pack("<6d", x0, y0, x1, y1, csx, csy)
+    body += struct.pack("<6d", *m2r)
+    body += struct.pack("<6d", *r2m)
+    body += struct.pack("<i", len(elements))
+    for e in elements:
+        body += _element_spec_bytes(e, len(head) + len(body))
+    if compressed:
+        body += struct.pack("<i", len(_EXPORT_CODECS))
+        for cid in _EXPORT_CODECS:
+            body += _le_utf(cid)
+    else:
+        body += struct.pack("<i", 0)
+    body += _le_utf(product_label)
+    body += b"\x00" * 8  # reserved
+
+    # pad so the content area starts 8-aligned, leaving 4B checksum room
+    file_pos = len(head) + len(body)
+    content_pos = (file_pos + 4 + 7) & ~7
+    body += b"\x00" * (content_pos - file_pos)
+    struct.pack_into("<I", head, 16, content_pos - 16)
+
+    import time as _time
+
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(body)
+        rs = _RecordStream(f, content_pos, checksum)
+
+        # metadata records (GvrsJavaCodecs FIRST, like the reference ctor)
+        meta_refs = []  # (content_pos, name, record_id, type_code)
+        metas = []
+        if compressed:
+            s = _EXPORT_JAVA_CODECS.encode()
+            metas.append(("GvrsJavaCodecs", 0, 9, struct.pack("<i", len(s)) + s,
+                          "Class paths for Java compressors"))
+            s2 = "|".join(_EXPORT_CODECS).encode()
+            metas.append(("GvrsCompressionCodecs", 0, 9, struct.pack("<i", len(s2)) + s2,
+                          "Compession codecs"))
+        metas.extend(extra_metadata or [])
+        for name, rid, tcode, content, desc in metas:
+            p = rs.write(1, _metadata_record_bytes(name, rid, tcode, content, desc))
+            meta_refs.append((p, name, rid, tcode))
+
+        # tile records, streamed
+        def _std_fill_block(e: GvrsElement) -> bytes:
+            n = nrt * nct
+            if e.etype == "short":
+                b = np.full(n, int(e.fill), dtype="<i2").tobytes()
+                return b + (b"\x00\x00" if n & 1 else b"")
+            if e.etype == "float":
+                return np.full(n, e.fill, dtype="<f4").tobytes()
+            fv = e.i_fill if e.etype == "icf" else int(e.fill)
+            return np.full(n, fv, dtype="<i4").tobytes()
+
+        positions: dict[int, int] = {}
+        if multi:
+            from pyspark.sql import functions as F
+
+            blocks = blocks.groupBy("tile_index").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("element", "block"))
+                ).alias("m")
+            )
+        it = blocks.toLocalIterator() if hasattr(blocks, "toLocalIterator") else iter(blocks)
+        for row in it:
+            ti = int(row["tile_index"] if isinstance(row, dict) else row.tile_index)
+            content = bytearray(struct.pack("<i", ti))
+            if multi:
+                m = row["m"] if isinstance(row, dict) else row.m
+                for e in elements:
+                    blk = bytes(m[e.name]) if e.name in m else _std_fill_block(e)
+                    content += struct.pack("<i", len(blk)) + blk
+            else:
+                blk = bytes(row["block"] if isinstance(row, dict) else row.block)
+                content += struct.pack("<i", len(blk)) + blk
+            positions[ti] = rs.write(2, bytes(content))
+
+        # tile directory (compact u32 position/8 form)
+        if positions:
+            t_rows = [ti // n_cols_of_tiles for ti in positions]
+            t_cols = [ti % n_cols_of_tiles for ti in positions]
+            row0, col0 = min(t_rows), min(t_cols)
+            nrows_d = max(t_rows) - row0 + 1
+            ncols_d = max(t_cols) - col0 + 1
+        else:
+            row0 = col0 = nrows_d = ncols_d = 0
+        dir_content = bytearray()
+        dir_content += bytes([0, 0]) + b"\x00" * 6  # version, compact, reserved
+        dir_content += struct.pack("<4i", row0, col0, nrows_d, ncols_d)
+        offs = np.zeros((nrows_d, ncols_d), dtype="<u4")
+        for ti, p in positions.items():
+            offs[ti // n_cols_of_tiles - row0, ti % n_cols_of_tiles - col0] = p // 8
+        dir_content += offs.tobytes()
+        tile_dir_pos = rs.write(5, bytes(dir_content))
+
+        # metadata directory
+        meta_dir_pos = 0
+        if meta_refs:
+            md = bytearray(struct.pack("<i", len(meta_refs)))
+            for p, name, rid, tcode in meta_refs:
+                md += struct.pack("<q", p) + _le_utf(name) + struct.pack("<i", rid) + bytes([tcode])
+            meta_dir_pos = rs.write(4, bytes(md))
+
+        # patch directory offsets + modification time ("close" protocol)
+        f.seek(40)
+        f.write(struct.pack("<q", int(_time.time() * 1000)))
+        f.seek(64)
+        f.write(struct.pack("<q", meta_dir_pos))
+        f.seek(80)
+        f.write(struct.pack("<q", tile_dir_pos))
+        if checksum:
+            from gridfour_spark.floatcodec import crc32c
+
+            f.seek(0)
+            hdr = f.read(content_pos - 4)
+            f.seek(content_pos - 4)
+            f.write(struct.pack("<I", crc32c(hdr)))

@@ -1,0 +1,263 @@
+"""Binary GVRS WRITER parity: stores written by the engine must be readable
+by the REFERENCE Java implementation (bidirectional format parity; the
+reader half is pinned by test_gvrsfile.py).
+
+Two oracles per store:
+  1. The engine's own binary reader (itself golden-verified against the
+     reference sample files) — always runs.
+  2. The COMPILED reference reader (tools/GoldenGvrs.java over unmodified
+     reference sources) run live via subprocess — skipped when no JDK or
+     reference sources are available.
+
+Covers: int/short/float/ICF elements, compressed (GvrsHuffman/GvrsDeflate/
+LSOP12 race) and uncompressed payloads, nulls, partial tile coverage,
+metadata records, geographic + cartesian headers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridfour_spark import gvrsfile as G
+from gridfour_spark import store
+from gridfour_spark.spec import GridSpec
+
+REF_SRC = "/root/reference/core/src/main/java"
+CLASSES = "/tmp/gvrsbuild/classes"
+
+
+def _ensure_reference_reader() -> str | None:
+    """Compile the unmodified reference + the GoldenGvrs dump tool once per
+    machine; return the classpath, or None when impossible (no JDK/sources)."""
+    try:
+        if not os.path.exists(os.path.join(CLASSES, "org/gridfour/gvrs/GvrsFile.class")):
+            if not os.path.isdir(REF_SRC):
+                return None
+            os.makedirs(CLASSES, exist_ok=True)
+            srcs = glob.glob(REF_SRC + "/**/*.java", recursive=True)
+            subprocess.run(
+                ["javac", "-d", CLASSES, *srcs], check=True, capture_output=True, timeout=300
+            )
+        if not os.path.exists(os.path.join(CLASSES, "GoldenGvrs.class")):
+            subprocess.run(
+                ["javac", "-encoding", "utf8", "-cp", CLASSES, "-d", CLASSES,
+                 os.path.join(os.path.dirname(__file__), "..", "tools", "GoldenGvrs.java")],
+                check=True, capture_output=True, timeout=120,
+            )
+        return CLASSES
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _java_read(path: str):
+    """-> {element: float64 grid (NaN where fill)} via the reference reader."""
+    cp = _ensure_reference_reader()
+    if cp is None:
+        pytest.skip("reference Java reader unavailable")
+    out = subprocess.run(
+        ["java", "-cp", cp, "GoldenGvrs", path], check=True, capture_output=True, timeout=300
+    ).stdout.decode()
+    lines = out.splitlines()
+    _, _name, nr, nc, ne = lines[0].split()
+    nr, nc, ne = int(nr), int(nc), int(ne)
+    i = 1
+    grids = {}
+    for _ in range(ne):
+        _, ename, kind = lines[i].split()
+        i += 1
+        rows = []
+        for r in range(nr):
+            toks = lines[i].split()
+            i += 1
+            if kind == "f":
+                bits = np.array([int(t, 16) for t in toks], dtype=np.uint32)
+                rows.append(bits.view(np.float32).astype(np.float64))
+            else:
+                rows.append(np.array([int(t) for t in toks], dtype=np.float64))
+        grids[ename] = np.vstack(rows)
+    return grids
+
+
+def _write(spark, spec, element, grid, **kw):
+    nr, nc = grid.shape
+    rows = [
+        (int(r), int(c), None if np.isnan(grid[r, c]) else float(grid[r, c]))
+        for r in range(nr)
+        for c in range(nc)
+    ]
+    cells = spark.createDataFrame(rows, "row int, col int, z double")
+    tiles = store.build_tiles(cells, spec)
+    blocks = G.gvrs_export_blocks(tiles, spec, element, compress=kw.get("compressed", True))
+    d = tempfile.mkdtemp(prefix="gvrs_w_")
+    path = os.path.join(d, "out.gvrs")
+    G.write_gvrs(path, spec, element, blocks, **kw)
+    return path
+
+
+def _engine_read(path):
+    info = G.parse_gvrs_header(path)
+    tr, tc = info.tile_rows, info.tile_cols
+    g = np.full((info.n_rows_of_tiles * tr, info.n_cols_of_tiles * tc), np.nan)
+    for ti, arrays in G.read_tile_arrays(path, info, sorted(info.tile_positions)):
+        trow, tcol = divmod(ti, info.n_cols_of_tiles)
+        g[trow * tr : (trow + 1) * tr, tcol * tc : (tcol + 1) * tc] = arrays[0].reshape(tr, tc)
+    return info, g[: info.n_rows, : info.n_cols]
+
+
+SPEC = GridSpec(
+    n_rows=60, n_cols=80, n_rows_in_tile=25, n_cols_in_tile=30,
+    x0=0.5, y0=0.5, cell_size_x=1.0, cell_size_y=1.0,
+)
+
+
+def _ramp(nr, nc):
+    r, c = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+    return (r * nc + c - 1).astype(np.float64)
+
+
+@pytest.mark.parametrize("etype", ["int", "short", "icf", "float"])
+def test_round_trip_through_engine_reader(spark, etype):
+    grid = _ramp(60, 80)
+    if etype == "short":
+        grid = grid - 2400  # keep in int16 range
+    if etype == "float":
+        grid = np.sin(grid * 0.01) * 100
+    e = G.default_element("z", etype)
+    if etype == "icf":
+        e.scale, e.offset = 100.0, 0.0
+    path = _write(spark, SPEC, e, grid)
+    info, got = _engine_read(path)
+    assert (info.n_rows, info.n_cols) == (60, 80)
+    if etype == "float":
+        np.testing.assert_array_equal(got, grid.astype(np.float32).astype(np.float64))
+    elif etype == "icf":
+        np.testing.assert_allclose(got, grid, atol=1.01 / e.scale)
+    else:
+        np.testing.assert_array_equal(got, grid)
+
+
+def test_reference_java_reads_engine_store_int(spark):
+    """The compiled reference implementation opens an engine-written
+    COMPRESSED int store and reads every cell exactly."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    path = _write(spark, SPEC, e, grid)
+    got = _java_read(path)["z"]
+    np.testing.assert_array_equal(got, grid)
+
+
+def test_reference_java_reads_engine_store_float(spark):
+    grid = (np.sin(_ramp(60, 80) * 0.01) * 100).astype(np.float32).astype(np.float64)
+    e = G.default_element("z", "float")
+    path = _write(spark, SPEC, e, grid)
+    got = _java_read(path)["z"]
+    np.testing.assert_array_equal(got.astype(np.float32), grid.astype(np.float32))
+
+
+def test_reference_java_reads_nulls_and_partial_tiles(spark):
+    """Null cells (fill) and a grid that does not evenly divide the tile size
+    (edge tiles padded with fill) survive the Java read; readValue returns
+    the element fill for unset cells."""
+    spec = GridSpec(
+        n_rows=55, n_cols=70, n_rows_in_tile=25, n_cols_in_tile=30,
+        x0=0.0, y0=0.0, cell_size_x=1.0, cell_size_y=1.0,
+    )
+    grid = _ramp(55, 70)
+    grid[np.arange(55), (np.arange(55) * 7) % 70] = np.nan  # punched holes
+    e = G.default_element("z", "int")
+    path = _write(spark, spec, e, grid)
+    got = _java_read(path)["z"]
+    nan = np.isnan(grid)
+    assert (got[nan] == e.fill).all()
+    np.testing.assert_array_equal(got[~nan], grid[~nan])
+
+
+def test_reference_java_reads_icf_lsop_candidate(spark):
+    """Smooth ICF surface (LSOP's home turf) — whatever codec the race picks,
+    the reference must decode it; values within the ICF quantization rule."""
+    spec = GridSpec(
+        n_rows=101, n_cols=101, n_rows_in_tile=101, n_cols_in_tile=101,
+        x0=0.0, y0=0.0, cell_size_x=0.01, cell_size_y=0.01,
+    )
+    r, c = np.meshgrid(np.arange(101), np.arange(101), indexing="ij")
+    grid = np.sin(c * 0.01 * np.pi) * np.sin(r * 0.01 * np.pi)
+    e = G.default_element("z", "icf", scale=46340.0, offset=0.0)
+    path = _write(spark, spec, e, grid)
+    got = _java_read(path)["z"]
+    np.testing.assert_allclose(got, grid, atol=1.01 / e.scale)
+
+
+def test_metadata_records_read_back(spark):
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    wkt = b"PROJCS[test]"
+    extra = [("WKT", 0, 8, struct.pack("<i", len(wkt)) + wkt, "map spec")]
+    path = _write(spark, SPEC, e, grid, extra_metadata=extra)
+    recs = {r["name"]: r for r in G.read_metadata(path)}
+    assert recs["WKT"]["value"] == "PROJCS[test]"
+    assert recs["GvrsCompressionCodecs"]["value"].startswith("GvrsHuffman|GvrsDeflate")
+
+
+def test_uncompressed_store_standard_payloads(spark):
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    path = _write(spark, SPEC, e, grid, compressed=False)
+    info = G.parse_gvrs_header(path)
+    assert info.codec_ids == []
+    sizes = G.tile_payload_sizes(path, info)
+    std = info.standard_size_for(e)
+    # without a codec list the writer must emit standard-size payloads only
+    assert all(s[0] == std for s in sizes.values())
+    _, got = _engine_read(path)
+    np.testing.assert_array_equal(got, grid)
+
+
+def test_reference_java_reads_multi_element_store(spark):
+    """Sample08-style mixed types: short + float elements in one store,
+    columnar within each tile record, both read back exactly by the
+    reference implementation."""
+    nr, nc = 40, 60
+    spec = GridSpec(
+        n_rows=nr, n_cols=nc, n_rows_in_tile=20, n_cols_in_tile=30,
+        x0=0.0, y0=0.0, cell_size_x=1.0, cell_size_y=1.0,
+    )
+    ramp = _ramp(nr, nc)
+    fgrid = np.sin(ramp * 0.01).astype(np.float32).astype(np.float64) * 50
+    rows = [
+        (int(r), int(c), "s", float(ramp[r, c]))
+        for r in range(nr) for c in range(nc)
+    ] + [
+        (int(r), int(c), "f", float(fgrid[r, c]))
+        for r in range(nr) for c in range(nc)
+    ]
+    cells = spark.createDataFrame(rows, "row int, col int, element string, z double")
+    tiles = store.build_tiles(cells, spec, element_col="element")
+    es = G.default_element("s", "short")
+    ef = G.default_element("f", "float")
+    blocks = None
+    for e in (es, ef):
+        b = G.gvrs_export_blocks(
+            tiles.filter(F.col("element") == e.name), spec, e
+        ).withColumn("element", F.lit(e.name))
+        blocks = b if blocks is None else blocks.unionByName(b)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gvrs_w_")
+    path = os.path.join(d, "multi.gvrs")
+    G.write_gvrs(path, spec, [es, ef], blocks)
+
+    info = G.parse_gvrs_header(path)
+    assert [e.name for e in info.elements] == ["s", "f"]
+    got = _java_read(path)
+    np.testing.assert_array_equal(got["s"], ramp)
+    np.testing.assert_array_equal(
+        got["f"].astype(np.float32), fgrid.astype(np.float32)
+    )
