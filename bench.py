@@ -177,6 +177,27 @@ def main() -> None:
     decompress_sec = time.time() - t0
     comp_g.unpersist()
 
+    # binary GVRS export/import (round 3): distributed encode + driver
+    # assembly of a reference-readable .gvrs, then the distributed read —
+    # the interop path's throughput in cells/sec each way
+    import shutil as _sh
+    import tempfile as _tf
+
+    from gridfour_spark import gvrsfile as _gv
+
+    _gd = _tf.mkdtemp(prefix="bench_gvrs_")
+    _gp = os.path.join(_gd, "bench.gvrs")
+    _ge = _gv.default_element("z", "int")
+    t0 = time.time()
+    _gv.write_gvrs(
+        _gp, _GG0, _ge, _gv.gvrs_export_blocks(gtiles, _GG0, _ge)
+    )
+    gvrs_write_sec = time.time() - t0
+    t0 = time.time()
+    _gv.read_gvrs(spark, _gp).selectExpr("size(values) AS n").agg({"n": "sum"}).collect()
+    gvrs_read_sec = time.time() - t0
+    _sh.rmtree(_gd, ignore_errors=True)
+
     # B-spline interpolation throughput: N synthetic points sampled against
     # the (persisted) global DEM tile store — comparable to the reference's
     # InterpolatorBSpline 33-50M interp/s single-thread in-memory figure
@@ -244,6 +265,8 @@ def main() -> None:
         "compress_cells_per_sec": round(n_comp_cells / compress_sec, 1),
         "decompress_cells_per_sec": round(n_comp_cells / decompress_sec, 1),
         "decompress_vs_compress": round(decompress_sec / compress_sec, 3),
+        "gvrs_write_cells_per_sec": round(n_comp_cells / gvrs_write_sec, 1),
+        "gvrs_read_cells_per_sec": round(n_comp_cells / gvrs_read_sec, 1),
         "recall_at_5_clustered": recall_clustered,
     }
 
