@@ -926,7 +926,7 @@ def write_gvrs(
 
     import time as _time
 
-    with open(path, "wb") as f:
+    with open(path, "wb+") as f:  # + so the header CRC can re-read patched bytes
         f.write(head)
         f.write(body)
         rs = _RecordStream(f, content_pos, checksum)
@@ -1016,7 +1016,10 @@ def write_gvrs(
         if checksum:
             from gridfour_spark.floatcodec import crc32c
 
-            f.seek(0)
-            hdr = f.read(content_pos - 4)
+            # header CRC region is [16, content_pos-4): the record body,
+            # excluding the 16-byte identification preamble
+            # (GvrsFile.tabulateChecksumFromHeader:664-671)
+            f.seek(16)
+            hdr = f.read(content_pos - 4 - 16)
             f.seek(content_pos - 4)
             f.write(struct.pack("<I", crc32c(hdr)))

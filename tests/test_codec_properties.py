@@ -1,0 +1,109 @@
+"""Property-based round-trip tests over the codec kernels (hypothesis).
+
+The fixed-vector suites (test_compress / test_gvrshuffman / test_lsop /
+test_sample_parity) pin parity against the reference; these sweep RANDOM
+inputs through the same kernels to catch edge cases no fixed vector covers
+(degenerate alphabets, extreme int32 values, odd tile shapes, NaN/inf float
+bit patterns). Pure numpy — no SparkSession, so the file runs in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gridfour_spark import compress as C
+from gridfour_spark import floatcodec as FC
+from gridfour_spark import gvrshuffman as GH
+from gridfour_spark import huffman as H
+
+_SETTINGS = dict(max_examples=40, deadline=None)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=400
+    )
+)
+@settings(**_SETTINGS)
+def test_m32_round_trip(values):
+    s = np.asarray(values, dtype=np.int64)
+    buf = C.m32_encode(s.astype(np.int32))
+    got = C.m32_decode(buf, len(s))
+    np.testing.assert_array_equal(got.astype(np.int64), s.astype(np.int32))
+    # vectorized decode must agree with the scalar oracle twin
+    np.testing.assert_array_equal(got, C.m32_decode_scalar(buf, len(s)))
+
+
+@given(st.binary(min_size=1, max_size=600))
+@settings(**_SETTINGS)
+def test_canonical_huffman_round_trip(data):
+    assert H.huff_decode(H.huff_encode(data)) == data
+
+
+@given(st.binary(min_size=1, max_size=600))
+@settings(**_SETTINGS)
+def test_gvrs_huffman_round_trip(data):
+    n_bits, packed = GH.encode(data)
+    assert GH.decode(n_bits, packed, len(data)) == data
+
+
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_tile_race_round_trip_with_nulls(nr, nc, seed, null_frac):
+    rng = np.random.default_rng(seed)
+    v = rng.integers(-(10**6), 10**6, size=nr * nc, dtype=np.int64)
+    nulls = rng.random(nr * nc) < null_frac
+    v[nulls] = C.INT32_MIN
+    r = C.encode_tile(v, nr, nc, use_lsop=True, use_gvrs_huffman=True)
+    if r["kept"]:
+        got = C.decode_tile(bytes(r["payload"]), nr, nc)
+        np.testing.assert_array_equal(got.ravel().astype(np.int64), v)
+
+
+@given(
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(**_SETTINGS)
+def test_float_codec_preserves_all_bit_patterns(nr, nc, seed):
+    """The bit-plane float codec must be a bijection on raw float32 bits —
+    including NaN payloads, infinities, and denormals."""
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2**32, size=nr * nc, dtype=np.uint32)
+    v = bits.view(np.float32)
+    p = FC.encode_float_tile(v, nr, nc)
+    got = FC.decode_float_tile(p, nr, nc).ravel().astype(np.float32)
+    np.testing.assert_array_equal(got.view(np.uint32), bits)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),
+        min_size=4,
+        max_size=64,
+    )
+)
+@settings(**_SETTINGS)
+def test_predictor_inverses(values):
+    """Each vectorized un-predictor is the exact inverse of its residual
+    encoder at int32 wraparound semantics."""
+    n = len(values)
+    nc = max(2, int(np.sqrt(n)))
+    nr = max(2, n // nc)
+    v = np.asarray(values[: nr * nc], dtype=np.int64).reshape(nr, nc)
+    for enc, (ptype, dec) in (
+        (C.residuals_differencing, (1, C.ALL_PREDICTORS[1][1])),
+        (C.residuals_linear, (2, C.ALL_PREDICTORS[2][1])),
+        (C.residuals_triangle, (3, C.ALL_PREDICTORS[3][1])),
+    ):
+        seed, syms = enc(v.ravel().reshape(nr, nc))
+        got = dec(seed, syms.astype(np.int64), nr, nc)
+        np.testing.assert_array_equal(got.reshape(nr, nc).astype(np.int64), v)

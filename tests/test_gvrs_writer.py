@@ -261,3 +261,36 @@ def test_reference_java_reads_multi_element_store(spark):
     np.testing.assert_array_equal(
         got["f"].astype(np.float32), fgrid.astype(np.float32)
     )
+
+
+def test_reference_inspector_passes_checksummed_store(spark):
+    """checksum=True stamps a CRC32C on every record plus the header
+    (region [16, content-4), GvrsFile.tabulateChecksumFromHeader); the
+    reference's own GvrsInspector must pass the whole file."""
+    cp = _ensure_reference_reader()
+    if cp is None:
+        pytest.skip("reference Java reader unavailable")
+    shim = os.path.join(tempfile.gettempdir(), "InspectGvrs.java")
+    with open(shim, "w") as f:
+        f.write(
+            "import java.io.File;\n"
+            "import org.gridfour.gvrs.GvrsInspector;\n"
+            "public class InspectGvrs {\n"
+            "  public static void main(String[] a) throws Exception {\n"
+            "    GvrsInspector ins = new GvrsInspector(new File(a[0]));\n"
+            "    System.out.println(ins.didFileFailInspection() + \" \"\n"
+            "        + ins.wasEntireFileInspected());\n"
+            "  }\n"
+            "}\n"
+        )
+    subprocess.run(
+        ["javac", "-cp", cp, "-d", cp, shim], check=True, capture_output=True, timeout=120
+    )
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    path = _write(spark, SPEC, e, grid, checksum=True)
+    out = subprocess.run(
+        ["java", "-cp", cp, "InspectGvrs", path],
+        check=True, capture_output=True, timeout=120,
+    ).stdout.decode().split()
+    assert out == ["false", "true"]  # not failed; entire file inspected
