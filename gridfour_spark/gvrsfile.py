@@ -25,6 +25,7 @@ Format sources (cited for judge parity checks; logic re-derived, not copied):
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -1023,3 +1024,60 @@ def write_gvrs(
             hdr = f.read(content_pos - 4 - 16)
             f.seek(content_pos - 4)
             f.write(struct.pack("<I", crc32c(hdr)))
+
+
+def write_gvrs_shards(
+    blocks,
+    spec,
+    element: GvrsElement,
+    out_dir: str,
+    n_shards: int = 16,
+    **write_kw,
+):
+    """Sharded export — the 100-TB path for the single-file format.
+
+    One ``.gvrs`` file PER SHARD (tiles hashed by pmod(tile_index)), each
+    assembled inside an EXECUTOR by the same write_gvrs assembler; every
+    shard shares the full grid geometry and carries a sparse tile directory
+    (the format's directory is the bbox of populated tiles, so sparse
+    shards cost only their own tiles). The driver never touches payloads —
+    one groupBy(shard) shuffle, then file assembly is embarrassingly
+    parallel. Read side: union of read_gvrs over the shard files (each
+    file's directory covers disjoint tiles).
+
+    blocks: (tile_index, block) from gvrs_export_blocks.
+    Returns a DataFrame (shard, path, n_tiles) — one row per written file.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    sharded = blocks.withColumn(
+        "shard", F.pmod(F.col("tile_index"), F.lit(n_shards)).cast("int")
+    )
+
+    def assemble(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(key[0])
+        path = os.path.join(out_dir, f"part-{shard:05d}.gvrs")
+        rows = pdf.sort_values("tile_index").to_dict("records")
+        write_gvrs(path, spec, element, rows, **write_kw)
+        return pd.DataFrame(
+            {"shard": [shard], "path": [path], "n_tiles": [len(rows)]}
+        )
+
+    return sharded.groupBy("shard").applyInPandas(
+        assemble, "shard int, path string, n_tiles long"
+    )
+
+
+def read_gvrs_shards(spark, out_dir: str):
+    """Union read of a sharded export: per-shard directories are disjoint,
+    so the concatenation is exactly the full tile set."""
+    import glob as _glob
+
+    from functools import reduce
+
+    parts = sorted(_glob.glob(os.path.join(out_dir, "part-*.gvrs")))
+    if not parts:
+        raise FileNotFoundError(f"no gvrs shards under {out_dir}")
+    return reduce(lambda a, b: a.unionByName(b), (read_gvrs(spark, p) for p in parts))

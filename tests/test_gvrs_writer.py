@@ -294,3 +294,43 @@ def test_reference_inspector_passes_checksummed_store(spark):
         check=True, capture_output=True, timeout=120,
     ).stdout.decode().split()
     assert out == ["false", "true"]  # not failed; entire file inspected
+
+
+def test_sharded_export_executor_side(spark):
+    """write_gvrs_shards: one .gvrs per shard assembled in executors, each
+    with a sparse tile directory over the SHARED global grid; the union of
+    shard reads reproduces the full grid, and a single shard opens in the
+    reference reader standalone."""
+    import tempfile
+
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    rows = [
+        (int(r), int(c), float(grid[r, c])) for r in range(60) for c in range(80)
+    ]
+    cells = spark.createDataFrame(rows, "row int, col int, z double")
+    tiles = store.build_tiles(cells, SPEC)
+    blocks = G.gvrs_export_blocks(tiles, SPEC, e)
+    d = tempfile.mkdtemp(prefix="gvrs_shards_")
+    manifest = {r.shard: (r.path, r.n_tiles) for r in
+                G.write_gvrs_shards(blocks, SPEC, e, d, n_shards=4).collect()}
+    # 9 tiles (3x3, partial edges) over 4 shards, each exactly once
+    assert sum(n for _, n in manifest.values()) == 9
+
+    cells_back = G.read_gvrs_shards(spark, d)
+    tot = cells_back.selectExpr(
+        "CAST(SUM(aggregate(filter(values, x -> x IS NOT NULL AND NOT isnan(x)),"
+        " CAST(0 AS DOUBLE), (a, x) -> a + x)) AS LONG) AS s"
+    ).collect()[0].s
+    assert tot == int(grid.sum())
+
+    # one shard standalone through the reference reader: values where the
+    # shard's tiles live, fill elsewhere
+    spath = manifest[0][0]
+    got = _java_read(spath)["z"]
+    info = G.parse_gvrs_header(spath)
+    assert sorted(info.tile_positions) == [0, 4, 8]  # pmod(tile_index,4)==0
+    np.testing.assert_array_equal(got[:25, :30], grid[:25, :30])      # tile 0
+    np.testing.assert_array_equal(got[25:50, 30:60], grid[25:50, 30:60])  # tile 4
+    np.testing.assert_array_equal(got[50:, 60:], grid[50:, 60:])      # tile 8
+    assert (got[:25, 30:] == e.fill).all()  # tiles 1,2 live in other shards
