@@ -776,6 +776,37 @@ def gvrs_export_blocks(tiles, spec, element: GvrsElement, compress: bool = True)
     )
 
 
+def _fetch_blocks(blocks, chunk_tiles: int = 4096):
+    """Driver-side block fetch for write_gvrs: chunked parallel collects.
+
+    toLocalIterator runs ONE SEQUENTIAL JOB PER PARTITION (measured 0.54M
+    cells/s vs 8.9M for collect on the 143-tile global store); a straight
+    collect is unbounded in driver memory. Chunking by pmod(tile_index)
+    keeps each fetch a fully parallel job while bounding driver residency
+    to ~chunk_tiles payloads (~200 MB at 4096 x 50 KB). File order of
+    tiles is irrelevant — the tile directory records positions."""
+    if not hasattr(blocks, "toLocalIterator"):
+        yield from blocks
+        return
+    from pyspark.sql import functions as F
+
+    n = blocks.count()
+    if n <= chunk_tiles:
+        for r in blocks.collect():
+            yield r
+        return
+    n_chunks = (n + chunk_tiles - 1) // chunk_tiles
+    b = blocks.withColumn(
+        "_chunk", F.pmod(F.col("tile_index"), F.lit(n_chunks)).cast("int")
+    ).persist()
+    try:
+        for i in range(n_chunks):
+            for r in b.filter(F.col("_chunk") == i).drop("_chunk").collect():
+                yield r
+    finally:
+        b.unpersist()
+
+
 def _le_utf(s: str) -> bytes:
     b = s.encode("utf-8")
     return struct.pack("<H", len(b)) + b
@@ -967,8 +998,7 @@ def write_gvrs(
                     F.collect_list(F.struct("element", "block"))
                 ).alias("m")
             )
-        it = blocks.toLocalIterator() if hasattr(blocks, "toLocalIterator") else iter(blocks)
-        for row in it:
+        for row in _fetch_blocks(blocks):
             ti = int(row["tile_index"] if isinstance(row, dict) else row.tile_index)
             content = bytearray(struct.pack("<i", ti))
             if multi:
