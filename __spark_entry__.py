@@ -871,10 +871,21 @@ def _q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HSV palette leg for the oracle: covers wrap-around hue, grey (s=0) ramp,
+# and a counterclockwise path over the DEM's value range
+_HSV_RECORDS = [
+    (-11000.0, -1.0, (240.0, 0.9, 0.25), (190.0, 0.6, 0.9)),
+    (-1.0, 1.0, (0.0, 0.0, 0.3), (0.0, 0.0, 0.95)),
+    (1.0, 9000.0, (350.0, 0.8, 0.35), (60.0, 0.9, 0.95)),
+]
+
+
 def _q_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 palette mapping + A11 Mercator projection over the global DEM
-    (every 8th cell): piecewise-linear ARGB (ColorPaletteRecordRGB semantics)
-    and spherical Mercator coords, all JVM columns."""
+    (every 8th cell): piecewise-linear ARGB (ColorPaletteRecordRGB
+    semantics), the HSV color model (ColorPaletteRecordHSV.getArgb —
+    shortest-path hue wrap + HSB->RGB sectors), and spherical Mercator
+    coords, all JVM columns."""
     spec = GLOBAL_GRID
     g = synth.grid_df(spark, spec, value="dem").filter(
         (F.col("row") % 8 == 0) & (F.col("col") % 8 == 0)
@@ -886,6 +897,7 @@ def _q_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row",
         "col",
         raster_ops.argb_expr(F.col("z").cast("double")).alias("argb"),
+        raster_ops.argb_hsv_expr(F.col("z").cast("double"), _HSV_RECORDS).alias("argb_hsv"),
         F.round(mx, 6).alias("merc_x"),
         F.round(my, 6).alias("merc_y"),
     )
@@ -898,6 +910,7 @@ def _palette_sql() -> str:
     mx, my = raster_ops.mercator_sql(lat, lon)
     return f"""
         SELECT row, col, {raster_ops.argb_sql('CAST(z AS DOUBLE)')} AS argb,
+               {raster_ops.argb_hsv_sql('CAST(z AS DOUBLE)', _HSV_RECORDS)} AS argb_hsv,
                ROUND({mx}, 6) AS merc_x, ROUND({my}, 6) AS merc_y
         FROM ({synth.grid_duckdb_sql(spec, value='dem')})
         WHERE row % 8 = 0 AND col % 8 = 0

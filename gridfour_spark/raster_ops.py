@@ -180,6 +180,7 @@ def read_cpt(text: str) -> dict:
     import re
 
     records, labels = [], []
+    model = "RGB"
     bfn = {"B": None, "F": None, "N": None}
     for line in text.splitlines():
         s = line.strip()
@@ -187,8 +188,10 @@ def read_cpt(text: str) -> dict:
             continue
         if s.startswith("#"):
             m = re.search(r"COLOR_MODEL\s*=\s*(\w+)", s)
-            if m and m.group(1).upper() != "RGB":
-                raise ValueError("only the RGB color model is supported")
+            if m:
+                model = m.group(1).upper()
+                if model not in ("RGB", "HSV"):
+                    raise ValueError(f"unsupported color model {model}")
             continue
         label = None
         if ";" in s:
@@ -200,14 +203,22 @@ def read_cpt(text: str) -> dict:
             bfn[a[0]] = (int(a[1]), int(a[2]), int(a[3]))
             continue
         a = re.split(r"[\s/]+", s)
+        # HSV model: hue in degrees, s/v in [0,1] — floats, not ints
+        # (ColorPaletteTableReader.java:282-434 + ColorPaletteRecordHSV);
+        # single-token h-s-v dash triples (parseSingleHsvString) expand to
+        # the 3-token form
+        if model == "HSV":
+            # h/s/v components are non-negative, so any '-' is a separator
+            a = [p for tok in a for p in (tok.split("-") if "-" in tok else [tok])]
+        conv = float if model == "HSV" else int
         if len(a) == 8:
             z0, z1 = float(a[0]), float(a[4])
-            rgb0 = (int(a[1]), int(a[2]), int(a[3]))
-            rgb1 = (int(a[5]), int(a[6]), int(a[7]))
+            rgb0 = (conv(a[1]), conv(a[2]), conv(a[3]))
+            rgb1 = (conv(a[5]), conv(a[6]), conv(a[7]))
         elif len(a) == 4:  # categorical: one value, one color
             z0 = float(a[0])
             z1 = float(a[0])
-            rgb0 = rgb1 = (int(a[1]), int(a[2]), int(a[3]))
+            rgb0 = rgb1 = (conv(a[1]), conv(a[2]), conv(a[3]))
         else:
             raise ValueError(f"unparseable palette line: {line!r}")
         records.append((z0, z1, rgb0, rgb1))
@@ -220,9 +231,91 @@ def read_cpt(text: str) -> dict:
     return {
         "records": records,
         "labels": labels,
+        "model": model,
         "background": bfn["B"],
         "foreground": bfn["F"],
         "null_color": bfn["N"],
         "range_min": min(r[0] for r in records),
         "range_max": max(r[1] for r in records),
     }
+
+
+def _hsv_record_params(z0, z1, hsv0, hsv1):
+    """Precomputed interpolation parameters, ColorPaletteRecordHSV ctor
+    (:95-131): shortest angular hue path, the dH==0-after-wrap -> 360 quirk
+    included, and the wrapAround flag that folds hue back into [0, 360]."""
+    h0, s0, v0 = hsv0
+    h1, s1, v1 = hsv1
+    d_h = h1 - h0
+    if abs(d_h) < 1.0e-6:
+        delta_h = 0.0
+    else:
+        if d_h <= -180:
+            d_h += 360
+        elif d_h > 180:
+            d_h -= 360
+        if d_h == 0:
+            d_h = 360
+        delta_h = d_h
+    wrap = (h0 + delta_h > 360.0) or (h0 + delta_h < 0)
+    return h0, s0, v0, delta_h, s1 - s0, v1 - v0, wrap
+
+
+def argb_hsv_expr(z, records):
+    """A10, HSV color model: per-record hue/sat/val interpolation with
+    shortest-path hue wrap (ColorPaletteRecordHSV.getArgb:146-175), then
+    HSB->RGB via the closed form chan(n) = v*(1 - s*clamp(min(k, 4-k), 0, 1)),
+    k = (n + h*6) mod 6 (n = 5/3/1 for r/g/b) — algebraically identical to
+    java.awt.Color.HSBtoRGB's sector switch (each sector's p/q/t expression
+    falls out of the clamp), but one small expression tree per channel
+    instead of an 18-branch CASE that blows whole-stage codegen's 64KB
+    method limit. The s==0 grey case needs no branch: the multiplier is 0.
+    records: (z0, z1, (h0,s0,v0), (h1,s1,v1)) with hue in degrees."""
+    out = None
+    for z0, z1, hsv0, hsv1 in records:
+        h0, s0, v0, d_h, d_s, d_v, wrap = _hsv_record_params(z0, z1, hsv0, hsv1)
+        t = (z - F.lit(z0)) / F.lit(z1 - z0)
+        t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+        a = F.lit(d_h) * t + F.lit(h0)
+        if wrap:
+            a = F.when(a < 0.0, a + 360.0).when(a > 360.0, a - 360.0).otherwise(a)
+        s = F.lit(d_s) * t + F.lit(s0)
+        v = F.lit(d_v) * t + F.lit(v0)
+        hue = a / F.lit(360.0)
+        h6 = (hue - F.floor(hue)) * F.lit(6.0)
+
+        def chan(n):
+            k = (F.lit(float(n)) + h6) % F.lit(6.0)
+            m = F.greatest(F.lit(0.0), F.least(k, F.lit(4.0) - k, F.lit(1.0)))
+            x = v * (F.lit(1.0) - s * m)
+            return F.floor(x * F.lit(255.0) + F.lit(0.5)).cast("long")
+
+        argb = F.lit(0xFF000000) + chan(5) * 65536 + chan(3) * 256 + chan(1)
+        cond = (z >= F.lit(z0)) & (z < F.lit(z1))
+        out = F.when(cond, argb) if out is None else out.when(cond, argb)
+    return out
+
+
+def argb_hsv_sql(z: str, records) -> str:
+    """DuckDB twin of argb_hsv_expr — identical closed-form arithmetic."""
+    whens = []
+    for z0, z1, hsv0, hsv1 in records:
+        h0, s0, v0, d_h, d_s, d_v, wrap = _hsv_record_params(z0, z1, hsv0, hsv1)
+        t = f"least(greatest((({z}) - {z0!r}) / {z1 - z0!r}, 0.0), 1.0)"
+        a = f"({d_h!r} * {t} + {h0!r})"
+        if wrap:
+            a = f"(CASE WHEN {a} < 0.0 THEN {a} + 360.0 WHEN {a} > 360.0 THEN {a} - 360.0 ELSE {a} END)"
+        s = f"({d_s!r} * {t} + {s0!r})"
+        v = f"({d_v!r} * {t} + {v0!r})"
+        hue = f"({a} / 360.0)"
+        h6 = f"(({hue} - floor({hue})) * 6.0)"
+
+        def chan(n):
+            k = f"fmod({float(n)!r} + {h6}, 6.0)"
+            m = f"greatest(0.0, least({k}, 4.0 - {k}, 1.0))"
+            x = f"({v} * (1.0 - {s} * {m}))"
+            return f"CAST(floor({x} * 255.0 + 0.5) AS BIGINT)"
+
+        argb = f"(4278190080 + {chan(5)} * 65536 + {chan(3)} * 256 + {chan(1)})"
+        whens.append(f"WHEN ({z}) >= {z0!r} AND ({z}) < {z1!r} THEN {argb}")
+    return "CASE " + " ".join(whens) + " END"

@@ -46,3 +46,58 @@ def test_cpt_interpolation_midpoint(spark):
     assert _argb_at(spark, cpt["records"], 5.0) == (
         0xFF000000 | (50 << 16) | (100 << 8) | 20
     )
+
+
+_HSV_CPT = """# test palette
+# COLOR_MODEL = HSV
+0 350-0.8-0.3 10 20-1.0-0.9
+10 120-0.0-0.2 20 120-0.0-0.95
+20 200-0.5-0.5 30 60-0.9-0.7
+"""
+
+
+def _java_hsb_to_rgb(hue, s, v):
+    """Scalar port of java.awt.Color.HSBtoRGB (the reference's HSV->RGB)."""
+    import math
+
+    if s == 0:
+        r = g = b = int(v * 255.0 + 0.5)
+    else:
+        h = (hue - math.floor(hue)) * 6.0
+        f = h - math.floor(h)
+        p = v * (1.0 - s)
+        q = v * (1.0 - s * f)
+        t = v * (1.0 - s * (1.0 - f))
+        r_, g_, b_ = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][int(h)]
+        r, g, b = int(r_ * 255.0 + 0.5), int(g_ * 255.0 + 0.5), int(b_ * 255.0 + 0.5)
+    return 0xFF000000 | (r << 16) | (g << 8) | b
+
+
+def _ref_hsv_argb(z, z0, z1, hsv0, hsv1):
+    """Scalar port of ColorPaletteRecordHSV.getArgb:146-175."""
+    h0, s0, v0, d_h, d_s, d_v, wrap = R._hsv_record_params(z0, z1, hsv0, hsv1)
+    t = min(max((z - z0) / (z1 - z0), 0.0), 1.0)
+    a = d_h * t + h0
+    if wrap:
+        if a < 0:
+            a += 360
+        elif a > 360:
+            a -= 360
+    return _java_hsb_to_rgb(a / 360.0, d_s * t + s0, d_v * t + v0)
+
+
+def test_hsv_cpt_parse_and_interpolation(spark):
+    """HSV color model (ColorPaletteTableReader.java:282 + ColorPaletteRecordHSV):
+    wrap-around hue (350->20 crosses 0), s==0 grey ramp, counterclockwise
+    path — Spark expr matches the scalar Java-port oracle on a dense sweep."""
+    cpt = R.read_cpt(_HSV_CPT)  # dash triples h-s-v, parseSingleHsvString form
+    assert cpt["model"] == "HSV"
+    recs = cpt["records"]
+    assert recs[0][2] == (350.0, 0.8, 0.3) and recs[0][3] == (20.0, 1.0, 0.9)
+
+    zs = [round(0.13 + 0.61 * i, 4) for i in range(49)]  # 0.13 .. 29.4
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {r.z: r.argb for r in df.select("z", R.argb_hsv_expr(F.col("z"), recs).alias("argb")).collect()}
+    for z in zs:
+        rec = next(r for r in recs if r[0] <= z < r[1])
+        assert got[z] == _ref_hsv_argb(z, *rec), z
