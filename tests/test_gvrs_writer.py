@@ -334,3 +334,29 @@ def test_sharded_export_executor_side(spark):
     np.testing.assert_array_equal(got[25:50, 30:60], grid[25:50, 30:60])  # tile 4
     np.testing.assert_array_equal(got[50:, 60:], grid[50:, 60:])      # tile 8
     assert (got[:25, 30:] == e.fill).all()  # tiles 1,2 live in other shards
+
+
+def test_distributed_inspector(spark):
+    """inspect_gvrs: per-record CRC audit in executors. A checksummed store
+    passes everywhere; flipping one payload byte fails exactly that tile;
+    an unchecksummed store reports ok=NULL (not verifiable), never failed."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    path = _write(spark, SPEC, e, grid, checksum=True)
+    rows = G.inspect_gvrs(spark, path).collect()
+    assert len(rows) == 10  # header + 9 tiles
+    assert all(r.ok for r in rows)
+
+    # corrupt one byte inside the FIRST tile's payload area
+    info = G.parse_gvrs_header(path)
+    pos = min(info.tile_positions.values()) + 9
+    raw = bytearray(open(path, "rb").read())
+    raw[pos] ^= 0xFF
+    open(path, "wb").write(bytes(raw))
+    rows = {r.kind: r.ok for r in G.inspect_gvrs(spark, path).collect()}
+    assert sum(1 for v in rows.values() if v is False) == 1
+    assert rows["header"] is True
+
+    path2 = _write(spark, SPEC, e, grid, checksum=False)
+    rows2 = G.inspect_gvrs(spark, path2).collect()
+    assert all(r.ok is None for r in rows2)
