@@ -861,6 +861,10 @@ def _q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the palette channel rounding (getArgbWithShade:110-121) — the
     # former standalone shaded_relief query folded in to stay inside the
     # driver's correctness window
+    # NOT the same vector as `shade`: these literals differ from the
+    # cos/sin derivation above in the last ulp (ly2/lz2) and are shared
+    # VERBATIM with the oracle SQL — folding them into `shade` would move
+    # channel roundings at floor boundaries and break the hash contract
     lx2, ly2, lz2 = 0.5000000000000001, -0.49999999999999994, 0.7071067811865476
     shade2 = F.greatest((-zx / L) * lx2 + (-zy / L) * ly2 + (1.0 / L) * lz2, F.lit(0.0))
     z = F.col("z_q") / 1e6

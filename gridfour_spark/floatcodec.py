@@ -65,8 +65,15 @@ def encode_float_tile(values: np.ndarray, nr: int, nc: int) -> bytes:
     return bytes(out)
 
 
-def decode_float_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
-    assert packing[0] == FLOAT_CODEC_INDEX
+def decode_float_tile(packing: bytes, nr: int, nc: int, check_index: bool = True) -> np.ndarray:
+    """Inverse of encode_float_tile; byte-compatible with the reference's
+    CodecFloat payloads (decodeFloats:395-457), so this is ALSO the decoder
+    gvrsfile uses for reference-written float tiles (check_index=False skips
+    the engine codec-table assertion — reference files use their own codec
+    list). Sections may be over-allocated in foreign payloads; every plane
+    is clipped to n = nr*nc."""
+    if check_index:
+        assert packing[0] == FLOAT_CODEC_INDEX
     pos = 2
     sections = []
     for _ in range(5):
@@ -76,11 +83,11 @@ def decode_float_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
         pos += ln
     n = nr * nc
     sign = np.unpackbits(np.frombuffer(sections[0], dtype=np.uint8), bitorder="little")[:n]
-    exp = np.frombuffer(sections[1], dtype=np.uint8).astype(np.int64)
-    m1 = _delta_decode(np.frombuffer(sections[2], dtype=np.int8).reshape(nr, nc)).ravel().astype(np.int64)
-    m2 = _delta_decode(np.frombuffer(sections[3], dtype=np.int8).reshape(nr, nc)).ravel().astype(np.int64)
-    m3 = _delta_decode(np.frombuffer(sections[4], dtype=np.int8).reshape(nr, nc)).ravel().astype(np.int64)
-    bits = (sign.astype(np.int64) << 31) | (exp << 23) | (m1 << 16) | (m2 << 8) | m3
+    exp = np.frombuffer(sections[1], dtype=np.uint8).astype(np.int64)[:n]
+    m1 = _delta_decode(np.frombuffer(sections[2], dtype=np.int8)[:n].reshape(nr, nc)).ravel().astype(np.int64)
+    m2 = _delta_decode(np.frombuffer(sections[3], dtype=np.int8)[:n].reshape(nr, nc)).ravel().astype(np.int64)
+    m3 = _delta_decode(np.frombuffer(sections[4], dtype=np.int8)[:n].reshape(nr, nc)).ravel().astype(np.int64)
+    bits = (sign.astype(np.int64) << 31) | (exp << 23) | ((m1 & 0x7F) << 16) | (m2 << 8) | m3
     return bits.astype(np.uint32).view(np.float32).reshape(nr, nc).copy()
 
 

@@ -81,11 +81,14 @@ def _ifd_block(arr: np.ndarray, tile_w: int, tile_h: int, compress: bool,
     tie_pos = scale_pos + 8 * 3
     tiles_pos = tie_pos + 8 * 6
 
+    # TIFF 6.0 word alignment: every tile payload starts on an even offset
+    # (deflate lengths have arbitrary parity), and the blob's total length
+    # stays even so a chained overview IFD also begins word-aligned
     tile_offsets = []
     p = tiles_pos
     for pl in payloads:
         tile_offsets.append(p)
-        p += len(pl)
+        p += len(pl) + (len(pl) & 1)
 
     def entry(tag, typ, count, value):
         return struct.pack("<HHII", tag, typ, count, value)
@@ -129,6 +132,8 @@ def _ifd_block(arr: np.ndarray, tile_w: int, tile_h: int, compress: bool,
     out += struct.pack("<6d", 0.0, 0.0, 0.0, ulx, uly, 0.0)
     for pl in payloads:
         out += pl
+        if len(pl) & 1:
+            out += b"\x00"
     return bytes(out), payloads, next_ptr_off
 
 

@@ -143,6 +143,8 @@ class GvrsInfo:
     tile_positions: dict = field(default_factory=dict)  # tile_index -> abs file pos
     metadata_refs: list = field(default_factory=list)  # (name, record_id, type_code, pos)
     product_label: str = ""
+    tile_dir_pos: int = 0  # content position of the tile directory record
+    metadata_dir_pos: int = 0
 
     def standard_size_for(self, e: GvrsElement) -> int:
         n = self.tile_rows * self.tile_cols
@@ -218,6 +220,8 @@ def parse_gvrs_header(path: str) -> GvrsInfo:
             product_label=product_label,
         )
 
+        info.tile_dir_pos = pos_tile_dir
+        info.metadata_dir_pos = pos_metadata_dir
         if pos_tile_dir > 0:
             info.tile_positions = _read_tile_directory(f, pos_tile_dir, info)
         if pos_metadata_dir > 0:
@@ -274,8 +278,10 @@ def _read_tile_directory(f, pos: int, info: GvrsInfo) -> dict:
         return positions
     n = n_rows * n_cols
     if extended:
+        # TileDirectoryExtended stores RAW int64 file positions; only the
+        # compact u32 form divides by 8 (code-review round 3 fix)
         raw = np.frombuffer(f.read(8 * n), dtype="<i8").reshape(n_rows, n_cols)
-        offs = raw * 8
+        offs = raw
     else:
         raw = np.frombuffer(f.read(4 * n), dtype="<u4").reshape(n_rows, n_cols)
         offs = raw.astype(np.int64) * 8
@@ -391,27 +397,12 @@ def _decode_float_payload(payload: bytes, codec_ids: list, nr: int, nc: int) -> 
 
 
 def decode_float_reference(packing: bytes, nr: int, nc: int) -> np.ndarray:
-    """CodecFloat.decodeFloats:395-457 — 5 length-prefixed deflate sections:
-    sign bits (LSB-first, BitOutputStore order), exponent byte, and three
-    mantissa byte planes with per-row horizontal deltas."""
-    from gridfour_spark.floatcodec import _delta_decode
+    """Reference-format float tile decode — delegates to the shared
+    floatcodec kernel (byte-identical format; CodecFloat.decodeFloats:
+    395-457). Kept as a named entry point for the codec dispatch table."""
+    from gridfour_spark.floatcodec import decode_float_tile
 
-    pos = 2
-    sections = []
-    for _ in range(5):
-        ln = int.from_bytes(packing[pos : pos + 4], "little")
-        pos += 4
-        sections.append(zlib.decompress(packing[pos : pos + ln]))
-        pos += ln
-    n = nr * nc
-    # reference sign bits are BitOutputStore (LSB-first within bytes)
-    sign = np.unpackbits(np.frombuffer(sections[0], dtype=np.uint8), bitorder="little")[:n]
-    exp = np.frombuffer(sections[1], dtype=np.uint8).astype(np.int64)[:n]
-    m1 = _delta_decode(np.frombuffer(sections[2], dtype=np.int8)[:n].reshape(nr, nc)).ravel().astype(np.int64)
-    m2 = _delta_decode(np.frombuffer(sections[3], dtype=np.int8)[:n].reshape(nr, nc)).ravel().astype(np.int64)
-    m3 = _delta_decode(np.frombuffer(sections[4], dtype=np.int8)[:n].reshape(nr, nc)).ravel().astype(np.int64)
-    bits = (sign.astype(np.int64) << 31) | (exp << 23) | ((m1 & 0x7F) << 16) | (m2 << 8) | m3
-    return bits.astype(np.uint32).view(np.float32).copy()
+    return decode_float_tile(packing, nr, nc, check_index=False).ravel()
 
 
 def parse_ls_header(packing: bytes, offset: int = 0) -> dict:
@@ -466,8 +457,10 @@ def decode_lsop_reference(payload: bytes, nr: int, nc: int) -> np.ndarray:
         n_interior_syms = (nr - 2) * (nc - 4)
         core = L.decode_lsop_parsed
     elif n_coeff == 8:
-        n_init_syms = 2 * (nr + nc) - 3
-        n_interior_syms = (nr - 1) * (nc - 2)
+        # LsDecoder08.unpackInitializers: (nc-1) + nc + 2*(nr-2) symbols;
+        # unpackInterior: rows 2..nr-1 x cols 2..nc-1
+        n_init_syms = 2 * nr + 2 * nc - 5
+        n_interior_syms = (nr - 2) * (nc - 2)
         core = L.decode_lsop8_parsed
     else:
         raise NotImplementedError(f"LSOP with {n_coeff} coefficients")
@@ -790,18 +783,21 @@ def _fetch_blocks(blocks, chunk_tiles: int = 4096):
         return
     from pyspark.sql import functions as F
 
-    n = blocks.count()
-    if n <= chunk_tiles:
-        for r in blocks.collect():
-            yield r
-        return
-    n_chunks = (n + chunk_tiles - 1) // chunk_tiles
-    b = blocks.withColumn(
-        "_chunk", F.pmod(F.col("tile_index"), F.lit(n_chunks)).cast("int")
-    ).persist()
+    # persist BEFORE count so the distributed codec race (the dominant
+    # export cost) runs once, not once for count and again per collect
+    b = blocks.persist()
     try:
+        n = b.count()
+        if n <= chunk_tiles:
+            for r in b.collect():
+                yield r
+            return
+        n_chunks = (n + chunk_tiles - 1) // chunk_tiles
+        c = b.withColumn(
+            "_chunk", F.pmod(F.col("tile_index"), F.lit(n_chunks)).cast("int")
+        )
         for i in range(n_chunks):
-            for r in b.filter(F.col("_chunk") == i).drop("_chunk").collect():
+            for r in c.filter(F.col("_chunk") == i).drop("_chunk").collect():
                 yield r
     finally:
         b.unpersist()
@@ -1081,6 +1077,9 @@ def write_gvrs_shards(
     import pandas as pd
     from pyspark.sql import functions as F
 
+    # out_dir must be on a filesystem ALL executors share (NFS/FUSE/cloud
+    # mount) — each task writes its shard file directly; single-JVM local
+    # mode trivially satisfies this
     os.makedirs(out_dir, exist_ok=True)
     sharded = blocks.withColumn(
         "shard", F.pmod(F.col("tile_index"), F.lit(n_shards)).cast("int")
@@ -1088,6 +1087,7 @@ def write_gvrs_shards(
 
     def assemble(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         shard = int(key[0])
+        os.makedirs(out_dir, exist_ok=True)  # executor-side (shared fs)
         path = os.path.join(out_dir, f"part-{shard:05d}.gvrs")
         rows = pdf.sort_values("tile_index").to_dict("records")
         write_gvrs(path, spec, element, rows, **write_kw)
@@ -1121,9 +1121,12 @@ def inspect_gvrs(spark, path: str):
     the record header) and validate its trailing CRC32C; the driver checks
     only the file header. Returns (kind, pos, size, stored_crc, computed_crc,
     ok) — a store passes when every row has ok AND the header row passes.
-    Stores written with checksum=False carry zero checksums; like the
-    reference (checkSum != 0 guard), those records are reported ok=NULL
-    (not verifiable), never failed."""
+    Besides tile records, the audit walks the SAME record set the
+    reference inspector does: metadata records, the tile directory, and
+    the metadata directory (small, checked driver-side). Stores written
+    with checksum=False carry zero checksums; like the reference
+    (checkSum != 0 guard), those records are reported ok=NULL (not
+    verifiable), never failed."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -1141,6 +1144,27 @@ def inspect_gvrs(spark, path: str):
     hdr_ok = None if stored == 0 else bool(int(crc32c(region)) == stored)
     header_row = [("header", 0, size_of_header, int(stored),
                    int(crc32c(region)), hdr_ok)]
+
+    # metadata + directory records: small, audited driver-side with the
+    # same record framing as the executor tile audit
+    def _audit_record(f, kind, content_pos):
+        rpos = content_pos - 8
+        f.seek(rpos)
+        size = struct.unpack("<i", f.read(4))[0]
+        f.seek(rpos)
+        rec = f.read(size)
+        stored = struct.unpack_from("<I", rec, size - 4)[0]
+        comp = int(crc32c(rec[: size - 4]))
+        ok = None if stored == 0 else bool(comp == int(stored))
+        return (kind, rpos, size, int(stored), comp, ok)
+
+    with open(path, "rb") as f:
+        for name, rid, _tc, mpos in info.metadata_refs:
+            header_row.append(_audit_record(f, f"metadata:{name}:{rid}", mpos))
+        if info.tile_dir_pos:
+            header_row.append(_audit_record(f, "tile_directory", info.tile_dir_pos))
+        if info.metadata_dir_pos:
+            header_row.append(_audit_record(f, "metadata_directory", info.metadata_dir_pos))
 
     items = sorted(info.tile_positions.items())
     if not items:

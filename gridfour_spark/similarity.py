@@ -458,6 +458,11 @@ def decode_media(media: DataFrame) -> DataFrame:
             # uint8 buffer and segment-reduce by payload offsets — no
             # per-row Python (the zip-loop this replaces)
             lens = np.fromiter((len(b) for b in pdf["payload"]), dtype=np.int64, count=len(pdf))
+            if len(lens) and int(lens.min()) == 0:
+                # reduceat on an empty segment would silently return the
+                # NEXT payload's first byte; fail loudly like the old
+                # per-row loop did on an empty array
+                raise ValueError("empty media payload")
             buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])

@@ -344,8 +344,22 @@ def test_distributed_inspector(spark):
     e = G.default_element("z", "int")
     path = _write(spark, SPEC, e, grid, checksum=True)
     rows = G.inspect_gvrs(spark, path).collect()
-    assert len(rows) == 10  # header + 9 tiles
+    kinds = {r.kind for r in rows}
+    # header + 2 metadata records + 2 directories + 9 tiles
+    assert len(rows) == 14, kinds
+    assert "tile_directory" in kinds and "metadata_directory" in kinds
+    assert any(k.startswith("metadata:GvrsJavaCodecs") for k in kinds)
     assert all(r.ok for r in rows)
+
+    # corrupting the tile DIRECTORY is caught too (GvrsInspector walks
+    # every record, not just tiles)
+    info0 = G.parse_gvrs_header(path)
+    raw0 = bytearray(open(path, "rb").read())
+    raw0[info0.tile_dir_pos + 9] ^= 0xFF
+    p_dir = path + ".dircorrupt"
+    open(p_dir, "wb").write(bytes(raw0))
+    bad = [r.kind for r in G.inspect_gvrs(spark, p_dir).collect() if r.ok is False]
+    assert bad == ["tile_directory"], bad
 
     # corrupt one byte inside the FIRST tile's payload area
     info = G.parse_gvrs_header(path)

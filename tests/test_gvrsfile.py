@@ -185,3 +185,48 @@ def test_spark_cells_read(spark):
     assert row["n"] == 10000
     assert row["s"] == sum(r * 100 + c - 1 for r in range(100) for c in range(100))
     assert row["nulls"] == 0
+
+
+def test_lsop8_reference_decode_path():
+    """decode_lsop_reference's LSOP-8 branch: symbol counts per
+    LsDecoder08.unpackInitializers ((nc-1)+nc+2*(nr-2)) and unpackInterior
+    ((nr-2)*(nc-2)) — an engine LSOP-8 packing decodes exactly through the
+    reference-format path (code-review round 3 regression)."""
+    from gridfour_spark import lsop as L
+    from gridfour_spark.gvrsfile import decode_lsop_reference
+
+    nr, nc = 20, 30
+    r, c = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+    v = (1000 * np.sin(r * 0.2) * np.cos(c * 0.15)).astype(np.int32)
+    res = L.encode_lsop8(v.ravel(), nr, nc)
+    assert res is not None
+    back = decode_lsop_reference(bytes(res["payload"]), nr, nc)
+    np.testing.assert_array_equal(back.astype(np.int32), v.ravel())
+
+
+def test_extended_tile_directory_raw_offsets(tmp_path):
+    """Extended-form tile directories store RAW int64 positions
+    (TileDirectoryExtended.writeTilePositions), unlike the compact form's
+    pos/8 u32 — synthesize one directory record of each form and parse."""
+    import struct
+
+    from gridfour_spark.gvrsfile import GvrsInfo, _read_tile_directory
+
+    info = GvrsInfo(
+        path="", version=1, subversion=4, n_rows=20, n_cols=20,
+        tile_rows=10, tile_cols=10, n_rows_of_tiles=2, n_cols_of_tiles=2,
+        checksum_enabled=False, coord_system=0,
+        x0=0, y0=0, x1=1, y1=1, cell_size_x=1, cell_size_y=1,
+        m2r=(0,) * 6, r2m=(0,) * 6,
+    )
+    for extended, stored in ((False, 123456 // 8), (True, 123456)):
+        p = tmp_path / f"dir_{extended}.bin"
+        buf = bytearray()
+        buf += bytes([0, 1 if extended else 0]) + b"\x00" * 6
+        buf += struct.pack("<4i", 0, 0, 1, 2)  # row0 col0 1x2 tiles
+        fmt = "<2q" if extended else "<2I"
+        buf += struct.pack(fmt, stored, 0)
+        p.write_bytes(bytes(buf))
+        with open(p, "rb") as f:
+            pos = _read_tile_directory(f, 0, info)
+        assert pos == {0: 123456}, (extended, pos)
