@@ -269,7 +269,12 @@ def interpolate_points(
             return F.sum(F.floor(w * F.col("_z") * F.lit(scale)).cast("long")).alias(name)
         return F.round(F.sum(w * F.col("_z")), 6).alias(name)
 
-    aggs = [term(b * p, "z_q" if quantize else "z", 1e6)]
+    # a stencil cell in a missing/sparse tile leaves _z NULL; F.sum would
+    # silently skip it and return a biased finite value — count the hits
+    # and DROP points with an incomplete stencil (readValue throws there;
+    # same sparse-store semantics as bilinear_points)
+    aggs = [F.count(F.col("_z")).alias("_n_hit")]
+    aggs += [term(b * p, "z_q" if quantize else "z", 1e6)]
     if derivatives:
         bu = F.expr(basis_d_sql("_k", "u", col_spacing))
         pv = F.expr(basis_d_sql("_j", "v", row_spacing))
@@ -283,7 +288,8 @@ def interpolate_points(
             term(buu * p, "zxx" + sfx, 1e12),
             term(b * pvv, "zyy" + sfx, 1e12),
         ]
-    return joined.groupBy(pt_id).agg(*aggs)
+    out = joined.groupBy(pt_id).agg(*aggs)
+    return out.filter(F.col("_n_hit") == 16).drop("_n_hit")
 
 
 def interpolate_points_sql(

@@ -222,7 +222,17 @@ def parse_ifds(path: str) -> list[dict]:
 
             def read_array(tag, fmt, size):
                 typ, count, val = tags[tag]
+                # honor the ENTRY's type: TIFF 6.0 allows SHORT (type 3)
+                # for TileOffsets/TileByteCounts; our writer emits LONG but
+                # foreign files may not (code-review round 3)
+                if typ == 3:
+                    fmt, size = "H", 2
+                elif typ == 4:
+                    fmt, size = "I", 4
                 if count * size <= 4:
+                    if typ == 3 and count <= 2:
+                        # inline SHORTs pack little-endian from the value
+                        return [(val >> (16 * i)) & 0xFFFF for i in range(count)]
                     return [val]
                 f.seek(val)
                 return list(struct.unpack(f"<{count}{fmt}", f.read(count * size)))

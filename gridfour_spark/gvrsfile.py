@@ -110,12 +110,6 @@ class GvrsElement:
     uom: str = ""
     continuous: bool = False
 
-    @property
-    def standard_size(self) -> int:
-        # TileElement standard sizes are padded to multiples of 4
-        # (TileElementShort.java:92-98)
-        return -1  # filled per-tile; see GvrsInfo.standard_size_for
-
 
 @dataclass
 class GvrsInfo:
@@ -598,19 +592,22 @@ def read_gvrs(spark, path: str, n_partitions: int | None = None):
         inf = b_info.value
         for pdf in batches:
             rows = []
-            for ti in pdf["tile_index"]:
-                for (tix, arrays) in read_tile_arrays(inf.path, inf, [int(ti)]):
-                    tr, tc = divmod(tix, inf.n_cols_of_tiles)
-                    for e, vals in zip(inf.elements, arrays):
-                        rows.append(
-                            {
-                                "tile_index": tix,
-                                "tile_row": tr,
-                                "tile_col": tc,
-                                "element": e.name,
-                                "values": vals,
-                            }
-                        )
+            # ONE read_tile_arrays call per Arrow batch: the file is opened
+            # once and seeked per tile, not reopened per tile
+            for (tix, arrays) in read_tile_arrays(
+                inf.path, inf, [int(t) for t in pdf["tile_index"]]
+            ):
+                tr, tc = divmod(tix, inf.n_cols_of_tiles)
+                for e, vals in zip(inf.elements, arrays):
+                    rows.append(
+                        {
+                            "tile_index": tix,
+                            "tile_row": tr,
+                            "tile_col": tc,
+                            "element": e.name,
+                            "values": vals,
+                        }
+                    )
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -757,7 +754,13 @@ def gvrs_export_blocks(tiles, spec, element: GvrsElement, compress: bool = True)
                         std = ints.astype("<i4").tobytes()
                     if compress and r["kept"] and r["n_bytes"] < len(std):
                         p = bytearray(bytes(r["payload"]))
-                        p[0] = _ENGINE_TO_EXPORT[p[0]]
+                        if p[0] == 4:
+                            # engine GvrsHuffman payloads carry a 4-byte bit
+                            # count at offset 10 that the reference format
+                            # does not have (CodecHuffman reads tree bits
+                            # from byte 10) — strip it on export
+                            p = p[:10] + p[14:]
+                        p[0] = _ENGINE_TO_EXPORT[bytes(r["payload"])[0]]
                         payload = bytes(p)
                     else:
                         payload = std

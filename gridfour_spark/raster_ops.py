@@ -120,9 +120,13 @@ def argb_expr(z, records=PALETTE_ETOPO, shade=None):
     reference applies it INSIDE the rounding (getArgbWithShade:110-121).
     Returns a BIGINT (0xff000000 | r<<16 | g<<8 | b, unsigned form)."""
     out = None
-    for z0, z1, (r0, g0, b0), (r1, g1, b1) in records:
-        t = (z - F.lit(z0)) / F.lit(z1 - z0)
-        t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+    last = len(records) - 1
+    for i, (z0, z1, (r0, g0, b0), (r1, g1, b1)) in enumerate(records):
+        if z1 == z0:
+            t = F.lit(0.0)  # categorical single-value record
+        else:
+            t = (z - F.lit(z0)) / F.lit(z1 - z0)
+            t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
         chans = []
         for c0, c1 in ((r0, r1), (g0, g1), (b0, b1)):
             v = F.lit(float(c1 - c0)) * t + F.lit(float(c0))
@@ -130,7 +134,15 @@ def argb_expr(z, records=PALETTE_ETOPO, shade=None):
                 v = shade * v
             chans.append(F.floor(v + F.lit(0.5)).cast("long"))
         argb = F.lit(0xFF000000) + chans[0] * 65536 + chans[1] * 256 + chans[2]
-        cond = (z >= F.lit(z0)) & (z < F.lit(z1))
+        # categorical records match their single value; the LAST record is
+        # the termination record and covers z == range1
+        # (ColorPaletteRecord.isCovered / termination semantics)
+        if z1 == z0:
+            cond = z == F.lit(z0)
+        elif i == last:
+            cond = (z >= F.lit(z0)) & (z <= F.lit(z1))
+        else:
+            cond = (z >= F.lit(z0)) & (z < F.lit(z1))
         out = F.when(cond, argb) if out is None else out.when(cond, argb)
     return out
 
@@ -138,8 +150,12 @@ def argb_expr(z, records=PALETTE_ETOPO, shade=None):
 def argb_sql(z: str, records=PALETTE_ETOPO, shade: str | None = None) -> str:
     """DuckDB twin of argb_expr (identical clamp/round arithmetic)."""
     whens = []
-    for z0, z1, (r0, g0, b0), (r1, g1, b1) in records:
-        t = f"least(greatest((({z}) - {z0!r}) / {z1 - z0!r}, 0.0), 1.0)"
+    last = len(records) - 1
+    for i, (z0, z1, (r0, g0, b0), (r1, g1, b1)) in enumerate(records):
+        if z1 == z0:
+            t = "0.0"
+        else:
+            t = f"least(greatest((({z}) - {z0!r}) / {z1 - z0!r}, 0.0), 1.0)"
         chans = []
         for c0, c1 in ((r0, r1), (g0, g1), (b0, b1)):
             v = f"({float(c1 - c0)!r} * {t} + {float(c0)!r})"
@@ -147,7 +163,13 @@ def argb_sql(z: str, records=PALETTE_ETOPO, shade: str | None = None) -> str:
                 v = f"(({shade}) * {v})"
             chans.append(f"CAST(floor({v} + 0.5) AS BIGINT)")
         argb = f"(4278190080 + {chans[0]} * 65536 + {chans[1]} * 256 + {chans[2]})"
-        whens.append(f"WHEN ({z}) >= {z0!r} AND ({z}) < {z1!r} THEN {argb}")
+        if z1 == z0:
+            cond = f"({z}) = {z0!r}"
+        elif i == last:
+            cond = f"({z}) >= {z0!r} AND ({z}) <= {z1!r}"
+        else:
+            cond = f"({z}) >= {z0!r} AND ({z}) < {z1!r}"
+        whens.append(f"WHEN {cond} THEN {argb}")
     return "CASE " + " ".join(whens) + " END"
 
 
@@ -204,12 +226,19 @@ def read_cpt(text: str) -> dict:
             continue
         a = re.split(r"[\s/]+", s)
         # HSV model: hue in degrees, s/v in [0,1] — floats, not ints
-        # (ColorPaletteTableReader.java:282-434 + ColorPaletteRecordHSV);
-        # single-token h-s-v dash triples (parseSingleHsvString) expand to
-        # the 3-token form
-        if model == "HSV":
-            # h/s/v components are non-negative, so any '-' is a separator
-            a = [p for tok in a for p in (tok.split("-") if "-" in tok else [tok])]
+        # (ColorPaletteTableReader.java:282-434 + ColorPaletteRecordHSV).
+        # Dash triples h-s-v (parseSingleHsvString) appear only as the
+        # COLOR fields of the 2- and 4-token forms (a[1] / a[1], a[3]) —
+        # never split the z-value tokens, which may be negative
+        # (bathymetry) or in scientific notation
+        if model == "HSV" and len(a) in (2, 4):
+            out_toks = []
+            for i, tok in enumerate(a):
+                if i % 2 == 1 and "-" in tok:
+                    out_toks.extend(tok.split("-"))
+                else:
+                    out_toks.append(tok)
+            a = out_toks
         conv = float if model == "HSV" else int
         if len(a) == 8:
             z0, z1 = float(a[0]), float(a[4])
@@ -272,10 +301,14 @@ def argb_hsv_expr(z, records):
     method limit. The s==0 grey case needs no branch: the multiplier is 0.
     records: (z0, z1, (h0,s0,v0), (h1,s1,v1)) with hue in degrees."""
     out = None
-    for z0, z1, hsv0, hsv1 in records:
+    last = len(records) - 1
+    for i, (z0, z1, hsv0, hsv1) in enumerate(records):
         h0, s0, v0, d_h, d_s, d_v, wrap = _hsv_record_params(z0, z1, hsv0, hsv1)
-        t = (z - F.lit(z0)) / F.lit(z1 - z0)
-        t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+        if z1 == z0:
+            t = F.lit(0.0)
+        else:
+            t = (z - F.lit(z0)) / F.lit(z1 - z0)
+            t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
         a = F.lit(d_h) * t + F.lit(h0)
         if wrap:
             a = F.when(a < 0.0, a + 360.0).when(a > 360.0, a - 360.0).otherwise(a)
@@ -291,7 +324,12 @@ def argb_hsv_expr(z, records):
             return F.floor(x * F.lit(255.0) + F.lit(0.5)).cast("long")
 
         argb = F.lit(0xFF000000) + chan(5) * 65536 + chan(3) * 256 + chan(1)
-        cond = (z >= F.lit(z0)) & (z < F.lit(z1))
+        if z1 == z0:
+            cond = z == F.lit(z0)
+        elif i == last:
+            cond = (z >= F.lit(z0)) & (z <= F.lit(z1))
+        else:
+            cond = (z >= F.lit(z0)) & (z < F.lit(z1))
         out = F.when(cond, argb) if out is None else out.when(cond, argb)
     return out
 
@@ -299,9 +337,13 @@ def argb_hsv_expr(z, records):
 def argb_hsv_sql(z: str, records) -> str:
     """DuckDB twin of argb_hsv_expr — identical closed-form arithmetic."""
     whens = []
-    for z0, z1, hsv0, hsv1 in records:
+    last = len(records) - 1
+    for i, (z0, z1, hsv0, hsv1) in enumerate(records):
         h0, s0, v0, d_h, d_s, d_v, wrap = _hsv_record_params(z0, z1, hsv0, hsv1)
-        t = f"least(greatest((({z}) - {z0!r}) / {z1 - z0!r}, 0.0), 1.0)"
+        if z1 == z0:
+            t = "0.0"
+        else:
+            t = f"least(greatest((({z}) - {z0!r}) / {z1 - z0!r}, 0.0), 1.0)"
         a = f"({d_h!r} * {t} + {h0!r})"
         if wrap:
             a = f"(CASE WHEN {a} < 0.0 THEN {a} + 360.0 WHEN {a} > 360.0 THEN {a} - 360.0 ELSE {a} END)"
@@ -317,5 +359,11 @@ def argb_hsv_sql(z: str, records) -> str:
             return f"CAST(floor({x} * 255.0 + 0.5) AS BIGINT)"
 
         argb = f"(4278190080 + {chan(5)} * 65536 + {chan(3)} * 256 + {chan(1)})"
-        whens.append(f"WHEN ({z}) >= {z0!r} AND ({z}) < {z1!r} THEN {argb}")
+        if z1 == z0:
+            cond = f"({z}) = {z0!r}"
+        elif i == last:
+            cond = f"({z}) >= {z0!r} AND ({z}) <= {z1!r}"
+        else:
+            cond = f"({z}) >= {z0!r} AND ({z}) < {z1!r}"
+        whens.append(f"WHEN {cond} THEN {argb}")
     return "CASE " + " ".join(whens) + " END"

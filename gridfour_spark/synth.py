@@ -15,11 +15,17 @@ Interleaved-docs rule (input_hint shape):
                    media_ref = 'media://{doc_id}/{i}' for media else '',
                    offset = i)
 
-Span geometry rule (integer mixing, no 64-bit overflow: doc_id < 2^40 and all
-multipliers < 2^32 keep products < 2^63; ANSI-safe):
-  h1 = (doc_id*2654435761 + span_offset*97  + 1013904223) % 2^32
-  h2 = (doc_id*1597334677 + span_offset*31  + 12345)      % 2^32
-  h3 = (doc_id*2246822519 + span_offset*193 + 374761393)  % 2^32
+Span geometry rule (integer mixing, ANSI-safe at ANY doc_id scale: doc_id
+is first reduced by a per-hash prime < 2^31, so every product stays below
+2^31 * 2654435761 < 2^63 — a raw doc_id*K would overflow int64 from
+doc_id ~ 3.5e9, far below the 10^12-doc design scale; distinct primes keep
+the three hashes decorrelated for doc_ids that collide in one reduction.
+For doc_id < 2^31 the reduction is the identity, so small-scale values are
+unchanged):
+  d1 = doc_id % 2147483647;  d2 = doc_id % 2147483629;  d3 = doc_id % 2147483587
+  h1 = (d1*2654435761 + span_offset*97  + 1013904223) % 2^32
+  h2 = (d2*1597334677 + span_offset*31  + 12345)      % 2^32
+  h3 = (d3*2246822519 + span_offset*193 + 374761393)  % 2^32
   hot  = h1 % 10 < 3          (30% of spans land in 4 hot "cities" -> skew)
   lat  = hot ? city_lat[h1%4] + (h2%20000)/10000 - 1 : (h2 % 1800000)/10000 - 90
   lon  = hot ? city_lon[h1%4] + (h3%20000)/10000 - 1 : (h3 % 3600000)/10000 - 180
@@ -41,9 +47,9 @@ from gridfour_spark.spec import GridSpec
 # shared formula fragments (valid in BOTH Spark SQL and DuckDB)
 # ---------------------------------------------------------------------------
 
-H1 = "((doc_id*2654435761 + span_offset*97 + 1013904223) % 4294967296)"
-H2 = "((doc_id*1597334677 + span_offset*31 + 12345) % 4294967296)"
-H3 = "((doc_id*2246822519 + span_offset*193 + 374761393) % 4294967296)"
+H1 = "(((doc_id % 2147483647)*2654435761 + span_offset*97 + 1013904223) % 4294967296)"
+H2 = "(((doc_id % 2147483629)*1597334677 + span_offset*31 + 12345) % 4294967296)"
+H3 = "(((doc_id % 2147483587)*2246822519 + span_offset*193 + 374761393) % 4294967296)"
 
 _CITY_LAT = f"CASE ({H1} % 4) WHEN 0 THEN 40.7 WHEN 1 THEN 51.5 WHEN 2 THEN 35.7 ELSE -33.9 END"
 _CITY_LON = f"CASE ({H1} % 4) WHEN 0 THEN -74.0 WHEN 1 THEN -0.1 WHEN 2 THEN 139.7 ELSE 18.4 END"

@@ -136,3 +136,27 @@ def test_bilinear_sparse_store_drops_missing_stencil(spark):
     assert set(got) == {1, 3}
     assert got[1] == int(np.floor((4.5 * 20 + 14.5) * 1e6))
     assert got[3] == int(np.floor((14.5 * 20 + 14.5) * 1e6))
+
+
+def test_interpolate_sparse_store_drops_missing_stencil(spark):
+    """interpolate_points on a SPARSE tile store: a point whose 4x4 stencil
+    touches a dropped tile is DROPPED, not returned as a biased sum of the
+    surviving terms (code-review round 3 regression; matches
+    bilinear_points' sparse semantics)."""
+    spec = GridSpec(
+        n_rows=20, n_cols=20, n_rows_in_tile=10, n_cols_in_tile=10,
+        x0=0.0, y0=0.0, cell_size_x=1.0, cell_size_y=1.0,
+    )
+    cells = spark.createDataFrame(
+        [(r, c, float(r * 20 + c)) for r in range(20) for c in range(20)],
+        "row int, col int, z double",
+    )
+    tiles = store.build_tiles(cells, spec).filter(F.col("tile_index") != 0)
+    pts = [
+        (0, 4.5, 4.5),    # stencil fully in the missing tile -> dropped
+        (1, 14.5, 14.5),  # interior of tile (1,1) -> kept
+        (2, 9.0, 4.5),    # stencil rows 7-10 straddle the missing tile -> dropped
+    ]
+    pdf = spark.createDataFrame(pts, "pt_id int, grid_row_f double, grid_col_f double")
+    got = {r.pt_id for r in bspline.interpolate_points(pdf, tiles, spec).collect()}
+    assert got == {1}

@@ -374,3 +374,31 @@ def test_distributed_inspector(spark):
     path2 = _write(spark, SPEC, e, grid, checksum=False)
     rows2 = G.inspect_gvrs(spark, path2).collect()
     assert all(r.ok is None for r in rows2)
+
+
+def test_reference_java_reads_huffman_tile(spark):
+    """GvrsHuffman race winners export in the REFERENCE framing: the
+    engine's internal payload carries a 4-byte bit count at offset 10 that
+    CodecHuffman's format lacks (tree bits start at byte 10) — the export
+    path must strip it (code-review round 3 regression)."""
+    import numpy as np
+
+    from gridfour_spark import compress as C
+
+    rng = np.random.default_rng(11)
+    nr = nc = 40
+    v = np.cumsum(rng.integers(-1, 2, size=nr * nc)).astype(np.int64)
+    r = C.encode_tile(v, nr, nc, use_lsop=False, use_huffman=False, use_gvrs_huffman=True)
+    assert r["kept"] and r["codec"] == "huffman_gvrs"  # the scenario is real
+
+    spec = GridSpec(
+        n_rows=nr, n_cols=nc, n_rows_in_tile=nr, n_cols_in_tile=nc,
+        x0=0.0, y0=0.0, cell_size_x=1.0, cell_size_y=1.0,
+    )
+    grid = v.reshape(nr, nc).astype(np.float64)
+    path = _write(spark, spec, G.default_element("z", "int"), grid)
+    info = G.parse_gvrs_header(path)
+    ((ti, arrays),) = G.read_tile_arrays(path, info, sorted(info.tile_positions))
+    np.testing.assert_array_equal(arrays[0].astype(np.int64), v)
+    got = _java_read(path)["z"]
+    np.testing.assert_array_equal(got.ravel().astype(np.int64), v)

@@ -101,3 +101,15 @@ def test_hsv_cpt_parse_and_interpolation(spark):
     for z in zs:
         rec = next(r for r in recs if r[0] <= z < r[1])
         assert got[z] == _ref_hsv_argb(z, *rec), z
+
+
+def test_termination_and_categorical_coverage(spark):
+    """The LAST record covers z == range1 (termination record); categorical
+    single-value records (z0 == z1) match their value exactly (code-review
+    round 3 regression — both previously produced NULL ARGB)."""
+    recs = [(0.0, 10.0, (0, 0, 0), (100, 100, 100)), (10.0, 20.0, (10, 10, 10), (210, 210, 210))]
+    assert _argb_at(spark, recs, 20.0) == (0xFF000000 | (210 << 16) | (210 << 8) | 210)
+    # categorical palette from the reference's own resource file semantics
+    cat = [(5.0, 5.0, (7, 8, 9), (7, 8, 9))]
+    assert _argb_at(spark, cat, 5.0) == (0xFF000000 | (7 << 16) | (8 << 8) | 9)
+    assert _argb_at(spark, cat, 5.5) is None
