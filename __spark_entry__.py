@@ -335,6 +335,22 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, _emb_queries(spark, sf_dir), k=5, n_bits=n_bits)
 
 
+def _recall_of(q, bf, approx) -> DataFrame:
+    """Recall@k of an approximate top-k against a brute-force result: shared
+    by the LSH and IVF legs so the O(N*Q) exact scan is built ONCE."""
+    hits = bf.join(approx.select("q_id", "vec_id"), on=["q_id", "vec_id"]).groupBy(
+        "q_id"
+    ).agg(F.count("*").alias("n_hit"))
+    per_q = q.select("q_id").join(hits, on="q_id", how="left").select(
+        "q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_hit").alias("n_hits"),
+        F.round(F.sum("n_hit") / (F.count("*") * 5.0), 6).alias("recall_at_5"),
+    )
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the LSH ANN vs exact brute force: |ann ∩ exact| / k per
     query, then averaged — the honesty metric every approximate index needs.
@@ -348,16 +364,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.load_embeddings(spark, sf_dir)
     q = _emb_queries(spark, sf_dir)
     bf = similarity.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
-    ann = similarity.ann_topk(emb, q, k=5).select("q_id", "vec_id")
-    hits = bf.join(ann, on=["q_id", "vec_id"]).groupBy("q_id").agg(F.count("*").alias("n_hit"))
-    per_q = q.select("q_id").join(hits, on="q_id", how="left").select(
-        "q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
-    )
-    return per_q.agg(
-        F.count("*").alias("n_queries"),
-        F.sum("n_hit").alias("n_hits"),
-        F.round(F.sum("n_hit") / (F.count("*") * 5.0), 6).alias("recall_at_5"),
-    )
+    return _recall_of(q, bf, similarity.ann_topk(emb, q, k=5))
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,16 +379,7 @@ def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.load_embeddings(spark, sf_dir)
     q = _emb_queries(spark, sf_dir)
     bf = similarity.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
-    ivf = similarity.ivf_topk(emb, q, k=5).select("q_id", "vec_id")
-    hits = bf.join(ivf, on=["q_id", "vec_id"]).groupBy("q_id").agg(F.count("*").alias("n_hit"))
-    per_q = q.select("q_id").join(hits, on="q_id", how="left").select(
-        "q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
-    )
-    return per_q.agg(
-        F.count("*").alias("n_queries"),
-        F.sum("n_hit").alias("n_hits"),
-        F.round(F.sum("n_hit") / (F.count("*") * 5.0), 6).alias("recall_at_5"),
-    )
+    return _recall_of(q, bf, similarity.ivf_topk(emb, q, k=5))
 
 
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,9 +546,13 @@ def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the window math here)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = F.window("ts", "1 hour")
+    # quantize BEFORE the sum (same rule as tpch_pricing): a float SUM then
+    # floor is summation-order-dependent across engines/partitionings when
+    # the true total sits on a floor boundary (2-decimal values make every
+    # group a boundary case)
     return ev.groupBy(w.alias("win"), "event_type").agg(
         F.count("*").alias("n_events"),
-        F.floor(F.sum("value") * 1000).alias("sum_value_milli"),
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")).alias("sum_value_milli"),
     ).select(
         F.col("win.start").alias("win_start"),
         "event_type",
@@ -562,7 +564,7 @@ def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_WINDOWS_SQL = """
 SELECT date_trunc('hour', ts) AS win_start, event_type,
        COUNT(*) AS n_events,
-       CAST(floor(SUM(value) * 1000) AS BIGINT) AS sum_value_milli
+       CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
 FROM events GROUP BY 1, 2
 """
 
@@ -1515,13 +1517,22 @@ def _q_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 vs exact brute force for BOTH ANN paths (LSH multi-probe and
     IVF) in one result — the honesty metric each approximate index needs,
     plus the direct LSH-vs-IVF comparison the judge asked for."""
-    lsh = _q_ann_recall(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "n_queries", "n_hits", "recall_at_5"
-    )
-    ivf = _q_ivf_recall(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "n_queries", "n_hits", "recall_at_5"
-    )
-    return lsh.unionByName(ivf)
+    emb = similarity.load_embeddings(spark, sf_dir)
+    q = _emb_queries(spark, sf_dir)
+    # ONE brute-force scan (the expensive exact operator), persisted and
+    # shared by both recall legs
+    bf = similarity.brute_force_topk(emb, q, k=5).select("q_id", "vec_id").persist()
+    try:
+        lsh = _recall_of(q, bf, similarity.ann_topk(emb, q, k=5)).select(
+            F.lit("lsh").alias("method"), "n_queries", "n_hits", "recall_at_5"
+        )
+        ivf = _recall_of(q, bf, similarity.ivf_topk(emb, q, k=5)).select(
+            F.lit("ivf").alias("method"), "n_queries", "n_hits", "recall_at_5"
+        )
+        out = lsh.unionByName(ivf).collect()
+    finally:
+        bf.unpersist()
+    return spark.createDataFrame(out, "method string, n_queries long, n_hits long, recall_at_5 double")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

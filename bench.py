@@ -60,8 +60,9 @@ def _ceiling_work(n: int) -> float:
 def scale_probe(n_cores: int) -> None:
     """Run the tile-assignment + spatial-agg job on PROBE_SPANS synthetic
     spans (pure compute, no input I/O) — the same per-span math as the
-    flagship — and report min-of-3 wall-clock. Used at pinned local[4] vs
-    local[16] as the N vs 4N cluster proxy (north_rule scaling evidence)."""
+    flagship — and report the min wall-clock over 2 rounds (3 on the fast
+    side). The harness runs this at pinned local[2] vs local[8] as the
+    N vs 4N cluster proxy (north_rule scaling evidence)."""
     from pyspark.sql import functions as F
 
     from gridfour_spark import synth
@@ -135,13 +136,24 @@ def main() -> None:
     qs["flagship"](spark, SF_DIR).count()
     entrymod._tiles_cached(spark, entrymod.SPEC_A, "dem")
 
+    from pyspark.sql import functions as _F
+
+    missing = [n for n in BENCH_QUERIES if n not in qs]
+    if missing:
+        raise SystemExit(f"bench queries absent from queries(): {missing}")
+
     n_spans = 0
     for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
-        rows = df.count()
+        # hash EVERY output column into one aggregate: a bare count() lets
+        # Catalyst prune the projections being measured (e.g. span_invariant
+        # collapses to a parquet row count), under-reporting the work
+        agg = df.agg(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.sum(_F.xxhash64(*[_F.col(c) for c in df.columns])).alias("h"),
+        ).collect()[0]
+        rows = agg["n"]
         timings[name] = round(time.time() - t0, 3)
         if name == "spans":
             n_spans = rows
@@ -167,7 +179,7 @@ def main() -> None:
     from gridfour_spark.spec import GLOBAL_GRID as _GG0
 
     gtiles = _e0._tiles_cached(spark, _GG0, "dem")
-    n_comp_cells = 6_480_000
+    n_comp_cells = _GG0.n_rows * _GG0.n_cols
     t0 = time.time()
     comp_g = _tc.compress_tiles(gtiles, _GG0, use_lsop=True).persist()
     comp_g.count()
@@ -211,17 +223,19 @@ def main() -> None:
     from gridfour_spark import bspline as _bspline
     from gridfour_spark.spec import GLOBAL_GRID as _GG
 
-    spark2 = spark
-    tiles = _e._tiles_cached(spark2, _GG, "dem")
+    tiles = _e._tiles_cached(spark, _GG, "dem")
     n_interp = int(os.environ.get("SPARK_GRAFT_INTERP_POINTS", "10000000"))
-    ppts = spark2.range(n_interp, numPartitions=CPUS * 3).select(
+    ppts = spark.range(n_interp, numPartitions=CPUS * 3).select(
         _F.col("id").alias("pt_id"),
         (( _F.col("id") * 7919) % 17930000 / 10000.0 + 2.0).alias("grid_row_f"),
         (( _F.col("id") * 104729) % 35900000 / 10000.0 + 2.0).alias("grid_col_f"),
     )
-    _bspline.interpolate_points(ppts.limit(10000), tiles, _GG, broadcast_tiles=True).count()  # warmup
+    def _force(df):
+        return df.agg(_F.sum(_F.xxhash64(*[_F.col(c) for c in df.columns]))).collect()
+
+    _force(_bspline.interpolate_points(ppts.limit(10000), tiles, _GG, broadcast_tiles=True))  # warmup
     t0 = _t.time()
-    _bspline.interpolate_points(ppts, tiles, _GG, broadcast_tiles=True).count()
+    _force(_bspline.interpolate_points(ppts, tiles, _GG, broadcast_tiles=True))
     interp_sec = _t.time() - t0
 
     # ANN recall on a CLUSTERED corpus (round-2 done criterion: Lloyd-trained
@@ -248,7 +262,7 @@ def main() -> None:
     }
     spark.stop()
 
-    flagship_sec = timings.get("flagship", float("nan"))
+    flagship_sec = timings["flagship"]  # guaranteed: missing keys fail fast above
     result = {
         "metric": "tile-assignment + spatial-join docs/sec (flagship pipeline) at SF dir "
         + SF_DIR,
@@ -312,6 +326,9 @@ def main() -> None:
             except Exception:
                 return None
 
+        # ceiling measured BEFORE and AFTER the probes (the probes span
+        # many minutes; the shared box's ceiling drifts between windows) —
+        # both raw values are reported, their mean contextualizes efficiency
         scaling["hw_ceiling_2_to_8"] = _hw_ceiling()
         for cores in (2, 8, 2, 8, 2, 8):
             _wait_quiet()
@@ -333,14 +350,16 @@ def main() -> None:
                     scaling[key] = res
             except Exception as ex:  # noqa: BLE001
                 scaling.setdefault(f"local[{cores}]", {"error": str(ex)[:200]})
+        scaling["hw_ceiling_2_to_8_post"] = _hw_ceiling()
         t_n = scaling.get("local[2]", {}).get("sec")
         t_4n = scaling.get("local[8]", {}).get("sec")
         if t_n and t_4n:
             speedup = t_n / t_4n
             scaling["speedup_n_to_4n"] = round(speedup, 3)
             scaling["efficiency"] = round(speedup / 4.0, 3)
-            ceil = scaling.get("hw_ceiling_2_to_8")
-            if ceil:
+            ceils = [c for c in (scaling.get("hw_ceiling_2_to_8"), scaling.get("hw_ceiling_2_to_8_post")) if c]
+            if ceils:
+                ceil = sum(ceils) / len(ceils)
                 scaling["efficiency_vs_hw_ceiling"] = round(min(speedup / 4.0 / ceil, 1.0), 3)
         result["scaling"] = scaling
 
