@@ -559,7 +559,13 @@ def read_tile_arrays(path: str, info: GvrsInfo, tile_indexes) -> list:
 
 # --- Spark layer ----------------------------------------------------------------
 
-def read_gvrs(spark, path: str, n_partitions: int | None = None):
+def read_gvrs(
+    spark,
+    path: str,
+    n_partitions: int | None = None,
+    row_range: tuple[int, int] | None = None,
+    col_range: tuple[int, int] | None = None,
+):
     """Distributed read of a ``.gvrs`` store into a tiles DataFrame
     (tile_index, tile_row, tile_col, element, values array<double>).
 
@@ -567,12 +573,28 @@ def read_gvrs(spark, path: str, n_partitions: int | None = None):
     are range-read and decoded by EXECUTORS — each task opens the file, seeks
     its tiles, and runs the vectorized codec kernels. At 100 TB the directory
     rows are the shuffle unit (16 bytes/tile), never the cells.
-    """
+
+    row_range/col_range: half-open GRID-cell windows [lo, hi). Pushdown
+    happens at the DIRECTORY, before anything is parallelized: only tiles
+    intersecting the window are ever range-read or decoded — the binary
+    source's analogue of parquet partition pruning (readBlock touches the
+    same tile set, GvrsElement.readBlock:298-404)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     info = parse_gvrs_header(path)
     items = sorted(info.tile_positions.items())
+    if row_range is not None or col_range is not None:
+        r0, r1 = row_range or (0, info.n_rows)
+        c0, c1 = col_range or (0, info.n_cols)
+        tr0, tr1 = r0 // info.tile_rows, (max(r1 - 1, r0)) // info.tile_rows
+        tc0, tc1 = c0 // info.tile_cols, (max(c1 - 1, c0)) // info.tile_cols
+        items = [
+            (t, p)
+            for t, p in items
+            if tr0 <= t // info.n_cols_of_tiles <= tr1
+            and tc0 <= t % info.n_cols_of_tiles <= tc1
+        ]
     if not items:
         return spark.createDataFrame(
             [], "tile_index long, tile_row int, tile_col int, element string, values array<double>"
@@ -1205,3 +1227,35 @@ def inspect_gvrs(spark, path: str):
     out_schema = "kind string, pos long, size long, stored_crc long, computed_crc long, ok boolean"
     tiles = directory.mapInPandas(kernel, out_schema)
     return spark.createDataFrame(header_row, out_schema).unionByName(tiles)
+
+
+def gvrs_to_geotiff(spark, gvrs_path: str, tiff_path: str, element: str | None = None,
+                    overviews: list | None = None) -> None:
+    """Interop transcode: binary GVRS store -> north-up tiled GeoTIFF/COG.
+
+    Georeferencing carries through: the GVRS raster->model affine's
+    translation/scale become the GeoTIFF tiepoint + pixel scale (rotated
+    stores are rejected — GeoTIFF's ModelPixelScale cannot express them;
+    use the affine operators on the cells DataFrame instead). Distributed
+    decode via read_gvrs; the single-file TIFF assembly is driver-side like
+    write_geotiff (fill/NaN cells become 0 — int32 TIFF has no null)."""
+    from gridfour_spark.geotiff import write_geotiff
+    from gridfour_spark.spec import GridSpec
+
+    info = parse_gvrs_header(gvrs_path)
+    a = info.r2m  # (a00, a01, a02, a10, a11, a12): off-diagonals at 1 and 3
+    if a[1] != 0.0 or a[3] != 0.0:
+        raise ValueError("rotated/skewed GVRS model transform not expressible in GeoTIFF")
+    spec = GridSpec(
+        n_rows=info.n_rows, n_cols=info.n_cols,
+        n_rows_in_tile=info.tile_rows, n_cols_in_tile=info.tile_cols,
+        x0=info.x0, y0=info.y0,
+        cell_size_x=info.cell_size_x, cell_size_y=info.cell_size_y,
+    )
+    cells = gvrs_cells(spark, gvrs_path, element=element)
+    arr = np.zeros((info.n_rows, info.n_cols), dtype=np.int32)
+    for r in cells.collect():
+        if r.z is not None and r.z == r.z:
+            arr[int(r.row), int(r.col)] = int(r.z)
+    write_geotiff(tiff_path, arr, spec, tile_w=min(256, info.n_cols),
+                  tile_h=min(256, info.n_rows), overviews=overviews)

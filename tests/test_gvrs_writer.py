@@ -402,3 +402,58 @@ def test_reference_java_reads_huffman_tile(spark):
     np.testing.assert_array_equal(arrays[0].astype(np.int64), v)
     got = _java_read(path)["z"]
     np.testing.assert_array_equal(got.ravel().astype(np.int64), v)
+
+
+def test_read_gvrs_tile_window_pushdown(spark):
+    """row/col window pruning happens at the DIRECTORY: only intersecting
+    tiles are decoded (the binary source's partition-pruning analogue)."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    path = _write(spark, SPEC, e, grid)  # 3x3 tiles of 25x30
+    full = G.read_gvrs(spark, path)
+    assert full.select("tile_index").distinct().count() == 9
+    # window inside tile (1,1) only
+    win = G.read_gvrs(spark, path, row_range=(30, 45), col_range=(35, 55))
+    tiles = {r.tile_index for r in win.select("tile_index").distinct().collect()}
+    assert tiles == {4}
+    # window straddling two tile columns
+    win2 = G.read_gvrs(spark, path, row_range=(0, 10), col_range=(25, 35))
+    tiles2 = {r.tile_index for r in win2.select("tile_index").distinct().collect()}
+    assert tiles2 == {0, 1}
+    # values from the pruned read match the full read on the window
+    import numpy as np
+
+    cells = win.selectExpr(
+        "tile_row", "tile_col", "posexplode(values) AS (pos, z)"
+    ).selectExpr(
+        "tile_row * 25 + CAST(pos / 30 AS INT) AS row",
+        "tile_col * 30 + pos % 30 AS col",
+        "z",
+    ).where("row >= 30 AND row < 45 AND col >= 35 AND col < 55")
+    got = {(r.row, r.col): r.z for r in cells.collect()}
+    assert len(got) == 15 * 20
+    for (r, c), z in got.items():
+        assert z == grid[r, c]
+
+
+def test_gvrs_to_geotiff_transcode(spark):
+    """Interop chain: engine-written GVRS -> GeoTIFF/COG; model coordinates
+    survive (north-up flip included), values exact."""
+    from gridfour_spark import geotiff
+
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    path = _write(spark, SPEC, e, grid)
+    tiff = path + ".tif"
+    G.gvrs_to_geotiff(spark, path, tiff, overviews=[2])
+    spec2 = geotiff.spec_from_geotiff(tiff)
+    assert (spec2.n_rows, spec2.n_cols) == (60, 80)
+    # north-up storage: y0 of the TIFF spec is the TOP row's center = the
+    # GVRS grid's LAST row (cell_size_y positive in the GVRS spec)
+    assert abs(spec2.y0 - (SPEC.y0 + 59 * SPEC.cell_size_y)) < 1e-9
+    got = (
+        geotiff.read_geotiff_cells(spark, tiff).orderBy("row", "col").collect()
+    )
+    arr = np.array([r.z for r in got], dtype=np.int64).reshape(60, 80)
+    np.testing.assert_array_equal(arr, grid[::-1, :].astype(np.int64))
+    assert len(geotiff.parse_ifds(tiff)) == 2  # + one overview level
