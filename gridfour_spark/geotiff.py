@@ -8,7 +8,8 @@ parser covering exactly the cloud-optimized raster shape:
 - tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts tags) —
   the COG access pattern IS per-tile HTTP range reads; locally the executors
   range-read the same offsets from the file
-- BitsPerSample 32, SampleFormat 2 (int32 samples, the GVRS element type)
+- BitsPerSample 32, SampleFormat 2 (int32) or 3 (float32) — the GVRS
+  int/short and float/ICF element types respectively
 - Compression 1 (none) or 8 (zlib/Deflate, what COG elevation products use)
 - georeferencing from ModelPixelScaleTag (33550) + ModelTiepointTag (33922),
   mapped onto GridSpec's cell-center convention
@@ -54,18 +55,22 @@ _TYPE_DOUBLE = 12
 
 def _ifd_block(arr: np.ndarray, tile_w: int, tile_h: int, compress: bool,
                sx: float, sy_pos: float, ulx: float, uly: float,
-               base: int, is_overview: bool) -> tuple[bytes, list, int]:
+               base: int, is_overview: bool,
+               sample_format: int = 2) -> tuple[bytes, list, int]:
     """Serialize ONE IFD + its out-of-line data + tile payloads starting at
     absolute offset ``base``. Returns (bytes_without_next_ptr_patched,
-    entries_meta, next_ifd_ptr_offset_within_block)."""
+    entries_meta, next_ifd_ptr_offset_within_block).
+
+    sample_format: 2 = signed int32, 3 = IEEE float32 (both 32-bit)."""
     nr, nc = arr.shape
-    v = arr.astype("<i4")
+    dt = "<f4" if sample_format == 3 else "<i4"
+    v = arr.astype(dt)
     tiles_across = (nc + tile_w - 1) // tile_w
     tiles_down = (nr + tile_h - 1) // tile_h
     payloads = []
     for tr in range(tiles_down):
         for tc in range(tiles_across):
-            block = np.zeros((tile_h, tile_w), dtype="<i4")
+            block = np.zeros((tile_h, tile_w), dtype=dt)
             r0, c0 = tr * tile_h, tc * tile_w
             r1, c1 = min(r0 + tile_h, nr), min(c0 + tile_w, nc)
             block[: r1 - r0, : c1 - c0] = v[r0:r1, c0:c1]
@@ -115,8 +120,8 @@ def _ifd_block(arr: np.ndarray, tile_w: int, tile_h: int, compress: bool,
               len(payloads[0]) if n_tiles == 1 else counts_pos)
     )
     # SampleFormat 2 = signed int (ADVICE round 2: omitting it makes external
-    # readers treat negative ocean depths as unsigned)
-    entries.append(entry(_SAMPLE_FORMAT, _TYPE_SHORT, 1, 2))
+    # readers treat negative ocean depths as unsigned); 3 = IEEE float
+    entries.append(entry(_SAMPLE_FORMAT, _TYPE_SHORT, 1, sample_format))
     entries.append(entry(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, 3, scale_pos))
     entries.append(entry(_MODEL_TIEPOINT, _TYPE_DOUBLE, 6, tie_pos))
 
@@ -158,7 +163,13 @@ def write_geotiff(
 
     overviews: list of decimation factors (e.g. [2, 4]); each level stores
     floor(mean) over factor x factor blocks of the FULL-RES grid — the A5
-    downsample pyramid materialized as COG overviews."""
+    downsample pyramid materialized as COG overviews.
+
+    Float arrays (np.floating dtype) are written as SampleFormat=3 float32
+    (the GVRS float/ICF element transcode path); everything else as
+    SampleFormat=2 int32."""
+    is_float = np.issubdtype(cells.dtype, np.floating)
+    sample_format = 3 if is_float else 2
     nr, nc = cells.shape
     cs_x, cs_y = spec.cell_size_x, spec.cell_size_y
     if cs_y > 0:
@@ -176,7 +187,16 @@ def write_geotiff(
         h = (nr // f) * f
         w = (nc // f) * f
         blocks = arr0[:h, :w].reshape(h // f, f, w // f, f)
-        ov = np.floor(blocks.astype(np.float64).mean(axis=(1, 3))).astype(np.int32)
+        if is_float:
+            # NaN cells stay NaN only if the whole block is NaN; partial
+            # blocks average the finite samples (GDAL AVERAGE overview rule)
+            fb = blocks.astype(np.float64)
+            fin = np.isfinite(fb)
+            s = np.where(fin, fb, 0.0).sum(axis=(1, 3))
+            cnt = fin.sum(axis=(1, 3))
+            ov = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan).astype(np.float32)
+        else:
+            ov = np.floor(blocks.astype(np.float64).mean(axis=(1, 3))).astype(np.int32)
         levels.append((ov, (cs_x * f, sy_pos * f), (ulx, uly)))
 
     blobs = []
@@ -185,6 +205,7 @@ def write_geotiff(
         blob, _, next_off = _ifd_block(
             arr, min(tile_w, max(16, arr.shape[1])), min(tile_h, max(16, arr.shape[0])),
             compress, sx, sy, ux, uy, pos, is_overview=(i > 0),
+            sample_format=sample_format,
         )
         blobs.append((pos, bytearray(blob), next_off))
         pos += len(blob)
@@ -301,6 +322,7 @@ def read_geotiff_cells(spark: SparkSession, path: str, level: int = 0) -> DataFr
     nr, nc = info["height"], info["width"]
     tw, th = info["tile_w"], info["tile_h"]
     comp = info["compression"]
+    dt = "<f4" if info["sample_format"] == 3 else "<i4"
     tiles_across = (nc + tw - 1) // tw
     desc = [
         (int(i), int(i // tiles_across), int(i % tiles_across), int(off), int(cnt))
@@ -320,7 +342,7 @@ def read_geotiff_cells(spark: SparkSession, path: str, level: int = 0) -> DataFr
                     buf = f.read(row["length"])
                     if comp == 8:
                         buf = zlib.decompress(buf)
-                    block = np.frombuffer(buf, dtype="<i4").reshape(th, tw)
+                    block = np.frombuffer(buf, dtype=dt).reshape(th, tw)
                     r0 = row["tiff_tile_row"] * th
                     c0 = row["tiff_tile_col"] * tw
                     h = min(th, nr - r0)

@@ -587,14 +587,19 @@ def read_gvrs(
     if row_range is not None or col_range is not None:
         r0, r1 = row_range or (0, info.n_rows)
         c0, c1 = col_range or (0, info.n_cols)
-        tr0, tr1 = r0 // info.tile_rows, (max(r1 - 1, r0)) // info.tile_rows
-        tc0, tc1 = c0 // info.tile_cols, (max(c1 - 1, c0)) // info.tile_cols
-        items = [
-            (t, p)
-            for t, p in items
-            if tr0 <= t // info.n_cols_of_tiles <= tr1
-            and tc0 <= t % info.n_cols_of_tiles <= tc1
-        ]
+        if r1 <= r0 or c1 <= c0:
+            # empty half-open window selects NOTHING (readBlock on a
+            # degenerate extent touches no tiles)
+            items = []
+        else:
+            tr0, tr1 = r0 // info.tile_rows, (r1 - 1) // info.tile_rows
+            tc0, tc1 = c0 // info.tile_cols, (c1 - 1) // info.tile_cols
+            items = [
+                (t, p)
+                for t, p in items
+                if tr0 <= t // info.n_cols_of_tiles <= tr1
+                and tc0 <= t % info.n_cols_of_tiles <= tc1
+            ]
     if not items:
         return spark.createDataFrame(
             [], "tile_index long, tile_row int, tile_col int, element string, values array<double>"
@@ -1236,9 +1241,21 @@ def gvrs_to_geotiff(spark, gvrs_path: str, tiff_path: str, element: str | None =
     Georeferencing carries through: the GVRS raster->model affine's
     translation/scale become the GeoTIFF tiepoint + pixel scale (rotated
     stores are rejected — GeoTIFF's ModelPixelScale cannot express them;
-    use the affine operators on the cells DataFrame instead). Distributed
-    decode via read_gvrs; the single-file TIFF assembly is driver-side like
-    write_geotiff (fill/NaN cells become 0 — int32 TIFF has no null)."""
+    use the affine operators on the cells DataFrame instead).
+
+    Scale shape (round-3 review): decode runs distributed via read_gvrs and
+    the driver fetches WHOLE TILE ARRAYS chunk-wise (_fetch_blocks — the
+    same bounded-memory path write_gvrs uses), scattering each tile into
+    the output raster in one numpy slice assignment. Per-cell Rows never
+    cross the driver boundary. The single-file TIFF assembly itself stays
+    driver-side by contract (same as write_geotiff: interop packaging, not
+    the production sink).
+
+    Element typing: int/short stores write SampleFormat=2 int32 (fill→0 —
+    int TIFF has no null); float and int-coded-float stores write
+    SampleFormat=3 float32 with fill cells as NaN — values round-trip."""
+    from pyspark.sql import functions as F
+
     from gridfour_spark.geotiff import write_geotiff
     from gridfour_spark.spec import GridSpec
 
@@ -1252,10 +1269,31 @@ def gvrs_to_geotiff(spark, gvrs_path: str, tiff_path: str, element: str | None =
         x0=info.x0, y0=info.y0,
         cell_size_x=info.cell_size_x, cell_size_y=info.cell_size_y,
     )
-    cells = gvrs_cells(spark, gvrs_path, element=element)
-    arr = np.zeros((info.n_rows, info.n_cols), dtype=np.int32)
-    for r in cells.collect():
-        if r.z is not None and r.z == r.z:
-            arr[int(r.row), int(r.col)] = int(r.z)
+    if element is None:
+        element = info.elements[0].name
+    espec = next((e for e in info.elements if e.name == element), None)
+    if espec is None:
+        raise ValueError(f"no element {element!r} in {gvrs_path}")
+    is_float = espec.etype in ("float", "icf")
+
+    tiles = (
+        read_gvrs(spark, gvrs_path)
+        .filter(F.col("element") == element)
+        .select("tile_index", "tile_row", "tile_col", "values")
+    )
+    tr, tc = info.tile_rows, info.tile_cols
+    if is_float:
+        arr = np.full((info.n_rows, info.n_cols), np.nan, dtype=np.float32)
+    else:
+        arr = np.zeros((info.n_rows, info.n_cols), dtype=np.int32)
+    for r in _fetch_blocks(tiles):
+        block = np.asarray(r["values"], dtype=np.float64).reshape(tr, tc)
+        r0, c0 = int(r["tile_row"]) * tr, int(r["tile_col"]) * tc
+        h, w = min(tr, info.n_rows - r0), min(tc, info.n_cols - c0)
+        sub = block[:h, :w]
+        if is_float:
+            arr[r0 : r0 + h, c0 : c0 + w] = sub.astype(np.float32)
+        else:
+            arr[r0 : r0 + h, c0 : c0 + w] = np.where(np.isnan(sub), 0, sub).astype(np.int32)
     write_geotiff(tiff_path, arr, spec, tile_w=min(256, info.n_cols),
                   tile_h=min(256, info.n_rows), overviews=overviews)

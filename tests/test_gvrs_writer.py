@@ -457,3 +457,83 @@ def test_gvrs_to_geotiff_transcode(spark):
     arr = np.array([r.z for r in got], dtype=np.int64).reshape(60, 80)
     np.testing.assert_array_equal(arr, grid[::-1, :].astype(np.int64))
     assert len(geotiff.parse_ifds(tiff)) == 2  # + one overview level
+
+
+def test_read_gvrs_empty_window_selects_nothing(spark):
+    """A degenerate half-open window (hi <= lo) must touch ZERO tiles —
+    round-3 review: the old pruning math mapped it onto one tile row/col."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    path = _write(spark, SPEC, e, grid)
+    for rr, cc in [((30, 30), None), (None, (35, 35)), ((40, 30), (0, 80))]:
+        win = G.read_gvrs(spark, path, row_range=rr, col_range=cc)
+        assert win.count() == 0
+    # sanity: a 1-cell window still selects its single tile
+    one = G.read_gvrs(spark, path, row_range=(30, 31), col_range=(35, 36))
+    assert {r.tile_index for r in one.select("tile_index").collect()} == {4}
+
+
+def test_gvrs_to_geotiff_float_roundtrip(spark):
+    """Float stores transcode to SampleFormat=3 float32: values round-trip
+    exactly (float32), fill cells survive as NaN (round-3 review: the old
+    path cast everything to int32 with fill->0)."""
+    from gridfour_spark import geotiff
+
+    grid = _ramp(60, 80) / 8.0
+    grid[3, 7] = np.nan
+    grid[50:55, 10:20] = np.nan
+    e = G.default_element("z", "float")
+    path = _write(spark, SPEC, e, grid)
+    tiff = path + ".tif"
+    G.gvrs_to_geotiff(spark, path, tiff, overviews=[2])
+    ifds = geotiff.parse_ifds(tiff)
+    assert [i["sample_format"] for i in ifds] == [3, 3]
+    got = geotiff.read_geotiff_cells(spark, tiff).orderBy("row", "col").collect()
+    arr = np.array([r.z for r in got], dtype=np.float64).reshape(60, 80)
+    np.testing.assert_allclose(
+        arr, grid[::-1, :].astype(np.float32).astype(np.float64), equal_nan=True
+    )
+
+
+def test_gvrs_to_geotiff_large_store_tilewise(spark, monkeypatch):
+    """Transcode at GLOBAL_GRID scale (1800x3600 = 6.48M cells): assembly
+    must go through whole-tile arrays (_fetch_blocks), never a per-cell
+    collect — gvrs_cells is poisoned to prove the Row path is gone."""
+    from gridfour_spark import synth
+    from gridfour_spark.spec import GLOBAL_GRID
+
+    cells = synth.grid_df(spark, GLOBAL_GRID)  # distributed generator
+    tiles = store.build_tiles(cells, GLOBAL_GRID)
+    e = G.default_element("z", "int")
+    blocks = G.gvrs_export_blocks(tiles, GLOBAL_GRID, e, compress=False)
+    d = tempfile.mkdtemp(prefix="gvrs_big_")
+    path = os.path.join(d, "big.gvrs")
+    G.write_gvrs(path, GLOBAL_GRID, e, blocks)
+
+    def _no_cells(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("gvrs_to_geotiff must not use the per-cell view")
+
+    monkeypatch.setattr(G, "gvrs_cells", _no_cells)
+    tiff = path + ".tif"
+    G.gvrs_to_geotiff(spark, path, tiff)
+    from gridfour_spark import geotiff
+
+    info = geotiff.parse_ifd(tiff)
+    assert (info["height"], info["width"]) == (1800, 3600)
+    # spot-check a pruned window of values against the analytic DEM
+    win = (
+        geotiff.read_geotiff_cells(spark, tiff)
+        .where("row >= 890 AND row < 900 AND col >= 1790 AND col < 1800")
+        .collect()
+    )
+    # TIFF stored north-up: stored row r corresponds to grid row 1799 - r
+    expect = {
+        (r.row, r.col): float(
+            spark.sql(
+                "SELECT " + synth.dem_sql(str(1799 - r.row), str(r.col))
+            ).collect()[0][0]
+        )
+        for r in win[:5]
+    }
+    for r in win[:5]:
+        assert int(r.z) == int(expect[(r.row, r.col)])
