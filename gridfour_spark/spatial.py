@@ -175,27 +175,171 @@ SELECT * EXCLUDE (crossings) FROM par WHERE crossings % 2 = 1
 """
 
 
+def knn_res_for(n_anchors: int, k: int) -> int:
+    """Cell resolution for the kNN candidate join, chosen from anchor
+    density (the IVF nlist~sqrt(N) precedent): the largest res whose cells
+    still average >= 2k anchors, so a ring-1 disk (9 cells) carries enough
+    candidates that the exactness certificate usually holds on the first
+    pass. n_cells(res) = 2^(2*res+1)."""
+    res = 0
+    while res < 12 and n_anchors / float(1 << (2 * (res + 1) + 1)) >= 2.0 * k:
+        res += 1
+    return res
+
+
 def knn_join(
     points: DataFrame,
     anchors: DataFrame,
     k: int = 3,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    res: int | None = None,
+    ring: int = 1,
 ) -> DataFrame:
-    """k nearest anchors per point (haversine), broadcast + window top-k."""
-    a = anchors.select(
-        F.col("anchor_id"), F.col("alat").alias("_alat"), F.col("alon").alias("_alon")
-    )
-    j = points.crossJoin(F.broadcast(a))
-    d = haversine_km(F.col(lat_col), F.col(lon_col), F.col("_alat"), F.col("_alon"))
-    j = j.withColumn("dist_km", F.round(d, 6))
+    """k nearest anchors per point (haversine) — EXACT, via cell-ring
+    candidate generation (SURVEY §2.5's grid_disk plan; round-3 review item:
+    the old plan was points x anchors with no pruning).
+
+    Plan (no cartesian/BroadcastNestedLoopJoin anywhere):
+    1. anchors indexed into skew.cell_id cells at ``res`` (default from
+       anchor density, knn_res_for); the per-cell anchor list is broadcast.
+    2. each point LEFT-joins the anchors of its ring-``ring`` cell disk
+       (wrapped in longitude, clamped in latitude) — a broadcast HASH join,
+       O(points * anchors_in_disk) instead of O(points * anchors).
+    3. window top-k per point over the disk candidates.
+    4. exactness certificate per point: any anchor OUTSIDE the disk is at
+       least LB away, where LB is the haversine lower bound from either a
+       latitude gap > ring*lat_step or a (wrapped) longitude gap >
+       ring*lon_step at the point's worst-case latitude band. If the point
+       found >= k candidates and its k-th distance < LB, the disk top-k IS
+       the global top-k (every nearer anchor is provably inside the disk).
+    5. points that fail the certificate (poles, sparse neighborhoods)
+       fall back to comparing against ALL anchors — joined on a constant
+       key so it stays a broadcast hash join. At realistic anchor
+       densities the fallback set is a sliver; when the disk covers the
+       whole globe (small res) the certificate is vacuous and nothing
+       falls back.
+
+    Result rows/order are IDENTICAL to the exhaustive plan: ranks use the
+    same (round(dist,6), anchor_id) deterministic order.
+    """
+    if res is None:
+        res = knn_res_for(anchors.count(), k)
+    n_rows = 1 << res
+    n_cols = 1 << (res + 1)
+    lat_step = 180.0 / n_rows
+    lon_step = 360.0 / n_cols
+    full_cover = (2 * ring + 1) >= n_rows and (2 * ring + 1) >= n_cols
     pt_cols = [c for c in points.columns]
-    w = Window.partitionBy(*pt_cols).orderBy(F.col("dist_km").asc(), F.col("anchor_id").asc())
-    return (
-        j.withColumn("rank", F.row_number().over(w).cast("long"))
+    lat, lon = F.col(lat_col), F.col(lon_col)
+
+    a = anchors.select(
+        F.col("anchor_id"),
+        F.col("alat").alias("_alat"),
+        F.col("alon").alias("_alon"),
+        cell_id(F.col("alat"), F.col("alon"), res).alias("_cell"),
+    )
+
+    # point -> distinct disk cells (array built JVM-side, then exploded)
+    prow = F.least(F.floor((lat + 90.0) / lat_step), F.lit(n_rows - 1)).cast("int")
+    pcol = F.least(F.floor((lon + 180.0) / lon_step), F.lit(n_cols - 1)).cast("int")
+    seq = F.sequence(F.lit(-ring), F.lit(ring))
+    disk = F.array_distinct(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    seq,
+                    lambda dr: F.transform(
+                        seq,
+                        lambda dc: F.when(
+                            ((F.col("_prow") + dr) >= 0)
+                            & ((F.col("_prow") + dr) < n_rows),
+                            ((F.col("_prow") + dr).cast("long") * n_cols
+                             + F.pmod(F.col("_pcol") + dc, F.lit(n_cols))),
+                        ).otherwise(F.lit(-1).cast("long")),
+                    ),
+                )
+            ),
+            lambda c: c >= 0,
+        )
+    )
+    pts = (
+        points.withColumn("_prow", prow)
+        .withColumn("_pcol", pcol)
+        .withColumn("_cell", F.explode(disk))
+        .drop("_prow", "_pcol")
+    )
+    # LEFT join keeps zero-candidate points visible for the fallback test
+    cand = pts.join(F.broadcast(a), on="_cell", how="left").drop("_cell")
+    d = haversine_km(lat, lon, F.col("_alat"), F.col("_alon"))
+    cand = cand.withColumn("dist_km", F.round(d, 6))
+
+    w = Window.partitionBy(*pt_cols)
+    wo = w.orderBy(F.col("dist_km").asc_nulls_last(), F.col("anchor_id").asc_nulls_last())
+    cand = (
+        cand.withColumn("rank", F.row_number().over(wo).cast("long"))
+        .withColumn("_n", F.count("anchor_id").over(w))
+        .filter(F.col("rank") <= k)
+    )
+    # k-th distance among the kept rows (partitioning is preserved through
+    # the filter, so this window reuses the same exchange)
+    cand = cand.withColumn("_kd", F.max("dist_km").over(w))
+
+    if full_cover:
+        certified = F.col("_n") >= k  # disk = whole grid: nothing outside it
+    else:
+        # LB: anchors outside the disk have |dlat| > ring*lat_step OR
+        # (wrapped) |dlon| > ring*lon_step. haversine a-term bound:
+        #   a >= min(sin^2(dphi/2), cos(phi1)*cos(phi_band)*sin^2(dlam/2))
+        # with phi_band = min(90, |phi1| + ring*lat_step) (an anchor whose
+        # latitude is outside that band already trips the first term).
+        dphi = math.radians(ring * lat_step) / 2.0
+        dlam = math.radians(min(180.0, ring * lon_step)) / 2.0
+        phi1 = F.radians(lat)
+        phib = F.radians(F.least(F.lit(90.0), F.abs(lat) + F.lit(ring * lat_step)))
+        a_lb = F.least(
+            F.lit(math.sin(dphi) ** 2),
+            F.greatest(F.cos(phi1) * F.cos(phib), F.lit(0.0))
+            * F.lit(math.sin(dlam) ** 2),
+        )
+        lb_km = 2.0 * 6371.0072 * F.asin(F.sqrt(a_lb))
+        certified = (F.col("_n") >= k) & (F.col("_kd") + 1e-5 < lb_km)
+
+    out_cert = cand.filter(certified & F.col("anchor_id").isNotNull()).select(
+        *pt_cols, "rank", "anchor_id", "dist_km"
+    )
+    fb_pts = cand.filter(~certified & (F.col("rank") == 1)).select(*pt_cols)
+    # exhaustive re-check for the uncertified sliver: a salted replicate
+    # equi-join (the skew.salted_join shape). A lit(1) key would be
+    # constant-folded into a BroadcastNestedLoopJoin; a hash-of-row salt
+    # cannot, so the plan stays a BroadcastHashJoin.
+    n_salts = 8
+    a_all = F.broadcast(
+        anchors.select(
+            "anchor_id",
+            F.col("alat").alias("_alat"),
+            F.col("alon").alias("_alon"),
+        ).withColumn("_b", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    )
+    fb = (
+        fb_pts.withColumn(
+            "_b", F.pmod(F.hash(*[F.col(c) for c in pt_cols]), F.lit(n_salts))
+        )
+        .join(a_all, on="_b")
+        .drop("_b")
+    )
+    fb = fb.withColumn(
+        "dist_km", F.round(haversine_km(lat, lon, F.col("_alat"), F.col("_alon")), 6)
+    )
+    wf = Window.partitionBy(*pt_cols).orderBy(
+        F.col("dist_km").asc(), F.col("anchor_id").asc()
+    )
+    fb_out = (
+        fb.withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= k)
         .select(*pt_cols, "rank", "anchor_id", "dist_km")
     )
+    return out_cert.unionByName(fb_out)
 
 
 def haversine_km(lat1, lon1, lat2, lon2):

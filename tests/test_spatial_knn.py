@@ -1,0 +1,120 @@
+"""Cell-ring kNN: exactness of the pruned candidate plan (round-3 review).
+
+The crossJoin-free knn_join must return EXACTLY the exhaustive answer —
+including points near the date line (longitude ring wrap), near the poles
+(certificate fails -> broadcast-hash fallback), and in sparse neighborhoods
+(< k candidates in the disk). The exhaustive reference here is plain numpy
+on the driver; fixtures are deterministic integer mixes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridfour_spark import spatial
+
+
+def _mix(i: int, a: int, b: int) -> float:
+    return ((i * a + b) % 100000) / 100000.0
+
+
+def _anchors(n: int):
+    return [
+        (
+            i,
+            _mix(i, 2654435761, 1013904223) * 178.0 - 89.0,
+            _mix(i, 1597334677, 12345) * 360.0 - 180.0,
+        )
+        for i in range(n)
+    ]
+
+
+def _points(n: int):
+    pts = [
+        (
+            i,
+            _mix(i, 40503, 9973) * 178.0 - 89.0,
+            _mix(i, 65521, 271) * 360.0 - 180.0,
+        )
+        for i in range(n)
+    ]
+    # adversarial cases: date line, both poles, equator/meridian corners
+    pts += [
+        (n + 0, 12.0, 179.95),
+        (n + 1, 12.0, -179.95),
+        (n + 2, 89.6, 45.0),
+        (n + 3, -89.6, -135.0),
+        (n + 4, 0.0, 0.0),
+        (n + 5, -0.01, 179.99),
+    ]
+    return pts
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * math.sin(dlon / 2) ** 2
+    )
+    return 2.0 * 6371.0072 * math.asin(math.sqrt(a))
+
+
+def _brute(points, anchors, k):
+    out = set()
+    for pid, plat, plon in points:
+        ds = sorted(
+            (round(_hav(plat, plon, alat, alon), 6), aid)
+            for aid, alat, alon in anchors
+        )
+        for r, (d, aid) in enumerate(ds[:k], start=1):
+            out.add((pid, r, aid, d))
+    return out
+
+
+@pytest.mark.parametrize("res,ring,n_anchor", [(3, 1, 300), (4, 1, 300), (2, 2, 60)])
+def test_knn_ring_join_exact_vs_brute_force(spark, res, ring, n_anchor):
+    anchors = _anchors(n_anchor)
+    points = _points(400)
+    pdf = spark.createDataFrame(points, "pt_id int, lat double, lon double")
+    adf = spark.createDataFrame(anchors, "anchor_id int, alat double, alon double")
+    got = spatial.knn_join(pdf, adf, k=3, res=res, ring=ring).collect()
+    got_set = {(r.pt_id, r.rank, r.anchor_id, r.dist_km) for r in got}
+    assert got_set == _brute(points, anchors, 3)
+
+
+def test_knn_default_res_exact(spark):
+    """Default res from anchor density (the entry-point path, 6 anchors ->
+    full-cover disk, empty fallback)."""
+    anchors = _anchors(6)
+    points = _points(200)
+    pdf = spark.createDataFrame(points, "pt_id int, lat double, lon double")
+    adf = spark.createDataFrame(anchors, "anchor_id int, alat double, alon double")
+    got = spatial.knn_join(pdf, adf, k=3).collect()
+    got_set = {(r.pt_id, r.rank, r.anchor_id, r.dist_km) for r in got}
+    assert got_set == _brute(points, anchors, 3)
+
+
+def test_knn_plan_has_no_nested_loop_join(spark):
+    """The round-3 done-criterion: no BroadcastNestedLoopJoin / cartesian
+    anywhere in the physical plan — candidate generation and the fallback
+    are both hash joins."""
+    pdf = spark.createDataFrame(_points(50), "pt_id int, lat double, lon double")
+    adf = spark.createDataFrame(_anchors(100), "anchor_id int, alat double, alon double")
+    plan = (
+        spatial.knn_join(pdf, adf, k=3, res=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_res_for_density():
+    assert spatial.knn_res_for(6, 3) == 0
+    assert spatial.knn_res_for(10_000, 3) >= 3
+    assert spatial.knn_res_for(10_000_000, 10) <= 12
