@@ -887,11 +887,16 @@ _HSV_RECORDS = [
 
 
 def _q_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 palette mapping + A11 Mercator projection over the global DEM
+    """A10 palette mapping + A11 projections over the global DEM
     (every 8th cell): piecewise-linear ARGB (ColorPaletteRecordRGB
     semantics), the HSV color model (ColorPaletteRecordHSV.getArgb —
-    shortest-path hue wrap + HSB->RGB sectors), and spherical Mercator
-    coords, all JVM columns."""
+    shortest-path hue wrap + HSB->RGB sectors), spherical Mercator, AND the
+    reference demo's named projection — ellipsoidal Albers equal-area conic
+    (AlbersEqualAreaConic.java via LandCoverTints.java:116 params) forward
+    + closed-form inverse, all JVM columns. Albers forward coords are
+    hashed at km grain (raw meters would flip on cross-libm 1-ulp trig
+    differences); the inverse is asserted per-row as a round-trip-identity
+    boolean (errors measure ~1e-8 deg, threshold 1e-6)."""
     spec = GLOBAL_GRID
     g = synth.grid_df(spark, spec, value="dem").filter(
         (F.col("row") % 8 == 0) & (F.col("col") % 8 == 0)
@@ -899,6 +904,11 @@ def _q_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = F.lit(spec.y0) + F.col("row").cast("double") * F.lit(spec.cell_size_y)
     lon = F.lit(spec.x0) + F.col("col").cast("double") * F.lit(spec.cell_size_x)
     mx, my = raster_ops.mercator_cols(lat, lon)
+    ap = raster_ops.albers_setup()
+    ax, ay = raster_ops.albers_cols(lat, lon, ap)
+    ila, ilo = raster_ops.albers_inv_cols(ax, ay, ap)
+    dlon = F.abs(F.pmod(ilo - lon + 180.0, F.lit(360.0)) - 180.0)
+    rt_ok = (F.abs(ila - lat) < 1e-6) & (dlon < 1e-6)
     return g.select(
         "row",
         "col",
@@ -906,6 +916,9 @@ def _q_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         raster_ops.argb_hsv_expr(F.col("z").cast("double"), _HSV_RECORDS).alias("argb_hsv"),
         F.round(mx, 6).alias("merc_x"),
         F.round(my, 6).alias("merc_y"),
+        F.floor(ax / 1000.0).cast("long").alias("alb_x_km"),
+        F.floor(ay / 1000.0).cast("long").alias("alb_y_km"),
+        rt_ok.alias("alb_rt_ok"),
     )
 
 
@@ -914,10 +927,18 @@ def _palette_sql() -> str:
     lat = f"({spec.y0!r} + CAST(row AS DOUBLE) * {spec.cell_size_y!r})"
     lon = f"({spec.x0!r} + CAST(col AS DOUBLE) * {spec.cell_size_x!r})"
     mx, my = raster_ops.mercator_sql(lat, lon)
+    ap = raster_ops.albers_setup()
+    ax, ay = raster_ops.albers_sql(lat, lon, ap)
+    ila, ilo = raster_ops.albers_inv_sql(ax, ay, ap)
+    dlon = f"abs(((({ilo}) - {lon} + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)"
+    rt_ok = f"(abs(({ila}) - {lat}) < 1e-6 AND {dlon} < 1e-6)"
     return f"""
         SELECT row, col, {raster_ops.argb_sql('CAST(z AS DOUBLE)')} AS argb,
                {raster_ops.argb_hsv_sql('CAST(z AS DOUBLE)', _HSV_RECORDS)} AS argb_hsv,
-               ROUND({mx}, 6) AS merc_x, ROUND({my}, 6) AS merc_y
+               ROUND({mx}, 6) AS merc_x, ROUND({my}, 6) AS merc_y,
+               CAST(floor(({ax}) / 1000.0) AS BIGINT) AS alb_x_km,
+               CAST(floor(({ay}) / 1000.0) AS BIGINT) AS alb_y_km,
+               {rt_ok} AS alb_rt_ok
         FROM ({synth.grid_duckdb_sql(spec, value='dem')})
         WHERE row % 8 = 0 AND col % 8 = 0
     """

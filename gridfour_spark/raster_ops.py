@@ -190,6 +190,157 @@ def mercator_sql(lat: str, lon: str) -> tuple[str, str]:
     return x, y
 
 
+# --- A11 true form: Albers equal-area conic -----------------------------------
+#
+# The reference demo's named projection
+# (demo/geoTiff/AlbersEqualAreaConic.java:44-196; instantiated by
+# LandCoverTints.java:116 as (23, -96, 29.5, 45.5) — the CONUS/NLCD frame).
+# Ellipsoidal WGS84 forward with the same Snyder equations (q: 3-12,
+# m: 14-15, rho/theta: 14-1..14-4); constants are computed driver-side and
+# folded into the column expressions, so the executor math is pure
+# closed-form trig (whole-stage codegen, no UDF).
+#
+# The reference ships forward only; the INVERSE here uses Snyder's
+# closed-form authalic-latitude series (eq 3-18) instead of the iterative
+# latitude solve — iteration as a Catalyst expression would duplicate the
+# sub-tree once per round (codegen blowup); the series is a 3-term
+# closed form with ~1e-10 rad accuracy, well under the round(_,6) grain.
+
+_ALBERS_A = 6378137.0            # semiMajorAxis (WGS84)
+_ALBERS_E = 8.1819190842622e-2   # eccentricity
+
+
+def _albers_q_py(sinphi: float, e: float) -> float:
+    e2 = e * e
+    return (1 - e2) * (
+        sinphi / (1 - e2 * sinphi * sinphi)
+        - (1 / (2 * e)) * math.log((1 - e * sinphi) / (1 + e * sinphi))
+    )
+
+
+def albers_setup(
+    lat0: float = 23.0, lon0: float = -96.0, sp1: float = 29.5, sp2: float = 45.5
+) -> dict:
+    """Driver-side projection constants (ctor body of the reference class).
+    Parallels are ordered by |value| like the reference ctor."""
+    if abs(sp1) > abs(sp2):
+        sp1, sp2 = sp2, sp1
+    e, a = _ALBERS_E, _ALBERS_A
+    e2 = e * e
+    phi0, phi1, phi2 = map(math.radians, (lat0, sp1, sp2))
+    q0 = _albers_q_py(math.sin(phi0), e)
+    q1 = _albers_q_py(math.sin(phi1), e)
+    q2 = _albers_q_py(math.sin(phi2), e)
+    m1 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+    m2 = math.cos(phi2) / math.sqrt(1 - e2 * math.sin(phi2) ** 2)
+    nu = (m1 * m1 - m2 * m2) / (q2 - q1)
+    ca = m1 * m1 + nu * q1
+    rho0 = math.sqrt(ca - nu * q0) / nu
+    # authalic-latitude series constants (Snyder eq 3-18) for the inverse
+    qp = _albers_q_py(1.0, e)  # q at the pole
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c2 = e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0
+    c4 = 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0
+    c6 = 761.0 * e6 / 45360.0
+    return dict(a=a, e=e, e2=e2, lon0=lon0, nu=nu, ca=ca, rho0=rho0,
+                qp=qp, c2=c2, c4=c4, c6=c6)
+
+
+def albers_cols(lat, lon, p: dict | None = None):
+    """Forward Albers: (lat, lon) degrees -> (x, y) meters, column math
+    identical to the reference forward() (including the +-180 central-
+    meridian wrap and the |lat|<=90 clamp)."""
+    if p is None:
+        p = albers_setup()
+    e, e2, nu, ca, rho0, a = p["e"], p["e2"], p["nu"], p["ca"], p["rho0"], p["a"]
+    latc = F.greatest(F.lit(-90.0), F.least(F.lit(90.0), lat))
+    delta = lon - F.lit(p["lon0"])
+    delta = F.when(delta < -180.0, delta + 360.0).when(delta >= 180.0, delta - 360.0).otherwise(delta)
+    sinphi = F.sin(F.radians(latc))
+    q = F.lit(1 - e2) * (
+        sinphi / (F.lit(1.0) - F.lit(e2) * sinphi * sinphi)
+        - F.lit(1 / (2 * e)) * F.log((F.lit(1.0) - F.lit(e) * sinphi) / (F.lit(1.0) + F.lit(e) * sinphi))
+    )
+    theta = F.lit(nu) * F.radians(delta)
+    rho = F.sqrt(F.lit(ca) - F.lit(nu) * q) / F.lit(nu)
+    x = F.lit(a) * rho * F.sin(theta)
+    y = F.lit(a) * (F.lit(rho0) - rho * F.cos(theta))
+    return x, y
+
+
+def albers_sql(lat: str, lon: str, p: dict | None = None) -> tuple[str, str]:
+    """DuckDB twin of albers_cols (identical arithmetic, text form)."""
+    if p is None:
+        p = albers_setup()
+    e, e2, nu, ca, rho0, a = p["e"], p["e2"], p["nu"], p["ca"], p["rho0"], p["a"]
+    latc = f"greatest(-90.0, least(90.0, {lat}))"
+    d0 = f"(({lon}) - ({p['lon0']!r}))"
+    delta = (
+        f"(CASE WHEN {d0} < -180.0 THEN {d0} + 360.0 "
+        f"WHEN {d0} >= 180.0 THEN {d0} - 360.0 ELSE {d0} END)"
+    )
+    s = f"sin(radians({latc}))"
+    q = (
+        f"({(1 - e2)!r} * ({s} / (1.0 - {e2!r} * {s} * {s})"
+        f" - {(1 / (2 * e))!r} * ln((1.0 - {e!r} * {s}) / (1.0 + {e!r} * {s}))))"
+    )
+    theta = f"({nu!r} * radians({delta}))"
+    rho = f"(sqrt({ca!r} - {nu!r} * {q}) / {nu!r})"
+    x = f"({a!r} * {rho} * sin({theta}))"
+    y = f"({a!r} * ({rho0!r} - {rho} * cos({theta})))"
+    return x, y
+
+
+def albers_inv_cols(x, y, p: dict | None = None):
+    """Inverse Albers: (x, y) meters -> (lat, lon) degrees. rho/theta from
+    Snyder 14-10/14-11, latitude via the authalic series (3-18)."""
+    if p is None:
+        p = albers_setup()
+    a, nu, ca, rho0 = p["a"], p["nu"], p["ca"], p["rho0"]
+    sgn = 1.0 if nu >= 0 else -1.0
+    xn, yn = x / F.lit(a), y / F.lit(a)
+    rr = F.lit(rho0) - yn
+    rho = F.sqrt(xn * xn + rr * rr)
+    theta = F.atan2(F.lit(sgn) * xn, F.lit(sgn) * rr)
+    q = (F.lit(ca) - rho * rho * F.lit(nu * nu)) / F.lit(nu)
+    beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), q / F.lit(p["qp"]))))
+    phi = (
+        beta
+        + F.lit(p["c2"]) * F.sin(2.0 * beta)
+        + F.lit(p["c4"]) * F.sin(4.0 * beta)
+        + F.lit(p["c6"]) * F.sin(6.0 * beta)
+    )
+    lat = F.degrees(phi)
+    lon = F.lit(p["lon0"]) + F.degrees(theta / F.lit(nu))
+    lon = F.when(lon < -180.0, lon + 360.0).when(lon >= 180.0, lon - 360.0).otherwise(lon)
+    return lat, lon
+
+
+def albers_inv_sql(x: str, y: str, p: dict | None = None) -> tuple[str, str]:
+    if p is None:
+        p = albers_setup()
+    a, nu, ca, rho0 = p["a"], p["nu"], p["ca"], p["rho0"]
+    sgn = 1.0 if nu >= 0 else -1.0
+    xn, yn = f"(({x}) / {a!r})", f"(({y}) / {a!r})"
+    rr = f"({rho0!r} - {yn})"
+    rho = f"sqrt({xn} * {xn} + {rr} * {rr})"
+    theta = f"atan2({sgn!r} * {xn}, {sgn!r} * {rr})"
+    q = f"(({ca!r} - {rho} * {rho} * {(nu * nu)!r}) / {nu!r})"
+    beta = f"asin(greatest(-1.0, least(1.0, {q} / {p['qp']!r})))"
+    phi = (
+        f"({beta} + {p['c2']!r} * sin(2.0 * {beta})"
+        f" + {p['c4']!r} * sin(4.0 * {beta})"
+        f" + {p['c6']!r} * sin(6.0 * {beta}))"
+    )
+    lat = f"degrees({phi})"
+    lon0 = f"({p['lon0']!r} + degrees({theta} / {nu!r}))"
+    lon = (
+        f"(CASE WHEN {lon0} < -180.0 THEN {lon0} + 360.0 "
+        f"WHEN {lon0} >= 180.0 THEN {lon0} - 360.0 ELSE {lon0} END)"
+    )
+    return lat, lon
+
+
 def read_cpt(text: str) -> dict:
     """Parse a GMT-style .cpt color palette
     (imaging/palette/ColorPaletteTableReader.java:155-430, RGB model):
