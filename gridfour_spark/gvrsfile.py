@@ -565,6 +565,7 @@ def read_gvrs(
     n_partitions: int | None = None,
     row_range: tuple[int, int] | None = None,
     col_range: tuple[int, int] | None = None,
+    tile_indexes=None,
 ):
     """Distributed read of a ``.gvrs`` store into a tiles DataFrame
     (tile_index, tile_row, tile_col, element, values array<double>).
@@ -584,6 +585,9 @@ def read_gvrs(
 
     info = parse_gvrs_header(path)
     items = sorted(info.tile_positions.items())
+    if tile_indexes is not None:
+        keep = {int(t) for t in tile_indexes}
+        items = [(t, p) for t, p in items if t in keep]
     if row_range is not None or col_range is not None:
         r0, r1 = row_range or (0, info.n_rows)
         c0, c1 = col_range or (0, info.n_cols)
@@ -1141,6 +1145,205 @@ def read_gvrs_shards(spark, out_dir: str):
     if not parts:
         raise FileNotFoundError(f"no gvrs shards under {out_dir}")
     return reduce(lambda a, b: a.unionByName(b), (read_gvrs(spark, p) for p in parts))
+
+
+def spec_from_info(info: GvrsInfo):
+    """GridSpec carrying the source store's grid/tile/model geometry."""
+    from gridfour_spark.spec import GridSpec
+
+    return GridSpec(
+        n_rows=info.n_rows, n_cols=info.n_cols,
+        n_rows_in_tile=info.tile_rows, n_cols_in_tile=info.tile_cols,
+        x0=info.x0, y0=info.y0,
+        cell_size_x=info.cell_size_x, cell_size_y=info.cell_size_y,
+        geographic=(info.coord_system == 2),
+    )
+
+
+def _export_codec_remap(codec_ids: list) -> list[int] | None:
+    """Source-file codec index -> _EXPORT_CODECS index (by NAME), or None
+    when the source order already matches. Raw-copied compressed payloads
+    carry their codec index in byte 0; a rewritten store declares
+    _EXPORT_CODECS, so indexes must be re-based when orders differ."""
+    try:
+        remap = [_EXPORT_CODECS.index(n) for n in codec_ids]
+    except ValueError as exc:
+        raise NotImplementedError(
+            f"source codec list {codec_ids} has entries outside the export "
+            f"set {_EXPORT_CODECS}; decode+re-encode those tiles instead"
+        ) from exc
+    return None if remap == list(range(len(remap))) else remap
+
+
+def raw_tile_blocks(spark, path: str, exclude_tiles=None):
+    """(tile_index, element, block) — tile payloads copied VERBATIM from an
+    existing store (no decode, no re-encode), range-read by executors.
+    Compressed payloads get their codec byte re-based onto _EXPORT_CODECS
+    when the source declared a different codec order; sizes never change.
+    This is the pass-through half of update_gvrs (the reference analogue:
+    RecordManager re-uses the stored record, RecordManager.java:218-384)."""
+    import pandas as pd
+
+    info = parse_gvrs_header(path)
+    remap = _export_codec_remap(info.codec_ids)
+    drop = {int(t) for t in (exclude_tiles or ())}
+    items = [(t, p) for t, p in sorted(info.tile_positions.items()) if t not in drop]
+    schema = "tile_index long, element string, block binary"
+    if not items:
+        return spark.createDataFrame([], schema)
+    directory = spark.createDataFrame(
+        [(int(t), int(p)) for t, p in items], "tile_index long, content_pos long"
+    ).repartition(min(len(items), spark.sparkContext.defaultParallelism), "tile_index")
+    enames = [e.name for e in info.elements]
+    stds = [info.standard_size_for(e) for e in info.elements]
+    b_info = spark.sparkContext.broadcast((info.path, enames, stds, remap))
+
+    def kernel(batches):
+        pth, names, std_sizes, rmp = b_info.value
+        with open(pth, "rb") as f:
+            for pdf in batches:
+                rows = []
+                for ti, cpos in zip(pdf["tile_index"], pdf["content_pos"]):
+                    f.seek(int(cpos))
+                    f.read(4)  # tileIndex echo
+                    for name, std in zip(names, std_sizes):
+                        n = struct.unpack("<i", f.read(4))[0]
+                        payload = f.read(n)
+                        if rmp is not None and n != std:
+                            payload = bytes([rmp[payload[0]]]) + payload[1:]
+                        rows.append({
+                            "tile_index": int(ti), "element": name, "block": payload,
+                        })
+                yield pd.DataFrame(rows)
+
+    return directory.mapInPandas(kernel, schema)
+
+
+def update_gvrs(
+    spark,
+    src_path: str,
+    dst_path: str,
+    delta_cells,
+    compressed: bool | None = None,
+    checksum: bool | None = None,
+    product_label: str | None = None,
+) -> dict:
+    """In-place-update parity for the binary store: read-merge-rewrite.
+
+    The reference opens stores "rw" and re-uses freed records
+    (gvrs/RecordManager.java:218-384, RecordAllocationTest.java:50-90); an
+    immutable distributed engine expresses the same capability as
+    shard-level compaction: given ``delta_cells`` (row, col, z[, element];
+    z NULL/NaN erases to fill), emit a new store where
+
+    - tiles NOT touched by the delta are copied payload-VERBATIM
+      (raw_tile_blocks — no decode, no codec race, byte-identical sizes);
+    - touched tiles decode (executors), overlay the delta cells, and
+      re-run the codec race;
+    - delta cells outside any stored tile allocate new tiles over fill;
+    - tiles whose merged content is all-fill are dropped (the freed-record
+      analogue: RecordManager.writeTile:413-419 skip rule).
+
+    Metadata records, model geometry, element specs, checksum mode and the
+    product label carry over. Returns {"changed": [...], "copied": n}."""
+    from pyspark.sql import functions as F
+
+    from gridfour_spark import store as _store
+
+    info = parse_gvrs_header(src_path)
+    spec = spec_from_info(info)
+    elements = info.elements
+    multi = len(elements) > 1
+    if compressed is None:
+        compressed = bool(info.codec_ids)
+    if checksum is None:
+        checksum = info.checksum_enabled
+    if product_label is None:
+        product_label = info.product_label or "gridfour_spark export"
+
+    nct = info.tile_cols
+    nrt = info.tile_rows
+    d = delta_cells
+    if "element" not in d.columns:
+        d = d.withColumn("element", F.lit(elements[0].name))
+    d = d.select(
+        F.col("row").cast("long"),
+        F.col("col").cast("long"),
+        F.col("z").cast("double"),
+        "element",
+    ).filter(
+        (F.col("row") >= 0) & (F.col("row") < info.n_rows)
+        & (F.col("col") >= 0) & (F.col("col") < info.n_cols)
+    )
+    ti_col = (F.col("row") / nrt).cast("long") * info.n_cols_of_tiles + (
+        F.col("col") / nct
+    ).cast("long")
+    changed = sorted(
+        r[0] for r in d.select(ti_col.alias("ti")).distinct().collect()
+    )
+
+    # pass-through side: everything the delta does not touch
+    raw = raw_tile_blocks(spark, src_path, exclude_tiles=changed)
+
+    # merge side: decode the touched tiles, overlay, re-encode
+    base = read_gvrs(spark, src_path, tile_indexes=changed)
+    base_cells = (
+        base.select("tile_row", "tile_col", "element", F.posexplode("values").alias("pos", "z"))
+        .select(
+            (F.col("tile_row").cast("long") * nrt + (F.col("pos") / nct).cast("long")).alias("row"),
+            (F.col("tile_col").cast("long") * nct + F.col("pos") % nct).alias("col"),
+            "element",
+            "z",
+        )
+        .filter((F.col("row") < info.n_rows) & (F.col("col") < info.n_cols))
+    )
+    dd = d.withColumnRenamed("z", "_dz").withColumn("_d", F.lit(1))
+    merged = base_cells.join(dd, on=["row", "col", "element"], how="full_outer")
+    merged = merged.select(
+        "row", "col", "element",
+        F.when(F.col("_d").isNotNull(), F.col("_dz")).otherwise(F.col("z")).alias("z"),
+    )
+
+    new_parts = []
+    for e in elements:
+        cells_e = merged.filter(F.col("element") == e.name).drop("element")
+        tiles_e = _store.build_tiles(cells_e, spec)
+        new_parts.append(
+            gvrs_export_blocks(tiles_e, spec, e, compress=compressed)
+            .withColumn("element", F.lit(e.name))
+        )
+    new_blocks = new_parts[0]
+    for p in new_parts[1:]:
+        new_blocks = new_blocks.unionByName(p)
+
+    blocks = raw.unionByName(new_blocks.select("tile_index", "element", "block"))
+    if not multi:
+        blocks = blocks.drop("element")
+
+    # carry source metadata records (codec records are re-emitted by write)
+    extra_meta = []
+    with open(src_path, "rb") as f:
+        for name, rid, tcode, pos in info.metadata_refs:
+            if name in ("GvrsJavaCodecs", "GvrsCompressionCodecs"):
+                continue
+            f.seek(pos)
+            buf = f.read(1 << 20)
+            c = _Cursor(buf)
+            c.utf(); c.i32(); c.u8(); c.skip(3)
+            n_content = c.i32()
+            content = buf[c.pos : c.pos + max(n_content, 0)]
+            c.skip(max(n_content, 0))
+            desc = c.utf()
+            extra_meta.append((name, rid, tcode, content, desc))
+
+    write_gvrs(
+        dst_path, spec, elements if multi else elements[0], blocks,
+        geographic=(info.coord_system == 2), product_label=product_label,
+        checksum=checksum, compressed=compressed, extra_metadata=extra_meta,
+    )
+    return {"changed": changed, "copied": len(info.tile_positions) - len(
+        [t for t in changed if t in info.tile_positions]
+    )}
 
 
 def inspect_gvrs(spark, path: str):

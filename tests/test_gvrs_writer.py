@@ -537,3 +537,143 @@ def test_gvrs_to_geotiff_large_store_tilewise(spark, monkeypatch):
     }
     for r in win[:5]:
         assert int(r.z) == int(expect[(r.row, r.col)])
+
+
+def _payload_sizes(path):
+    """{(tile_index, element): payload length} parsed from the record bytes."""
+    info = G.parse_gvrs_header(path)
+    out = {}
+    with open(path, "rb") as f:
+        for ti, pos in info.tile_positions.items():
+            f.seek(pos)
+            f.read(4)
+            for e in info.elements:
+                n = struct.unpack("<i", f.read(4))[0]
+                out[(ti, e.name)] = (n, f.read(n))
+    return out
+
+
+def test_update_gvrs_verbatim_copy_and_reference_read(spark):
+    """Read-merge-rewrite update parity (round-3 item 4): changed cells show
+    new values through the COMPILED REFERENCE reader; untouched tiles are
+    byte-identical payload copies (no re-encode); all-fill merges free the
+    tile; metadata records carry over."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    src = _write(spark, SPEC, e, grid, extra_metadata=[
+        ("MyNote", 7, 9, struct.pack("<i", 5) + b"hello", "carried"),
+    ])
+    before = _payload_sizes(src)
+
+    # delta: bump two cells in tile (0,0); erase ALL of tile (1,1) to fill;
+    # nothing else touched
+    delta_rows = [(0, 0, 999.0), (24, 29, -5.0)]
+    delta_rows += [(r, c, None) for r in range(25, 50) for c in range(30, 60)]
+    delta = spark.createDataFrame(delta_rows, "row long, col long, z double")
+    dst = src + ".updated.gvrs"
+    stats = G.update_gvrs(spark, src, dst, delta)
+    assert set(stats["changed"]) == {0, 4}
+
+    after = _payload_sizes(dst)
+    # untouched tiles: byte-identical payloads
+    for key in before:
+        ti = key[0]
+        if ti in (0, 4):
+            continue
+        assert after[key] == before[key], key
+    # tile 4 became all-fill -> freed (absent from the directory)
+    assert not any(ti == 4 for ti, _ in after)
+
+    # engine read agrees
+    _, g2 = _engine_read(dst)
+    assert g2[0, 0] == 999.0
+    assert g2[24, 29] == -5.0
+    assert np.all(np.isnan(g2[25:50, 30:60]))
+    mask = np.ones_like(grid, dtype=bool)
+    mask[0, 0] = mask[24, 29] = False
+    mask[25:50, 30:60] = False
+    np.testing.assert_array_equal(g2[mask], grid[mask])
+
+    # metadata carried
+    names = {m["name"]: m for m in G.read_metadata(dst)}
+    assert "MyNote" in names and names["MyNote"]["description"] == "carried"
+
+    # the compiled reference reader sees the same post-update grid
+    grids = _java_read(dst)
+    gj = grids["z"]
+    assert gj[0, 0] == 999.0
+    # reference readValue returns the element FILL for unset cells
+    assert np.all(gj[25:50, 30:60] == e.fill)
+    np.testing.assert_array_equal(gj[mask], grid[mask])
+
+
+def test_update_gvrs_new_tile_allocation(spark):
+    """Delta cells landing in a tile absent from the source allocate a new
+    tile over fill (the writeTile path for previously-unwritten tiles)."""
+    grid = _ramp(60, 80)
+    grid[50:, :] = np.nan  # bottom tile row absent (all-fill dropped)
+    e = G.default_element("z", "int")
+    src = _write(spark, SPEC, e, grid)
+    info0 = G.parse_gvrs_header(src)
+    assert len(info0.tile_positions) == 6  # 3x3 grid minus absent bottom row
+
+    delta = spark.createDataFrame([(55, 10, 1234.0)], "row long, col long, z double")
+    dst = src + ".u2.gvrs"
+    G.update_gvrs(spark, src, dst, delta)
+    _, g2 = _engine_read(dst)
+    assert g2[55, 10] == 1234.0
+    assert np.isnan(g2[55, 11])  # rest of the new tile stays fill
+    np.testing.assert_array_equal(g2[:50, :], grid[:50, :])
+
+
+def test_update_gvrs_multi_element_targets_one_band(spark):
+    """Delta with an element column updates only that band; the other
+    band's payloads stay verbatim even inside the changed tile? No — a
+    changed tile re-encodes ALL its bands (tile records are columnar
+    within one record), but the VALUES of the untouched band must be
+    unchanged, and untouched tiles stay verbatim for both bands."""
+    grid_a = _ramp(60, 80)
+    grid_b = _ramp(60, 80) * 2.0
+    ea = G.default_element("a", "int")
+    eb = G.default_element("b", "float")
+    rows = [
+        (int(r), int(c), float(grid_a[r, c]), float(grid_b[r, c]))
+        for r in range(60) for c in range(80)
+    ]
+    cells = spark.createDataFrame(rows, "row int, col int, a double, b double")
+    melted = cells.selectExpr(
+        "row", "col", "stack(2, 'a', a, 'b', b) AS (element, z)"
+    )
+    tiles = store.build_tiles(melted, SPEC, element_col="element")
+    from pyspark.sql import functions as F
+    blocks = None
+    for e in (ea, eb):
+        t_e = tiles.filter(F.col("element") == e.name)
+        b_e = G.gvrs_export_blocks(t_e, SPEC, e).withColumn("element", F.lit(e.name))
+        blocks = b_e if blocks is None else blocks.unionByName(b_e)
+    d = tempfile.mkdtemp(prefix="gvrs_me_")
+    src = os.path.join(d, "me.gvrs")
+    G.write_gvrs(src, SPEC, [ea, eb], blocks)
+
+    delta = spark.createDataFrame(
+        [(10, 10, 777.0, "b")], "row long, col long, z double, element string"
+    )
+    dst = src + ".u.gvrs"
+    stats = G.update_gvrs(spark, src, dst, delta)
+    assert stats["changed"] == [0]
+    before, after = _payload_sizes(src), _payload_sizes(dst)
+    for key in before:
+        if key[0] != 0:
+            assert after[key] == before[key], key
+    info = G.parse_gvrs_header(dst)
+    tr, tc = info.tile_rows, info.tile_cols
+    gs = {n: np.full((75, 90), np.nan) for n in ("a", "b")}
+    for ti, arrays in G.read_tile_arrays(dst, info, sorted(info.tile_positions)):
+        trow, tcol = divmod(ti, info.n_cols_of_tiles)
+        for e, arr in zip(info.elements, arrays):
+            gs[e.name][trow * tr:(trow + 1) * tr, tcol * tc:(tcol + 1) * tc] = arr.reshape(tr, tc)
+    ga, gb = gs["a"][:60, :80], gs["b"][:60, :80]
+    assert gb[10, 10] == 777.0
+    np.testing.assert_array_equal(ga, grid_a)  # band a untouched everywhere
+    mask = np.ones_like(grid_b, dtype=bool); mask[10, 10] = False
+    np.testing.assert_array_equal(gb[mask], grid_b[mask])
