@@ -1493,10 +1493,63 @@ def _gvrs_sample_read_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _q_update_store_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-store UPDATE lifecycle (reference "rw" open / RecordManager
+    record-reuse parity as read-merge-rewrite compaction, update_gvrs):
+    write the SPEC_A DEM as a .gvrs store, apply a deterministic delta
+    (bump cells where row%97==3 and col%89==7 by +1000; erase the
+    rows 80..120 x cols 110..165 window to fill — which frees tile (2,2)
+    entirely), then read the UPDATED store back and aggregate. Untouched
+    tiles pass through payload-verbatim (asserted byte-level in pytest);
+    here the oracle value-matches the merged cell content, the live-tile
+    count after the free, and the changed-tile count."""
+    import os
+    import shutil
+    import tempfile
+
+    from gridfour_spark import gvrsfile as G
+
+    spec = SPEC_A
+    d = tempfile.mkdtemp(prefix="oracle_upd_")
+    try:
+        src = os.path.join(d, "src.gvrs")
+        dst = os.path.join(d, "dst.gvrs")
+        tiles = _tiles_cached(spark, spec, "dem")
+        e = G.default_element("z", "int")
+        G.write_gvrs(src, spec, e, G.gvrs_export_blocks(tiles, spec, e, compress=False),
+                     compressed=False)
+        g = synth.grid_df(spark, spec, value="dem")
+        bump = g.filter((F.col("row") % 97 == 3) & (F.col("col") % 89 == 7)).select(
+            "row", "col", (F.col("z") + 1000.0).alias("z")
+        )
+        erase = g.filter(
+            F.col("row").between(80, 120) & F.col("col").between(110, 165)
+        ).select("row", "col", F.lit(None).cast("double").alias("z"))
+        stats = G.update_gvrs(spark, src, dst, bump.unionByName(erase))
+        cells = G.gvrs_cells(spark, dst).filter(
+            F.col("z").isNotNull() & ~F.isnan("z")
+        )
+        live = len(G.parse_gvrs_header(dst).tile_positions)
+        out = cells.agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("z").cast("long")).alias("sum_z"),
+        ).select(
+            "n_cells", "sum_z",
+            F.lit(live).cast("long").alias("n_live_tiles"),
+            F.lit(len(stats["changed"])).cast("long").alias("n_changed"),
+        ).collect()
+        return spark.createDataFrame(
+            out, "n_cells long, sum_z long, n_live_tiles long, n_changed long"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_compression_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite of the three end-to-end compression round-trip checks
-    (plain, null-holed, multi-element) in one schema (leg, n_cells, a, b, c)
-    — full value coverage of each leg, one driver-window slot."""
+    """Composite of the end-to-end store round-trip checks (plain,
+    null-holed, multi-element, binary-store update) in one schema
+    (leg, n_cells, a, b, c) — full value coverage of each leg, one
+    driver-window slot."""
     plain = _q_compression_verify(spark, sf_dir).select(
         F.lit("plain").alias("leg"),
         F.col("n_cells"),
@@ -1518,7 +1571,14 @@ def _q_compression_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_z").alias("b"),
         F.col("max_z").alias("c"),
     )
-    return plain.unionByName(nulls).unionByName(multi)
+    upd = _q_update_store_verify(spark, sf_dir).select(
+        F.lit("update").alias("leg"),
+        F.col("n_cells"),
+        F.col("sum_z").alias("a"),
+        F.col("n_live_tiles").alias("b"),
+        F.col("n_changed").alias("c"),
+    )
+    return plain.unionByName(nulls).unionByName(multi).unionByName(upd)
 
 
 def _q_icf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1812,6 +1872,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'multi:band2', COUNT(*), CAST(SUM(CAST({_BAND2} AS BIGINT)) AS BIGINT),
                    CAST(MIN({_BAND2}) AS BIGINT), CAST(MAX({_BAND2}) AS BIGINT)
             FROM ({_grid_a(None)})
+            UNION ALL
+            -- update leg: same bump/erase delta applied to the grid formula;
+            -- b = live tiles after the all-fill free, c = tiles the delta touched
+            SELECT 'update', COUNT(z), CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),
+                   (SELECT COUNT(DISTINCT CAST(floor(row/40.0) AS BIGINT)*11 + CAST(floor(col/55.0) AS BIGINT))
+                    FROM (SELECT row, col,
+                                 CASE WHEN row BETWEEN 80 AND 120 AND col BETWEEN 110 AND 165 THEN NULL
+                                      WHEN row % 97 = 3 AND col % 89 = 7 THEN z + 1000
+                                      ELSE z END AS z
+                          FROM ({_grid_a('dem')})) WHERE z IS NOT NULL),
+                   (SELECT COUNT(DISTINCT CAST(floor(row/40.0) AS BIGINT)*11 + CAST(floor(col/55.0) AS BIGINT))
+                    FROM ({_grid_a(None)})
+                    WHERE (row BETWEEN 80 AND 120 AND col BETWEEN 110 AND 165)
+                       OR (row % 97 = 3 AND col % 89 = 7))
+            FROM (SELECT CASE WHEN row BETWEEN 80 AND 120 AND col BETWEEN 110 AND 165 THEN NULL
+                              WHEN row % 97 = 3 AND col % 89 = 7 THEN z + 1000
+                              ELSE z END AS z
+                  FROM ({_grid_a('dem')}))
         """,
         # both legs of the ICF suite (pure formula + lossless store round
         # trip) share the same quantization-error oracle
