@@ -138,6 +138,17 @@ def main() -> None:
 
     from pyspark.sql import functions as _F
 
+    # the span-geometry chain is a session-cached INPUT shared by several
+    # queries (entry._spans_tiles_cached). Time its materialization
+    # EXPLICITLY — drop the warmed cache and rebuild — so the amortization
+    # is measured, not hidden; docs_per_sec charges flagship with it below.
+    for k, df in list(entrymod._SPANS_TILES_CACHE.items()):
+        df.unpersist()
+        entrymod._SPANS_TILES_CACHE.pop(k)
+    t0 = time.time()
+    entrymod._spans_tiles_cached(spark, SF_DIR)
+    geometry_build_sec = round(time.time() - t0, 3)
+
     missing = [n for n in BENCH_QUERIES if n not in qs]
     if missing:
         raise SystemExit(f"bench queries absent from queries(): {missing}")
@@ -157,6 +168,24 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         if name == "spans":
             n_spans = rows
+
+    # PRODUCTION flagship variant (PLANS.md): approx_count_distinct keeps
+    # the per-tile doc count strictly map-side-combinable — timed beside
+    # the exact plan, excluded from the headline total for r1-r3 continuity
+    from gridfour_spark import pipeline as _pl
+
+    t0 = time.time()
+    dfa = _pl.flagship(
+        spark, SF_DIR,
+        pts=entrymod._spans_tiles_cached(spark, SF_DIR),
+        stats=entrymod._dem_stats_cached(spark),
+        approx_distinct=True,
+    )
+    dfa.agg(
+        _F.count(_F.lit(1)).alias("n"),
+        _F.sum(_F.xxhash64(*[_F.col(c) for c in dfa.columns])).alias("h"),
+    ).collect()
+    flagship_approx_sec = round(time.time() - t0, 3)
 
     # bits-per-sample: the compression half of the baseline metric
     # (PackageData.java:546-549); run the codec race over the SPEC_A DEM store
@@ -262,13 +291,17 @@ def main() -> None:
     }
     spark.stop()
 
-    flagship_sec = timings["flagship"]  # guaranteed: missing keys fail fast above
+    # throughput charges the flagship with the geometry materialization it
+    # consumes (the cache is an amortization ACROSS queries, not a skip)
+    flagship_sec = timings["flagship"] + geometry_build_sec
     result = {
         "metric": "tile-assignment + spatial-join docs/sec (flagship pipeline) at SF dir "
         + SF_DIR,
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings.values()) + geometry_build_sec, 3),
         "unit": "sec",
         "queries": timings,
+        "span_geometry_build_sec": geometry_build_sec,
+        "flagship_approx_sec": flagship_approx_sec,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(n_docs / flagship_sec, 1) if flagship_sec else None,
         "spans_per_sec": round(n_spans / flagship_sec, 1) if flagship_sec and n_spans else None,

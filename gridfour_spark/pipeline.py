@@ -59,21 +59,38 @@ def spans_with_tiles(
 
 
 def flagship(
-    spark: SparkSession, sf_dir: str, spec: GridSpec = GLOBAL_GRID
+    spark: SparkSession, sf_dir: str, spec: GridSpec = GLOBAL_GRID,
+    pts: DataFrame | None = None, stats: DataFrame | None = None,
+    approx_distinct: bool = False,
 ) -> DataFrame:
-    """Per-tile doc/span counts + sampled elevation, joined to DEM tile stats."""
-    pts = spans_with_tiles(spark, sf_dir, spec)
+    """Per-tile doc/span counts + sampled elevation, joined to DEM tile stats.
+
+    pts/stats: pre-materialized spans_with_tiles / dem_tile_stats inputs
+    (session caches) — the geometry derivation and the dimension build are
+    shared by several queries, so callers may amortize them; the plan from
+    the cached RDD onward is identical.
+
+    approx_distinct: the PRODUCTION variant of the doc count. The exact
+    countDistinct expands every row per aggregate (the one scale flag in
+    this plan, PLANS.md); approx_count_distinct (HLL++, rsd 1.6%) keeps the
+    aggregation strictly map-side-combinable at 10^12 docs."""
+    if pts is None:
+        pts = spans_with_tiles(spark, sf_dir, spec)
     # The out-of-grid (-1) group is dropped via an AGGREGATE OUTPUT
     # (min(tile_index) == tile_index within a group), NOT a key filter:
     # Catalyst pushes group-key predicates below the aggregation, which
     # re-substitutes the whole geometry expression tree + the wrap UDF into a
     # pre-shuffle Filter (second ArrowEvalPython, measured 2.5s -> 48s on
     # 30M spans). Filtering an agg output cannot be pushed down.
+    n_docs = (
+        F.approx_count_distinct("doc_id") if approx_distinct
+        else F.countDistinct("doc_id")
+    ).alias("n_docs")
     per_tile = (
         pts.groupBy("tile_index")
         .agg(
             F.count("*").alias("n_spans"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            n_docs,
             F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media"),
             F.round(F.avg("z"), 6).alias("mean_point_z"),
             F.min("tile_index").alias("_ti"),
@@ -81,7 +98,8 @@ def flagship(
         .filter(F.col("_ti") >= 0)
         .drop("_ti")
     )
-    stats = dem_tile_stats(spark, spec)
+    if stats is None:
+        stats = dem_tile_stats(spark, spec)
     return per_tile.join(F.broadcast(stats), on="tile_index", how="inner")
 
 
