@@ -945,7 +945,7 @@ def _q_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ila, ilo = raster_ops.albers_inv_cols(ax, ay, ap)
     dlon = F.abs(F.pmod(ilo - lon + 180.0, F.lit(360.0)) - 180.0)
     rt_ok = (F.abs(ila - lat) < 1e-6) & (dlon < 1e-6)
-    return g.select(
+    out = g.select(
         "row",
         "col",
         raster_ops.argb_expr(F.col("z").cast("double")).alias("argb"),
@@ -955,6 +955,21 @@ def _q_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(ax / 1000.0).cast("long").alias("alb_x_km"),
         F.floor(ay / 1000.0).cast("long").alias("alb_y_km"),
         rt_ok.alias("alb_rt_ok"),
+    )
+    # A12 true form: YCoCg-R lifted color transform over the palette's ARGB
+    # (ExperimentalImageStorage.java:225-295) — per-row channel values plus
+    # an exact-inverse flag (the transform is reversible by construction)
+    yy, co, cg = raster_ops.ycocg_from_argb(F.col("argb"))
+    ir, ig, ib = raster_ops.rgb_from_ycocg(yy, co, cg)
+    orig_r = F.shiftright(F.col("argb"), 16).bitwiseAND(F.lit(255))
+    orig_g = F.shiftright(F.col("argb"), 8).bitwiseAND(F.lit(255))
+    orig_b = F.col("argb").bitwiseAND(F.lit(255))
+    return out.select(
+        "*",
+        yy.cast("long").alias("ycc_y"),
+        co.cast("long").alias("ycc_co"),
+        cg.cast("long").alias("ycc_cg"),
+        ((ir == orig_r) & (ig == orig_g) & (ib == orig_b)).alias("ycc_rt_ok"),
     )
 
 
@@ -968,7 +983,16 @@ def _palette_sql() -> str:
     ila, ilo = raster_ops.albers_inv_sql(ax, ay, ap)
     dlon = f"abs(((({ilo}) - {lon} + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)"
     rt_ok = f"(abs(({ila}) - {lat}) < 1e-6 AND {dlon} < 1e-6)"
+    yy, co, cg = raster_ops.ycocg_sql("argb")
+    ir, ig, ib = raster_ops.rgb_from_ycocg_sql(yy, co, cg)
+    ycc_rt = (
+        f"({ir} = ((argb // 65536) % 256) AND {ig} = ((argb // 256) % 256)"
+        f" AND {ib} = (argb % 256))"
+    )
     return f"""
+        SELECT *, CAST({yy} AS BIGINT) AS ycc_y, CAST({co} AS BIGINT) AS ycc_co,
+               CAST({cg} AS BIGINT) AS ycc_cg, {ycc_rt} AS ycc_rt_ok
+        FROM (
         SELECT row, col, {raster_ops.argb_sql('CAST(z AS DOUBLE)')} AS argb,
                {raster_ops.argb_hsv_sql('CAST(z AS DOUBLE)', _HSV_RECORDS)} AS argb_hsv,
                ROUND({mx}, 6) AS merc_x, ROUND({my}, 6) AS merc_y,
@@ -977,6 +1001,7 @@ def _palette_sql() -> str:
                {rt_ok} AS alb_rt_ok
         FROM ({synth.grid_duckdb_sql(spec, value='dem')})
         WHERE row % 8 = 0 AND col % 8 = 0
+        )
     """
 
 

@@ -316,6 +316,61 @@ def albers_inv_cols(x, y, p: dict | None = None):
     return lat, lon
 
 
+# --- A12 true form: YCoCg-R reversible color transform ------------------------
+#
+# The reference's imaging experiment stores photographic tiles as three
+# GVRS int elements in the YCoCg-R space because the lifted integer
+# transform is exactly reversible and decorrelates the channels ahead of
+# the predictor codecs (demo/imaging/ExperimentalImageStorage.java:225-295).
+# Java's `>> 1` is an arithmetic shift = floor division by 2, expressed
+# here as floor(x/2) so the Spark and DuckDB forms are identical.
+
+
+def _fd2(c):
+    return F.floor(c / 2).cast("int")
+
+
+def ycocg_from_argb(argb):
+    """ARGB int column -> (y, co, cg) int columns (lossless forward)."""
+    r = F.shiftright(argb, 16).bitwiseAND(F.lit(255))
+    g = F.shiftright(argb, 8).bitwiseAND(F.lit(255))
+    b = argb.bitwiseAND(F.lit(255))
+    co = (r - b).cast("int")
+    tmp = (b + _fd2(co)).cast("int")
+    cg = (g - tmp).cast("int")
+    y = (tmp + _fd2(cg)).cast("int")
+    return y, co, cg
+
+
+def rgb_from_ycocg(y, co, cg):
+    """(y, co, cg) -> (r, g, b) int columns (exact inverse)."""
+    tmp = (y - _fd2(cg)).cast("int")
+    g = (cg + tmp).cast("int")
+    b = (tmp - _fd2(co)).cast("int")
+    r = (b + co).cast("int")
+    return r, g, b
+
+
+def ycocg_sql(argb: str) -> tuple[str, str, str]:
+    """DuckDB twin of ycocg_from_argb (same floor-division shifts)."""
+    r = f"((({argb}) // 65536) % 256)"
+    g = f"((({argb}) // 256) % 256)"
+    b = f"(({argb}) % 256)"
+    co = f"({r} - {b})"
+    tmp = f"({b} + CAST(floor({co} / 2.0) AS INTEGER))"
+    cg = f"({g} - {tmp})"
+    y = f"({tmp} + CAST(floor({cg} / 2.0) AS INTEGER))"
+    return y, co, cg
+
+
+def rgb_from_ycocg_sql(y: str, co: str, cg: str) -> tuple[str, str, str]:
+    tmp = f"(({y}) - CAST(floor(({cg}) / 2.0) AS INTEGER))"
+    g = f"(({cg}) + {tmp})"
+    b = f"({tmp} - CAST(floor(({co}) / 2.0) AS INTEGER))"
+    r = f"({b} + ({co}))"
+    return r, g, b
+
+
 def albers_inv_sql(x: str, y: str, p: dict | None = None) -> tuple[str, str]:
     if p is None:
         p = albers_setup()
