@@ -289,7 +289,6 @@ def main() -> None:
             _S.ivf_topk(cemb, cq, k=5, n_lists=32, nprobe=2, cent=_S.ivf_train(cemb, n_lists=32, n_iters=2))
         ),
     }
-    spark.stop()
 
     # throughput charges the flagship with the geometry materialization it
     # consumes (the cache is an amortization ACROSS queries, not a skip)
@@ -316,6 +315,101 @@ def main() -> None:
         "gvrs_read_cells_per_sec": round(n_comp_cells / gvrs_read_sec, 1),
         "recall_at_5_clustered": recall_clustered,
     }
+
+    # --- sf1.0-equivalent scale stress (round-3 item 5) -------------------
+    # No sf1.0 parquet is provided, so the 10x input is a DETERMINISTIC
+    # amplification of the driver's own tables: each document is replicated
+    # `factor` times with a replica-shifted doc_id (new hash -> new span
+    # geometry, hot-city skew rule preserved distributionally) and a
+    # per-replica Caesar-rotated text (identical word/span structure, but
+    # shingle sets are disjoint across replicas, so the corpus behaves as
+    # `factor` independent copies — near-dup pair counts scale linearly by
+    # construction, which is exactly the property a linearity check needs).
+    # near_dup's leg amplifies sf0.01 by 10 (~= real sf0.1 size) and, when
+    # the main run IS sf0.1, cross-validates amplified-vs-real wall clock.
+    if os.environ.get("SPARK_GRAFT_STRESS", "1") != "0":
+        import shutil as _sh2
+        import tempfile as _tf2
+
+        _factor = int(os.environ.get("SPARK_GRAFT_STRESS_FACTOR", "10"))
+        _alpha = "abcdefghijklmnopqrstuvwxyz"
+
+        def _amplify_docs(src_dir: str, factor: int) -> str:
+            out_dir = os.path.join(
+                _tf2.gettempdir(),
+                f"bench_amp{factor}_" + src_dir.rstrip("/").split("sf")[-1],
+            )
+            docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+            n_base = docs.agg(_F.max("doc_id")).collect()[0][0] + 1
+            rep = docs.withColumn(
+                "rep", _F.explode(_F.sequence(_F.lit(0), _F.lit(factor - 1)))
+            )
+            scramble = None
+            for k in range(factor):
+                rot = _alpha[k:] + _alpha[:k]
+                t = _F.translate(
+                    "text", _alpha + _alpha.upper(), rot + rot.upper()
+                )
+                scramble = (
+                    _F.when(_F.col("rep") == k, t) if scramble is None
+                    else scramble.when(_F.col("rep") == k, t)
+                )
+            rep.select(
+                (_F.col("doc_id") + _F.col("rep") * _F.lit(int(n_base))).alias("doc_id"),
+                scramble.alias("text"),
+                "lang", "source", "n_chars",
+            ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+            return out_dir
+
+        def _timed_full_eval(qname: str, d: str) -> float:
+            # fresh geometry per timing: the cache amortization is measured
+            # at base scale already; stress measures the whole chain
+            for k, cdf in list(entrymod._SPANS_TILES_CACHE.items()):
+                cdf.unpersist()
+                entrymod._SPANS_TILES_CACHE.pop(k)
+            t0 = time.time()
+            sdf = qs[qname](spark, d)
+            sdf.agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.sum(_F.xxhash64(*[_F.col(c) for c in sdf.columns])).alias("h"),
+            ).collect()
+            return round(time.time() - t0, 3)
+
+        stress: dict = {"factor": _factor, "base_sf": SF_DIR}
+        amp_dirs = []
+        try:
+            amp_main = _amplify_docs(SF_DIR, _factor)
+            amp_dirs.append(amp_main)
+            for qname in ("flagship", "docs_tile_assign", "span_invariant", "bspline"):
+                b = _timed_full_eval(qname, SF_DIR)
+                x = _timed_full_eval(qname, amp_main)
+                stress[qname] = {
+                    "base_sec": b,
+                    "x10_sec": x,
+                    "scale_ratio": round(x / b, 2) if b else None,
+                }
+            # near_dup: quadratic-risk operator — amplify the next SF down
+            # so the 10x corpus lands at the main SF's size
+            small = SF_DIR.replace("sf0.1", "sf0.01") if "sf0.1" in SF_DIR else SF_DIR
+            if os.path.isdir(small) and small != SF_DIR:
+                amp_small = _amplify_docs(small, _factor)
+                amp_dirs.append(amp_small)
+                b = _timed_full_eval("near_dup", small)
+                x = _timed_full_eval("near_dup", amp_small)
+                r = _timed_full_eval("near_dup", SF_DIR)
+                stress["near_dup"] = {
+                    "base_sec": b,
+                    "x10_sec": x,
+                    "scale_ratio": round(x / b, 2) if b else None,
+                    "real_big_sec": r,
+                    "amp_vs_real": round(x / r, 2) if r else None,
+                }
+        finally:
+            for d in amp_dirs:
+                _sh2.rmtree(d, ignore_errors=True)
+        result["stress"] = stress
+
+    spark.stop()  # scaling probes below run in their own subprocesses
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         scaling = {}
