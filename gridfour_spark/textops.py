@@ -473,7 +473,9 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """SimHash near-dup candidates: the 4 chunk keys ARE the LSH bands
     (pigeonhole: every pair with hamming <= 3 shares some chunk); candidates
     equi-join per band, verify with exact per-chunk popcount hamming."""
-    s = simhash_chunks(docs)
+    # persisted like the minhash signature frame: the chunk self-join (and
+    # distinct) otherwise re-runs the 64-bit-sum aggregation per consumer
+    s = simhash_chunks(docs).persist()
     bands = None
     for ci in range(4):
         part = s.select(
