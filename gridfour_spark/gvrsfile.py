@@ -311,14 +311,23 @@ _MD_TYPES = {
 }
 
 
+def _read_record_content(f, content_pos: int) -> bytes:
+    """Read a record's full content area using the RECORD FRAMING (u32 size
+    at content_pos-8) — a fixed-size read would silently truncate records
+    over the buffer size (round-4 review: >1 MiB metadata blobs)."""
+    f.seek(content_pos - 8)
+    size = struct.unpack("<I", f.read(4))[0]
+    f.seek(content_pos)
+    return f.read(max(size - 8, 0))
+
+
 def read_metadata(path: str, info: GvrsInfo | None = None) -> list[dict]:
     """Decode every metadata record (GvrsMetadata.java:562-579)."""
     info = info or parse_gvrs_header(path)
     out = []
     with open(path, "rb") as f:
         for name, record_id, type_code, pos in info.metadata_refs:
-            f.seek(pos)
-            buf = f.read(1 << 20)
+            buf = _read_record_content(f, pos)
             c = _Cursor(buf)
             c.utf()  # name (repeated)
             c.i32()  # record id (repeated)
@@ -1275,6 +1284,11 @@ def update_gvrs(
         (F.col("row") >= 0) & (F.col("row") < info.n_rows)
         & (F.col("col") >= 0) & (F.col("col") < info.n_cols)
     )
+    # duplicate (row, col, element) delta rows would scatter in arbitrary
+    # shuffle order (nondeterministic store). Resolve deterministically:
+    # the MAX non-null z wins; an erase survives only if every duplicate
+    # erases (max of all-NULL is NULL).
+    d = d.groupBy("row", "col", "element").agg(F.max("z").alias("z"))
     ti_col = (F.col("row") / nrt).cast("long") * info.n_cols_of_tiles + (
         F.col("col") / nct
     ).cast("long")
@@ -1326,8 +1340,7 @@ def update_gvrs(
         for name, rid, tcode, pos in info.metadata_refs:
             if name in ("GvrsJavaCodecs", "GvrsCompressionCodecs"):
                 continue
-            f.seek(pos)
-            buf = f.read(1 << 20)
+            buf = _read_record_content(f, pos)
             c = _Cursor(buf)
             c.utf(); c.i32(); c.u8(); c.skip(3)
             n_content = c.i32()
@@ -1460,18 +1473,12 @@ def gvrs_to_geotiff(spark, gvrs_path: str, tiff_path: str, element: str | None =
     from pyspark.sql import functions as F
 
     from gridfour_spark.geotiff import write_geotiff
-    from gridfour_spark.spec import GridSpec
 
     info = parse_gvrs_header(gvrs_path)
     a = info.r2m  # (a00, a01, a02, a10, a11, a12): off-diagonals at 1 and 3
     if a[1] != 0.0 or a[3] != 0.0:
         raise ValueError("rotated/skewed GVRS model transform not expressible in GeoTIFF")
-    spec = GridSpec(
-        n_rows=info.n_rows, n_cols=info.n_cols,
-        n_rows_in_tile=info.tile_rows, n_cols_in_tile=info.tile_cols,
-        x0=info.x0, y0=info.y0,
-        cell_size_x=info.cell_size_x, cell_size_y=info.cell_size_y,
-    )
+    spec = spec_from_info(info)
     if element is None:
         element = info.elements[0].name
     espec = next((e for e in info.elements if e.name == element), None)

@@ -72,8 +72,9 @@ def flagship(
 
     approx_distinct: the PRODUCTION variant of the doc count. The exact
     countDistinct expands every row per aggregate (the one scale flag in
-    this plan, PLANS.md); approx_count_distinct (HLL++, rsd 1.6%) keeps the
-    aggregation strictly map-side-combinable at 10^12 docs."""
+    this plan, PLANS.md); approx_count_distinct (HLL++ at rsd=0.016,
+    passed explicitly — the default is 0.05) keeps the aggregation
+    strictly map-side-combinable at 10^12 docs."""
     if pts is None:
         pts = spans_with_tiles(spark, sf_dir, spec)
     # The out-of-grid (-1) group is dropped via an AGGREGATE OUTPUT
@@ -83,7 +84,7 @@ def flagship(
     # pre-shuffle Filter (second ArrowEvalPython, measured 2.5s -> 48s on
     # 30M spans). Filtering an agg output cannot be pushed down.
     n_docs = (
-        F.approx_count_distinct("doc_id") if approx_distinct
+        F.approx_count_distinct("doc_id", rsd=0.016) if approx_distinct
         else F.countDistinct("doc_id")
     ).alias("n_docs")
     per_tile = (

@@ -266,7 +266,11 @@ def knn_join(
     pts = (
         points.withColumn("_prow", prow)
         .withColumn("_pcol", pcol)
-        .withColumn("_cell", F.explode(disk))
+        # explode_OUTER: a NULL/out-of-domain coordinate yields an empty
+        # disk; the point must still surface (with a null cell) so it
+        # reaches the fallback instead of silently vanishing (round-4
+        # review — the old exhaustive plan kept such points)
+        .withColumn("_cell", F.explode_outer(disk))
         .drop("_prow", "_pcol")
     )
     # LEFT join keeps zero-candidate points visible for the fallback test

@@ -677,3 +677,44 @@ def test_update_gvrs_multi_element_targets_one_band(spark):
     np.testing.assert_array_equal(ga, grid_a)  # band a untouched everywhere
     mask = np.ones_like(grid_b, dtype=bool); mask[10, 10] = False
     np.testing.assert_array_equal(gb[mask], grid_b[mask])
+
+
+def test_update_gvrs_duplicate_delta_deterministic(spark):
+    """Round-4 review: duplicate (row, col) delta rows resolve by MAX
+    non-null z (erase survives only if all duplicates erase) — the store
+    content must be deterministic."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    src = _write(spark, SPEC, e, grid)
+    delta = spark.createDataFrame(
+        [(5, 5, 100.0), (5, 5, 300.0), (5, 5, 200.0),
+         (6, 6, None), (6, 6, 50.0),
+         (7, 7, None), (7, 7, None)],
+        "row long, col long, z double",
+    )
+    dst = src + ".dup.gvrs"
+    G.update_gvrs(spark, src, dst, delta)
+    _, g2 = _engine_read(dst)
+    assert g2[5, 5] == 300.0          # max of duplicates
+    assert g2[6, 6] == 50.0           # value beats erase
+    assert np.isnan(g2[7, 7])         # all-erase stays erased
+
+
+def test_update_gvrs_large_metadata_record_carries_fully(spark):
+    """Round-4 review: metadata records larger than the old 1 MiB read
+    buffer must carry over byte-complete through update_gvrs."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    blob = bytes(range(256)) * 8192  # 2 MiB unstructured payload
+    src = _write(spark, SPEC, e, grid, extra_metadata=[
+        ("BigBlob", 1, 10, struct.pack("<i", len(blob)) + blob, "huge"),
+    ])
+    # sanity: the source itself reads back complete
+    m0 = {m["name"]: m for m in G.read_metadata(src)}
+    delta = spark.createDataFrame([(0, 0, 7.0)], "row long, col long, z double")
+    dst = src + ".big.gvrs"
+    G.update_gvrs(spark, src, dst, delta)
+    m1 = {m["name"]: m for m in G.read_metadata(dst)}
+    assert "BigBlob" in m1
+    assert m1["BigBlob"]["value"] == m0["BigBlob"]["value"]
+    assert len(bytes.fromhex(m1["BigBlob"]["value"])) == len(blob) + 4

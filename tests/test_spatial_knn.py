@@ -118,3 +118,27 @@ def test_knn_res_for_density():
     assert spatial.knn_res_for(6, 3) == 0
     assert spatial.knn_res_for(10_000, 3) >= 3
     assert spatial.knn_res_for(10_000_000, 10) <= 12
+
+
+def test_knn_null_coordinates_survive(spark):
+    """Round-4 review: a NULL/out-of-domain coordinate must not silently
+    drop the point — it routes to the exhaustive fallback and ranks with
+    null distances, like the old exhaustive plan did."""
+    anchors = _anchors(6)
+    adf = spark.createDataFrame(anchors, "anchor_id int, alat double, alon double")
+    pdf = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, None, 30.0), (3, 40.0, None)],
+        "pt_id int, lat double, lon double",
+    )
+    got = spatial.knn_join(pdf, adf, k=3, res=3).collect()
+    by_pt = {}
+    for r in got:
+        by_pt.setdefault(r.pt_id, []).append(r)
+    assert set(by_pt) == {1, 2, 3}
+    for pid in (2, 3):
+        rows = sorted(by_pt[pid], key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        assert all(r.dist_km is None for r in rows)
+    real = {(r.rank, r.anchor_id, r.dist_km) for r in by_pt[1]}
+    brute = {(rk, aid, d) for (_pid, rk, aid, d) in _brute([(1, 10.0, 20.0)], anchors, 3)}
+    assert real == brute
