@@ -299,7 +299,13 @@ FROM documents
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.token_stats(_docs(spark, sf_dir))
+    """Token counting (whitespace + BPE-ish regex + subword estimate),
+    quality ratios, AND the corpus-unigram log-probability quality score
+    (one frequency agg -> broadcast join -> per-doc aggregate)."""
+    docs = _docs(spark, sf_dir)
+    return textops.token_stats(docs).join(
+        textops.corpus_word_logprob(docs), on="doc_id"
+    )
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1833,7 +1839,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_sea_cells
             FROM sea
         """,
-        "token_stats": textops.TOKEN_STATS_SQL,
+        "token_stats": (
+            f"SELECT t.*, l.mean_logprob, l.min_logprob FROM ({textops.TOKEN_STATS_SQL}) t "
+            f"JOIN ({textops.CORPUS_LOGPROB_SQL}) l USING (doc_id)"
+        ),
         "lang_id": textops.LANG_ID_SQL,
         "fingerprint": textops.FINGERPRINT_SQL,
         "exact_dedup": f"""

@@ -87,18 +87,35 @@ def with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("words", F.split(F.col("text"), " "))
 
 
+# BPE-ish tokenizer: letter runs, single digits, and single non-alnum marks
+# (the GPT-2 pre-tokenizer shape without the merges table — merges are
+# model weights, not an operator; the REGEX pre-split is the operator).
+_BPE_ISH_PATTERN = "[a-z]+|[A-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+# crude subword estimate: a word of length L costs ceil(L/4) units (the
+# ~4-chars-per-BPE-token rule of thumb); deterministic, both dialects
+_SUBWORD_CHUNK = 4
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Token counting + quality scoring: length, distinct-ratio, stopword
-    ratio, mean word length — all JVM higher-order functions."""
+    """Token counting + quality scoring: whitespace tokens, BPE-ish regex
+    tokens, subword estimate, distinct/stopword ratios, mean word length —
+    all JVM higher-order functions / regexp (no Python)."""
     d = with_tokens(docs)
     n_words = F.size("words")
     n_distinct = F.size(F.array_distinct("words"))
     n_stop = F.size(F.filter("words", lambda w: w.isin("the", "a")))
     total_chars = F.aggregate("words", F.lit(0), lambda acc, w: acc + F.length(w))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH_PATTERN), F.lit(0)))
+    n_sub = F.aggregate(
+        "words", F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / float(_SUBWORD_CHUNK)).cast("int"),
+    )
     return d.select(
         "doc_id",
         "lang",
         n_words.cast("long").alias("n_words"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_sub.cast("long").alias("n_subword_est"),
         n_distinct.cast("long").alias("n_distinct"),
         F.round(n_distinct.cast("double") / n_words, 6).alias("distinct_ratio"),
         F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
@@ -106,14 +123,48 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = f"""
 SELECT doc_id, lang,
        len(words) AS n_words,
+       len(regexp_extract_all(text, '{_BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+       CAST(list_sum(list_transform(words, w -> CAST(ceil(length(w) / {float(_SUBWORD_CHUNK)}) AS INTEGER))) AS BIGINT) AS n_subword_est,
        len(list_distinct(words)) AS n_distinct,
        ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS distinct_ratio,
        ROUND(CAST(len(list_filter(words, w -> w = 'the' OR w = 'a')) AS DOUBLE) / len(words), 6) AS stopword_ratio,
        ROUND(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words), 6) AS mean_word_len
-FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def corpus_word_logprob(docs: DataFrame) -> DataFrame:
+    """Per-doc mean unigram log-probability under the CORPUS's own unigram
+    model — the distributed quality-scoring shape (a KenLM-style scorer
+    with the corpus itself as the model): one map-side-combined frequency
+    aggregation, the frequency table broadcast back (bucketed join instead
+    when the vocabulary outgrows broadcast at web scale), explode + join +
+    per-doc aggregate. Low (very negative) scores flag gibberish/rare-token
+    documents; high scores flag repetitive boilerplate."""
+    w = with_tokens(docs).select("doc_id", F.explode("words").alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("n_word"))
+    total = freq.agg(F.sum("n_word").alias("n_total"))
+    probs = freq.crossJoin(F.broadcast(total)).select(
+        "word", (F.col("n_word").cast("double") / F.col("n_total")).alias("p")
+    )
+    j = w.join(F.broadcast(probs), on="word")
+    return j.groupBy("doc_id").agg(
+        F.round(F.avg(F.log("p")), 6).alias("mean_logprob"),
+        F.round(F.min(F.log("p")), 6).alias("min_logprob"),
+    )
+
+
+CORPUS_LOGPROB_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+probs AS (SELECT word, CAST(n AS DOUBLE) / (SELECT SUM(n) FROM freq) AS p FROM freq)
+SELECT doc_id, ROUND(AVG(ln(p)), 6) AS mean_logprob, ROUND(MIN(ln(p)), 6) AS min_logprob
+FROM w JOIN probs USING (word) GROUP BY doc_id
 """
 
 
