@@ -718,3 +718,47 @@ def test_update_gvrs_large_metadata_record_carries_fully(spark):
     assert "BigBlob" in m1
     assert m1["BigBlob"]["value"] == m0["BigBlob"]["value"]
     assert len(bytes.fromhex(m1["BigBlob"]["value"])) == len(blob) + 4
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_update_gvrs_random_deltas_match_numpy_overlay(spark, seed):
+    """Property-style check: ANY delta set (values, erases, new tiles,
+    duplicates) applied through update_gvrs must equal the numpy overlay
+    of the same deltas on the source grid (max-wins duplicate rule)."""
+    rng = np.random.RandomState(seed)
+    grid = _ramp(60, 80)
+    grid[rng.rand(60, 80) < 0.1] = np.nan  # sparse holes in the source
+    e = G.default_element("z", "int")
+    src = _write(spark, SPEC, e, grid)
+
+    n = 300
+    rows = rng.randint(0, 60, n)
+    cols = rng.randint(0, 80, n)
+    vals = rng.randint(-5000, 5000, n).astype(float)
+    vals[rng.rand(n) < 0.25] = np.nan  # erases
+    delta_rows = [
+        (int(r), int(c), None if np.isnan(v) else float(v))
+        for r, c, v in zip(rows, cols, vals)
+    ]
+    delta = spark.createDataFrame(delta_rows, "row long, col long, z double")
+    dst = src + f".rnd{seed}.gvrs"
+    G.update_gvrs(spark, src, dst, delta)
+
+    expect = grid.copy()
+    best: dict = {}
+    for r, c, v in zip(rows, cols, vals):
+        key = (int(r), int(c))
+        prev = best.get(key)
+        # engine rule: max non-null z wins; all-null -> erase
+        if np.isnan(v):
+            if key not in best:
+                best[key] = np.nan
+        else:
+            best[key] = v if prev is None or np.isnan(prev) else max(prev, v)
+    for (r, c), v in best.items():
+        expect[r, c] = v
+
+    _, got = _engine_read(dst)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(expect))
+    m = ~np.isnan(expect)
+    np.testing.assert_array_equal(got[m], expect[m])

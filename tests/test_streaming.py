@@ -198,3 +198,106 @@ def test_stream_to_store_idempotent_sink(spark, event_chunks):
         assert n_cells_stored >= n_distinct_cells
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_deltas_compact_into_binary_store(spark, event_chunks):
+    """The full ingestion lifecycle: stream -> per-batch staged deltas ->
+    compact_stream_deltas folds them into a .gvrs store via update_gvrs.
+    Final store = base grid overlaid with the newest streamed value per
+    cell; tiles no delta touched are byte-identical to the base store."""
+    import glob
+    import os
+    import struct
+
+    import numpy as np
+
+    from gridfour_spark import gvrsfile as G
+    from gridfour_spark import store, synth
+    from gridfour_spark import streaming as S
+    from gridfour_spark.spec import GLOBAL_GRID
+
+    base = tempfile.mkdtemp(prefix="stream_compact_")
+    try:
+        # base store: the global DEM
+        tiles = store.build_tiles(
+            synth.grid_df(spark, GLOBAL_GRID, value="dem"), GLOBAL_GRID
+        )
+        e = G.default_element("z", "int")
+        src = os.path.join(base, "base.gvrs")
+        G.write_gvrs(src, GLOBAL_GRID, e,
+                     G.gvrs_export_blocks(tiles, GLOBAL_GRID, e, compress=False),
+                     compressed=False)
+
+        ev = S.read_event_stream(spark, event_chunks)
+        q = S.stream_to_store(ev, base, "cjob", n_buckets=4)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            time.sleep(1.0)
+            if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+                break
+        q.processAllAvailable()
+        q.stop()
+
+        dst = os.path.join(base, "compacted.gvrs")
+        stats = S.compact_stream_deltas(spark, base, src, dst)
+        assert stats["changed"]
+
+        # expected: newest batch wins per cell (batch index = stage order)
+        all_ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        from pyspark.sql.window import Window as W
+
+        ranked = all_ev.withColumn(
+            "_rk", F.row_number().over(W.orderBy("ts", "event_id"))
+        ).withColumn("_batch", ((F.col("_rk") - 1) * 4 / 1000).cast("int"))
+        pts = S.event_points(ranked, GLOBAL_GRID).filter(F.col("tile_index") >= 0)
+        latest = (
+            pts.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("row", "col").orderBy(F.desc("_batch"))
+                ),
+            )
+            # ties WITHIN a batch resolve like build_tiles' scatter; pick
+            # cells with a unique latest writer to keep the oracle exact
+            .withColumn("_n_last", F.count("*").over(
+                W.partitionBy("row", "col", "_batch")))
+        )
+        uniq = latest.filter((F.col("_rn") == 1) & (F.col("_n_last") == 1)).select(
+            "row", "col", F.col("value").alias("z")
+        ).collect()
+
+        info = G.parse_gvrs_header(dst)
+        grid = np.full((info.n_rows, info.n_cols), np.nan)
+        tr, tc = info.tile_rows, info.tile_cols
+        for ti, arrays in G.read_tile_arrays(dst, info, sorted(info.tile_positions)):
+            trow, tcol = divmod(ti, info.n_cols_of_tiles)
+            grid[trow * tr:(trow + 1) * tr, tcol * tc:(tcol + 1) * tc] = (
+                arrays[0].reshape(tr, tc)[:min(tr, info.n_rows - trow * tr),
+                                          :min(tc, info.n_cols - tcol * tc)]
+            )
+        checked = 0
+        for r in uniq:
+            got = grid[int(r.row), int(r.col)]
+            # int store truncates toward zero like the export kernel
+            assert int(got) == int(r.z), (r.row, r.col, got, r.z)
+            checked += 1
+        assert checked > 50
+
+        # untouched tiles byte-identical between base and compacted store
+        def _sizes(p):
+            info2 = G.parse_gvrs_header(p)
+            out = {}
+            with open(p, "rb") as f:
+                for ti, pos in info2.tile_positions.items():
+                    f.seek(pos); f.read(4)
+                    n = struct.unpack("<i", f.read(4))[0]
+                    out[ti] = (n, f.read(n))
+            return out
+        b4, af = _sizes(src), _sizes(dst)
+        changed = set(stats["changed"])
+        same = [t for t in b4 if t not in changed]
+        assert same, "expected some untouched tiles"
+        for t in same:
+            assert af[t] == b4[t]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
