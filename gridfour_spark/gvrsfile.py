@@ -1064,6 +1064,15 @@ def write_gvrs(
         dir_content += struct.pack("<4i", row0, col0, nrows_d, ncols_d)
         offs = np.zeros((nrows_d, ncols_d), dtype="<u4")
         for ti, p in positions.items():
+            if p // 8 > 0xFFFFFFFF:
+                # compact directory form caps at 32 GB (u32 * 8); the
+                # reference switches to the extended int64 form there —
+                # at that size use write_gvrs_shards (per-shard files stay
+                # compact) rather than one mega-file
+                raise ValueError(
+                    f"store exceeds the compact tile-directory range at tile {ti} "
+                    f"(pos {p}); write shards via write_gvrs_shards instead"
+                )
             offs[ti // n_cols_of_tiles - row0, ti % n_cols_of_tiles - col0] = p // 8
         dir_content += offs.tobytes()
         tile_dir_pos = rs.write(5, bytes(dir_content))
