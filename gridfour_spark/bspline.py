@@ -172,6 +172,15 @@ def with_stencil_params(pts: DataFrame, spec: GridSpec) -> DataFrame:
     row_f = F.col("grid_row_f")
     col_f = F.col("grid_col_f")
 
+    # non-finite coordinates are DROPPED up front (round-4 review): Spark,
+    # like Java, casts NaN to 0 in the column math, which would silently
+    # sample tile 0 with NaN weights instead of failing or skipping
+    finite = (
+        row_f.isNotNull() & ~F.isnan(row_f) & (F.abs(row_f) != float("inf"))
+        & col_f.isNotNull() & ~F.isnan(col_f) & (F.abs(col_f) != float("inf"))
+    )
+    pts = pts.filter(finite)
+
     row_ok = (row_f >= F.lit(spec.row_fringe_0)) & (row_f <= F.lit(spec.row_fringe_1))
     rowc = F.least(F.greatest(row_f, F.lit(0.0)), F.lit(float(nr - 1)))
     pts = pts.filter(row_ok).withColumn("_rowc", rowc)
@@ -336,15 +345,23 @@ def interpolate_points_arrow(
     # ONLY the raw coordinates cross the Arrow boundary (3 columns — the
     # localization math runs in numpy inside the kernel, mirroring
     # with_stencil_params exactly). The FILTER semantics stay Spark-side so
-    # dropped points match the join path.
+    # dropped points match the join path: fringe windows, plus an explicit
+    # finite-coordinate requirement — the join path drops NULL/NaN
+    # coordinates via missed tile joins, and numpy floor(NaN)->INT64_MIN
+    # would otherwise wrap to a VALID index and gather garbage (review).
     row_f, col_f = F.col("grid_row_f"), F.col("grid_col_f")
-    keep = (row_f >= F.lit(spec.row_fringe_0)) & (row_f <= F.lit(spec.row_fringe_1))
+    finite = (
+        row_f.isNotNull() & ~F.isnan(row_f) & (F.abs(row_f) != float("inf"))
+        & col_f.isNotNull() & ~F.isnan(col_f) & (F.abs(col_f) != float("inf"))
+    )
+    keep = finite & (row_f >= F.lit(spec.row_fringe_0)) & (row_f <= F.lit(spec.row_fringe_1))
     if not wraps:
         keep = keep & (col_f >= F.lit(spec.col_fringe_0)) & (col_f <= F.lit(spec.col_fringe_1))
     loc = pts.filter(keep).select(pt_id, "grid_row_f", "grid_col_f")
 
     names = ["z"] + (["zx", "zy", "zxy", "zxx", "zyy"] if derivatives else [])
-    schema = ", ".join([f"{pt_id} long"] + [f"{n} double" for n in names])
+    id_type = pts.schema[pt_id].dataType.simpleString()
+    schema = ", ".join([f"{pt_id} {id_type}"] + [f"{n} double" for n in names])
     cs, rs = float(col_spacing), float(row_spacing)
 
     def kernel(batches):
@@ -390,7 +407,15 @@ def interpolate_points_arrow(
             zcols = [
                 [gf[base + j * nc + cc[:, k]] for k in range(4)] for j in range(4)
             ]
-            out = {pt_id: pdf[pt_id].to_numpy()}
+            # sparse-store parity (review): the join path DROPS a point
+            # whose stencil touches a missing (all-fill) tile (_n_hit==16
+            # rule); NaN cells in the materialized grid are those tiles —
+            # drop the same points here instead of emitting NaN rows
+            ok = np.ones(n, dtype=bool)
+            for j in range(4):
+                for k in range(4):
+                    ok &= ~np.isnan(zcols[j][k])
+            out = {pt_id: pdf[pt_id].to_numpy()[ok]}
             for wb, wp, name in weights:
                 acc = np.zeros(n)
                 for j in range(4):
@@ -398,7 +423,7 @@ def interpolate_points_arrow(
                     for k in range(1, 4):
                         rowacc += wb[k] * zcols[j][k]
                     acc += wp[j] * rowacc
-                out[name] = np.round(acc, 6)
+                out[name] = np.round(acc, 6)[ok]
             yield pd.DataFrame(out)
 
     return loc.mapInPandas(kernel, schema)

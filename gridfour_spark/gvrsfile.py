@@ -997,113 +997,127 @@ def write_gvrs(
 
     import time as _time
 
-    with open(path, "wb+") as f:  # + so the header CRC can re-read patched bytes
-        f.write(head)
-        f.write(body)
-        rs = _RecordStream(f, content_pos, checksum)
+    try:
+        with open(path, "wb+") as f:  # + so the header CRC can re-read patched bytes
+            f.write(head)
+            f.write(body)
+            rs = _RecordStream(f, content_pos, checksum)
 
-        # metadata records (GvrsJavaCodecs FIRST, like the reference ctor)
-        meta_refs = []  # (content_pos, name, record_id, type_code)
-        metas = []
-        if compressed:
-            s = _EXPORT_JAVA_CODECS.encode()
-            metas.append(("GvrsJavaCodecs", 0, 9, struct.pack("<i", len(s)) + s,
-                          "Class paths for Java compressors"))
-            s2 = "|".join(_EXPORT_CODECS).encode()
-            metas.append(("GvrsCompressionCodecs", 0, 9, struct.pack("<i", len(s2)) + s2,
-                          "Compession codecs"))
-        metas.extend(extra_metadata or [])
-        for name, rid, tcode, content, desc in metas:
-            p = rs.write(1, _metadata_record_bytes(name, rid, tcode, content, desc))
-            meta_refs.append((p, name, rid, tcode))
+            # metadata records (GvrsJavaCodecs FIRST, like the reference ctor)
+            meta_refs = []  # (content_pos, name, record_id, type_code)
+            metas = []
+            if compressed:
+                s = _EXPORT_JAVA_CODECS.encode()
+                metas.append(("GvrsJavaCodecs", 0, 9, struct.pack("<i", len(s)) + s,
+                              "Class paths for Java compressors"))
+                s2 = "|".join(_EXPORT_CODECS).encode()
+                metas.append(("GvrsCompressionCodecs", 0, 9, struct.pack("<i", len(s2)) + s2,
+                              "Compession codecs"))
+            metas.extend(extra_metadata or [])
+            for name, rid, tcode, content, desc in metas:
+                p = rs.write(1, _metadata_record_bytes(name, rid, tcode, content, desc))
+                meta_refs.append((p, name, rid, tcode))
 
-        # tile records, streamed
-        def _std_fill_block(e: GvrsElement) -> bytes:
-            n = nrt * nct
-            if e.etype == "short":
-                b = np.full(n, int(e.fill), dtype="<i2").tobytes()
-                return b + (b"\x00\x00" if n & 1 else b"")
-            if e.etype == "float":
-                return np.full(n, e.fill, dtype="<f4").tobytes()
-            fv = e.i_fill if e.etype == "icf" else int(e.fill)
-            return np.full(n, fv, dtype="<i4").tobytes()
+            # tile records, streamed
+            def _std_fill_block(e: GvrsElement) -> bytes:
+                n = nrt * nct
+                if e.etype == "short":
+                    b = np.full(n, int(e.fill), dtype="<i2").tobytes()
+                    return b + (b"\x00\x00" if n & 1 else b"")
+                if e.etype == "float":
+                    return np.full(n, e.fill, dtype="<f4").tobytes()
+                fv = e.i_fill if e.etype == "icf" else int(e.fill)
+                return np.full(n, fv, dtype="<i4").tobytes()
 
-        positions: dict[int, int] = {}
-        if multi:
-            from pyspark.sql import functions as F
-
-            blocks = blocks.groupBy("tile_index").agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("element", "block"))
-                ).alias("m")
-            )
-        for row in _fetch_blocks(blocks):
-            ti = int(row["tile_index"] if isinstance(row, dict) else row.tile_index)
-            content = bytearray(struct.pack("<i", ti))
+            positions: dict[int, int] = {}
             if multi:
-                m = row["m"] if isinstance(row, dict) else row.m
-                for e in elements:
-                    blk = bytes(m[e.name]) if e.name in m else _std_fill_block(e)
-                    content += struct.pack("<i", len(blk)) + blk
-            else:
-                blk = bytes(row["block"] if isinstance(row, dict) else row.block)
-                content += struct.pack("<i", len(blk)) + blk
-            positions[ti] = rs.write(2, bytes(content))
+                from pyspark.sql import functions as F
 
-        # tile directory (compact u32 position/8 form)
-        if positions:
-            t_rows = [ti // n_cols_of_tiles for ti in positions]
-            t_cols = [ti % n_cols_of_tiles for ti in positions]
-            row0, col0 = min(t_rows), min(t_cols)
-            nrows_d = max(t_rows) - row0 + 1
-            ncols_d = max(t_cols) - col0 + 1
-        else:
-            row0 = col0 = nrows_d = ncols_d = 0
-        dir_content = bytearray()
-        dir_content += bytes([0, 0]) + b"\x00" * 6  # version, compact, reserved
-        dir_content += struct.pack("<4i", row0, col0, nrows_d, ncols_d)
-        offs = np.zeros((nrows_d, ncols_d), dtype="<u4")
-        for ti, p in positions.items():
-            if p // 8 > 0xFFFFFFFF:
-                # compact directory form caps at 32 GB (u32 * 8); the
-                # reference switches to the extended int64 form there —
-                # at that size use write_gvrs_shards (per-shard files stay
-                # compact) rather than one mega-file
-                raise ValueError(
-                    f"store exceeds the compact tile-directory range at tile {ti} "
-                    f"(pos {p}); write shards via write_gvrs_shards instead"
+                blocks = blocks.groupBy("tile_index").agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("element", "block"))
+                    ).alias("m")
                 )
-            offs[ti // n_cols_of_tiles - row0, ti % n_cols_of_tiles - col0] = p // 8
-        dir_content += offs.tobytes()
-        tile_dir_pos = rs.write(5, bytes(dir_content))
+            for row in _fetch_blocks(blocks):
+                ti = int(row["tile_index"] if isinstance(row, dict) else row.tile_index)
+                content = bytearray(struct.pack("<i", ti))
+                if multi:
+                    m = row["m"] if isinstance(row, dict) else row.m
+                    for e in elements:
+                        blk = bytes(m[e.name]) if e.name in m else _std_fill_block(e)
+                        content += struct.pack("<i", len(blk)) + blk
+                else:
+                    blk = bytes(row["block"] if isinstance(row, dict) else row.block)
+                    content += struct.pack("<i", len(blk)) + blk
+                positions[ti] = rs.write(2, bytes(content))
+                if positions[ti] // 8 > 0xFFFFFFFF:
+                    # FAIL FAST (review): the compact directory form caps at
+                    # 32 GB (u32 * 8 positions); the reference switches to the
+                    # extended int64 form there. Raising on the FIRST
+                    # overflowing record (not after streaming the whole body)
+                    # bounds the wasted I/O; the except handler below unlinks
+                    # the partial file. At that size use write_gvrs_shards
+                    # (per-shard files stay compact).
+                    raise ValueError(
+                        f"store exceeds the compact tile-directory range at tile {ti} "
+                        f"(content pos {positions[ti]}); write shards via "
+                        "write_gvrs_shards instead"
+                    )
 
-        # metadata directory
-        meta_dir_pos = 0
-        if meta_refs:
-            md = bytearray(struct.pack("<i", len(meta_refs)))
-            for p, name, rid, tcode in meta_refs:
-                md += struct.pack("<q", p) + _le_utf(name) + struct.pack("<i", rid) + bytes([tcode])
-            meta_dir_pos = rs.write(4, bytes(md))
+            # tile directory (compact u32 position/8 form)
+            if positions:
+                t_rows = [ti // n_cols_of_tiles for ti in positions]
+                t_cols = [ti % n_cols_of_tiles for ti in positions]
+                row0, col0 = min(t_rows), min(t_cols)
+                nrows_d = max(t_rows) - row0 + 1
+                ncols_d = max(t_cols) - col0 + 1
+            else:
+                row0 = col0 = nrows_d = ncols_d = 0
+            dir_content = bytearray()
+            dir_content += bytes([0, 0]) + b"\x00" * 6  # version, compact, reserved
+            dir_content += struct.pack("<4i", row0, col0, nrows_d, ncols_d)
+            offs = np.zeros((nrows_d, ncols_d), dtype="<u4")
+            for ti, p in positions.items():
+                offs[ti // n_cols_of_tiles - row0, ti % n_cols_of_tiles - col0] = p // 8
+            dir_content += offs.tobytes()
+            tile_dir_pos = rs.write(5, bytes(dir_content))
 
-        # patch directory offsets + modification time ("close" protocol)
-        f.seek(40)
-        f.write(struct.pack("<q", int(_time.time() * 1000)))
-        f.seek(64)
-        f.write(struct.pack("<q", meta_dir_pos))
-        f.seek(80)
-        f.write(struct.pack("<q", tile_dir_pos))
-        if checksum:
-            from gridfour_spark.floatcodec import crc32c
+            # metadata directory
+            meta_dir_pos = 0
+            if meta_refs:
+                md = bytearray(struct.pack("<i", len(meta_refs)))
+                for p, name, rid, tcode in meta_refs:
+                    md += struct.pack("<q", p) + _le_utf(name) + struct.pack("<i", rid) + bytes([tcode])
+                meta_dir_pos = rs.write(4, bytes(md))
 
-            # header CRC region is [16, content_pos-4): the record body,
-            # excluding the 16-byte identification preamble
-            # (GvrsFile.tabulateChecksumFromHeader:664-671)
-            f.seek(16)
-            hdr = f.read(content_pos - 4 - 16)
-            f.seek(content_pos - 4)
-            f.write(struct.pack("<I", crc32c(hdr)))
+            # patch directory offsets + modification time ("close" protocol)
+            f.seek(40)
+            f.write(struct.pack("<q", int(_time.time() * 1000)))
+            f.seek(64)
+            f.write(struct.pack("<q", meta_dir_pos))
+            f.seek(80)
+            f.write(struct.pack("<q", tile_dir_pos))
+            if checksum:
+                from gridfour_spark.floatcodec import crc32c
+
+                # header CRC region is [16, content_pos-4): the record body,
+                # excluding the 16-byte identification preamble
+                # (GvrsFile.tabulateChecksumFromHeader:664-671)
+                f.seek(16)
+                hdr = f.read(content_pos - 4 - 16)
+                f.seek(content_pos - 4)
+                f.write(struct.pack("<I", crc32c(hdr)))
 
 
+    except Exception:
+        # a half-written store is unreadable garbage (unpatched
+        # directory offsets) — remove it rather than leaving a file
+        # that parse_gvrs_header would misinterpret (review)
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        raise
 def write_gvrs_shards(
     blocks,
     spec,

@@ -218,10 +218,12 @@ def tiles_to_grid(tiles: DataFrame, spec: GridSpec) -> "np.ndarray":
 
     rt, ct = spec.n_rows_in_tile, spec.n_cols_in_tile
     g = np.full((spec.n_rows_of_tiles * rt, spec.n_cols_of_tiles * ct), np.nan)
-    for r in tiles.select("tile_row", "tile_col", "cells").collect():
-        arr = np.asarray(r["cells"], dtype=np.float64).reshape(rt, ct)
-        g[r["tile_row"] * rt : (r["tile_row"] + 1) * rt,
-          r["tile_col"] * ct : (r["tile_col"] + 1) * ct] = arr
+    # toPandas (Arrow) keeps each tile one contiguous array; .collect()
+    # would box every cell as a Python float first (review)
+    pdf = tiles.select("tile_row", "tile_col", "cells").toPandas()
+    for trow, tcol, cells in zip(pdf["tile_row"], pdf["tile_col"], pdf["cells"]):
+        arr = np.asarray(cells, dtype=np.float64).reshape(rt, ct)
+        g[trow * rt : (trow + 1) * rt, tcol * ct : (tcol + 1) * ct] = arr
     return g[: spec.n_rows, : spec.n_cols]
 
 

@@ -175,28 +175,36 @@ def compact_stream_deltas(
     cells; only written values travel."""
     import glob
     import os
-    import re
 
     from pyspark.sql.window import Window
 
     from gridfour_spark import gvrsfile as G
-    from gridfour_spark import lineage, store
 
-    stages = sorted(
-        glob.glob(os.path.join(base, "stage=batch_*")),
-        key=lambda p: int(re.search(r"batch_(\d+)", p).group(1)),
-    )
-    if not stages:
+    if not glob.glob(os.path.join(base, "stage=batch_*")):
         raise FileNotFoundError(f"no staged deltas under {base}")
-    cells = None
-    for i, stage_dir in enumerate(stages):
-        tiles = lineage.read_tiles(spark, stage_dir)
-        c = (
-            store.tiles_to_cells(tiles.drop("tile_bucket"), spec)
-            .filter(F.col("z").isNotNull() & ~F.isnan("z"))
-            .withColumn("_batch", F.lit(i))
-        )
-        cells = c if cells is None else cells.unionByName(c)
+    # ONE scan over every staged partition (review: a per-stage unionByName
+    # loop makes the analyzer cost grow with the number of micro-batches);
+    # `stage` arrives as a partition column, the batch rank parses from it
+    tiles = spark.read.option("basePath", base).parquet(
+        os.path.join(base, "stage=*", "bucket=*")
+    )
+    tiles = tiles.withColumn(
+        "_batch", F.regexp_extract(F.col("stage"), r"batch_(\d+)", 1).cast("long")
+    ).drop("stage", "bucket")
+    # inline tiles_to_cells keeping the batch column through the explode
+    rt, ct = spec.n_rows_in_tile, spec.n_cols_in_tile
+    ex = tiles.select(
+        "_batch", "tile_row", "tile_col", F.posexplode("cells").alias("_iit", "z")
+    )
+    cells = ex.select(
+        "_batch",
+        (F.col("tile_row") * rt + F.expr(f"_iit div {ct}")).alias("row"),
+        (F.col("tile_col") * ct + F.col("_iit") % ct).alias("col"),
+        "z",
+    ).filter(
+        (F.col("row") < spec.n_rows) & (F.col("col") < spec.n_cols)
+        & F.col("z").isNotNull() & ~F.isnan("z")
+    )
     w = Window.partitionBy("row", "col").orderBy(F.desc("_batch"))
     delta = (
         cells.withColumn("_rn", F.row_number().over(w))

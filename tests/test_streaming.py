@@ -242,13 +242,18 @@ def test_stream_deltas_compact_into_binary_store(spark, event_chunks):
         stats = S.compact_stream_deltas(spark, base, src, dst)
         assert stats["changed"]
 
-        # expected: newest batch wins per cell (batch index = stage order)
-        all_ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # expected: newest batch wins per cell. Batches are derived from
+        # the CHUNK FILES the stream actually consumed (file_i -> batch i,
+        # the file-source trigger order) — no re-derivation of the
+        # fixture's split rule, so the oracle tracks it by construction
         from pyspark.sql.window import Window as W
 
-        ranked = all_ev.withColumn(
-            "_rk", F.row_number().over(W.orderBy("ts", "event_id"))
-        ).withColumn("_batch", ((F.col("_rk") - 1) * 4 / 1000).cast("int"))
+        chunk_files = sorted(glob.glob(os.path.join(event_chunks, "file_*.parquet")))
+        assert chunk_files
+        ranked = None
+        for i, cf in enumerate(chunk_files):
+            part = spark.read.parquet(cf).withColumn("_batch", F.lit(i))
+            ranked = part if ranked is None else ranked.unionByName(part)
         pts = S.event_points(ranked, GLOBAL_GRID).filter(F.col("tile_index") >= 0)
         latest = (
             pts.withColumn(
