@@ -267,6 +267,13 @@ def main() -> None:
     _force(_bspline.interpolate_points(ppts, tiles, _GG, broadcast_tiles=True))
     interp_sec = _t.time() - t0
 
+    # the join path WITH all six derivative surfaces — timed alongside the
+    # Arrow path below so the Arrow-vs-join derivative trade-off claim is
+    # substantiated by the committed artifact (round-5 advice)
+    t0 = _t.time()
+    _force(_bspline.interpolate_points(ppts, tiles, _GG, broadcast_tiles=True, derivatives=True))
+    interp_join_derivs_sec = _t.time() - t0
+
     # in-memory Arrow fast path (round 4): whole raster broadcast, stencil
     # gathered in numpy — measured with ALL SIX derivative surfaces, the
     # regime where it beats the join path (~1.9x); value-only ties (the
@@ -320,6 +327,8 @@ def main() -> None:
         "bspline_interp_sec": round(interp_sec, 3),
         "bspline_arrow_derivs_per_sec": round(n_interp / interp_arrow_sec, 1),
         "bspline_arrow_derivs_sec": round(interp_arrow_sec, 3),
+        "bspline_join_derivs_per_sec": round(n_interp / interp_join_derivs_sec, 1),
+        "bspline_join_derivs_sec": round(interp_join_derivs_sec, 3),
         "bits_per_sample": round(8.0 * total_bytes / total_cells, 4),
         "codec_mix": codec_mix,
         "compress_cells_per_sec": round(n_comp_cells / compress_sec, 1),

@@ -321,14 +321,19 @@ def interpolate_points_arrow(
     exactly (fringe clamp, date-line wrap, block limits), so both paths
     agree cell-for-cell (tests/test_bspline_arrow.py).
 
-    Measured trade-off (10M points, local[32]): the Python/Arrow boundary
-    floors at ~4.3M rows/s round-trip on this box regardless of kernel
-    work (an identity mapInPandas costs 2.3 s), so for the VALUE-ONLY
-    query the all-JVM join path ties it (~3M interp/s both). The Arrow
-    path wins when the transfer amortizes: with all six derivative
-    surfaces it is ~1.9x faster (2.6 s vs 4.9 s) because the numpy kernel
-    computes every output from one stencil gather while the join path
-    pays six aggregate expressions over the 16x-exploded rows."""
+    Measured trade-off (10M points, local[32]; bench.py reports BOTH paths
+    as bspline_join_derivs_sec / bspline_arrow_derivs_sec so the claim is
+    pinned by the committed artifact, round-5 advice): the Python/Arrow
+    boundary floors at ~4.3M rows/s round-trip on this box regardless of
+    kernel work (an identity mapInPandas costs 2.3 s), so for the
+    VALUE-ONLY query the all-JVM join path roughly ties it. With all six
+    derivative surfaces the Arrow path computes every output from one
+    stencil gather while the join path pays six aggregate expressions
+    over the 16x-exploded rows — on this (shared, noisy) box that nets
+    out to the Arrow path matching or modestly beating the join path
+    (5.6 s vs 5.8 s in the round-5 probe; larger wins appear only in
+    quiet windows). Its real advantage is structural: per-batch numpy
+    work scales with points, not points x 16 exploded rows."""
     if col_spacing is None:
         col_spacing = (
             R_EARTH_M * math.radians(spec.cell_size_x) if spec.geographic else spec.cell_size_x

@@ -997,8 +997,14 @@ def write_gvrs(
 
     import time as _time
 
+    # Atomic write protocol (round-5 advice): assemble into a same-directory
+    # temp file and os.replace() it over ``path`` only on success.  A failed
+    # write can therefore never clobber a pre-existing good store, and
+    # update_gvrs(dst == src) is safe: the source bytes stay untouched while
+    # executor tasks lazily stream its tile payloads into the temp file.
+    tmp_path = f"{path}.tmp-{os.getpid()}"
     try:
-        with open(path, "wb+") as f:  # + so the header CRC can re-read patched bytes
+        with open(tmp_path, "wb+") as f:  # + so the header CRC can re-read patched bytes
             f.write(head)
             f.write(body)
             rs = _RecordStream(f, content_pos, checksum)
@@ -1110,14 +1116,15 @@ def write_gvrs(
 
 
     except Exception:
-        # a half-written store is unreadable garbage (unpatched
-        # directory offsets) — remove it rather than leaving a file
-        # that parse_gvrs_header would misinterpret (review)
+        # a half-written temp store is unreadable garbage (unpatched
+        # directory offsets) — remove it; any pre-existing store at
+        # ``path`` is left intact (round-5 advice)
         try:
-            os.unlink(path)
+            os.unlink(tmp_path)
         except OSError:
             pass
         raise
+    os.replace(tmp_path, path)
 def write_gvrs_shards(
     blocks,
     spec,
@@ -1277,7 +1284,13 @@ def update_gvrs(
       analogue: RecordManager.writeTile:413-419 skip rule).
 
     Metadata records, model geometry, element specs, checksum mode and the
-    product label carry over. Returns {"changed": [...], "copied": n}."""
+    product label carry over. Returns {"changed": [...], "copied": n}.
+
+    ``dst_path == src_path`` (true in-place update) is supported: write_gvrs
+    assembles into a same-directory temp file and os.replace()s it over
+    ``dst_path`` only on success, so the source store is never truncated
+    mid-read and a failed update leaves the original bytes intact
+    (round-5 advice; the reference's "rw" open mode analogue)."""
     from pyspark.sql import functions as F
 
     from gridfour_spark import store as _store
@@ -1310,7 +1323,12 @@ def update_gvrs(
     # duplicate (row, col, element) delta rows would scatter in arbitrary
     # shuffle order (nondeterministic store). Resolve deterministically:
     # the MAX non-null z wins; an erase survives only if every duplicate
-    # erases (max of all-NULL is NULL).
+    # erases (max of all-NULL is NULL). NaN is normalized to NULL first —
+    # Spark sorts NaN ABOVE every number, so without this a NaN-erase
+    # duplicate would beat a real value under max() (round-5 advice).
+    d = d.withColumn(
+        "z", F.when(F.isnan("z"), F.lit(None)).otherwise(F.col("z"))
+    )
     d = d.groupBy("row", "col", "element").agg(F.max("z").alias("z"))
     ti_col = (F.col("row") / nrt).cast("long") * info.n_cols_of_tiles + (
         F.col("col") / nct

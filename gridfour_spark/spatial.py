@@ -214,105 +214,141 @@ def knn_join(
        found >= k candidates and its k-th distance < LB, the disk top-k IS
        the global top-k (every nearer anchor is provably inside the disk).
     5. points that fail the certificate (poles, sparse neighborhoods)
-       fall back to comparing against ALL anchors — joined on a constant
+       RETRY once with a 3x-widened ring and re-certify (round-4 review:
+       caps the exhaustive set when the failure is local sparseness, the
+       common case); only points still uncertified after the escalation
+       fall back to comparing against ALL anchors — joined on a salted
        key so it stays a broadcast hash join. At realistic anchor
        densities the fallback set is a sliver; when the disk covers the
        whole globe (small res) the certificate is vacuous and nothing
        falls back.
 
+    Longitudes are wrapped into [-180, 180) with pmod on BOTH the point
+    and anchor cell assignments, matching haversine's periodicity — an
+    out-of-domain lon (e.g. 359 ≡ -1) lands in its geometrically correct
+    cell, so the certificate stays sound (round-5 advice). Latitude is
+    NOT periodic: the domain is [-90, 90] and out-of-range values clamp
+    to the polar rows (their certificates still hold because the clamp
+    only shrinks the claimed lower bound).
+
     Result rows/order are IDENTICAL to the exhaustive plan: ranks use the
     same (round(dist,6), anchor_id) deterministic order.
     """
     if res is None:
+        # the density heuristic needs one count() action at plan-build;
+        # persist the (broadcast-tiny) anchor frame so that action and the
+        # join-time broadcast share one scan (round-4 review nit)
+        anchors = anchors.persist()
         res = knn_res_for(anchors.count(), k)
     n_rows = 1 << res
     n_cols = 1 << (res + 1)
     lat_step = 180.0 / n_rows
     lon_step = 360.0 / n_cols
-    full_cover = (2 * ring + 1) >= n_rows and (2 * ring + 1) >= n_cols
     pt_cols = [c for c in points.columns]
     lat, lon = F.col(lat_col), F.col(lon_col)
+
+    def _wrap_lon(c):
+        # [-180, 180) with full periodicity; pmod of non-finite stays
+        # non-finite (the explode_outer null-disk path catches it)
+        return F.pmod(c + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
 
     a = anchors.select(
         F.col("anchor_id"),
         F.col("alat").alias("_alat"),
         F.col("alon").alias("_alon"),
-        cell_id(F.col("alat"), F.col("alon"), res).alias("_cell"),
+        cell_id(F.col("alat"), _wrap_lon(F.col("alon")), res).alias("_cell"),
     )
 
-    # point -> distinct disk cells (array built JVM-side, then exploded)
-    prow = F.least(F.floor((lat + 90.0) / lat_step), F.lit(n_rows - 1)).cast("int")
-    pcol = F.least(F.floor((lon + 180.0) / lon_step), F.lit(n_cols - 1)).cast("int")
-    seq = F.sequence(F.lit(-ring), F.lit(ring))
-    disk = F.array_distinct(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    seq,
-                    lambda dr: F.transform(
+    def _disk_pass(points_in, ring_n):
+        """One disk-candidate + certificate pass at ring width ``ring_n``.
+
+        Returns (certified top-k rows, frame of still-uncertified points).
+        """
+        full_cover = (2 * ring_n + 1) >= n_rows and (2 * ring_n + 1) >= n_cols
+        # point -> distinct disk cells (array built JVM-side, then exploded)
+        prow = F.least(F.floor((lat + 90.0) / lat_step), F.lit(n_rows - 1)).cast("int")
+        pcol = F.least(
+            F.floor(F.pmod(lon + F.lit(180.0), F.lit(360.0)) / lon_step),
+            F.lit(n_cols - 1),
+        ).cast("int")
+        seq = F.sequence(F.lit(-ring_n), F.lit(ring_n))
+        disk = F.array_distinct(
+            F.filter(
+                F.flatten(
+                    F.transform(
                         seq,
-                        lambda dc: F.when(
-                            ((F.col("_prow") + dr) >= 0)
-                            & ((F.col("_prow") + dr) < n_rows),
-                            ((F.col("_prow") + dr).cast("long") * n_cols
-                             + F.pmod(F.col("_pcol") + dc, F.lit(n_cols))),
-                        ).otherwise(F.lit(-1).cast("long")),
-                    ),
-                )
-            ),
-            lambda c: c >= 0,
+                        lambda dr: F.transform(
+                            seq,
+                            lambda dc: F.when(
+                                ((F.col("_prow") + dr) >= 0)
+                                & ((F.col("_prow") + dr) < n_rows),
+                                ((F.col("_prow") + dr).cast("long") * n_cols
+                                 + F.pmod(F.col("_pcol") + dc, F.lit(n_cols))),
+                            ).otherwise(F.lit(-1).cast("long")),
+                        ),
+                    )
+                ),
+                lambda c: c >= 0,
+            )
         )
-    )
-    pts = (
-        points.withColumn("_prow", prow)
-        .withColumn("_pcol", pcol)
-        # explode_OUTER: a NULL/out-of-domain coordinate yields an empty
-        # disk; the point must still surface (with a null cell) so it
-        # reaches the fallback instead of silently vanishing (round-4
-        # review — the old exhaustive plan kept such points)
-        .withColumn("_cell", F.explode_outer(disk))
-        .drop("_prow", "_pcol")
-    )
-    # LEFT join keeps zero-candidate points visible for the fallback test
-    cand = pts.join(F.broadcast(a), on="_cell", how="left").drop("_cell")
-    d = haversine_km(lat, lon, F.col("_alat"), F.col("_alon"))
-    cand = cand.withColumn("dist_km", F.round(d, 6))
-
-    w = Window.partitionBy(*pt_cols)
-    wo = w.orderBy(F.col("dist_km").asc_nulls_last(), F.col("anchor_id").asc_nulls_last())
-    cand = (
-        cand.withColumn("rank", F.row_number().over(wo).cast("long"))
-        .withColumn("_n", F.count("anchor_id").over(w))
-        .filter(F.col("rank") <= k)
-    )
-    # k-th distance among the kept rows (partitioning is preserved through
-    # the filter, so this window reuses the same exchange)
-    cand = cand.withColumn("_kd", F.max("dist_km").over(w))
-
-    if full_cover:
-        certified = F.col("_n") >= k  # disk = whole grid: nothing outside it
-    else:
-        # LB: anchors outside the disk have |dlat| > ring*lat_step OR
-        # (wrapped) |dlon| > ring*lon_step. haversine a-term bound:
-        #   a >= min(sin^2(dphi/2), cos(phi1)*cos(phi_band)*sin^2(dlam/2))
-        # with phi_band = min(90, |phi1| + ring*lat_step) (an anchor whose
-        # latitude is outside that band already trips the first term).
-        dphi = math.radians(ring * lat_step) / 2.0
-        dlam = math.radians(min(180.0, ring * lon_step)) / 2.0
-        phi1 = F.radians(lat)
-        phib = F.radians(F.least(F.lit(90.0), F.abs(lat) + F.lit(ring * lat_step)))
-        a_lb = F.least(
-            F.lit(math.sin(dphi) ** 2),
-            F.greatest(F.cos(phi1) * F.cos(phib), F.lit(0.0))
-            * F.lit(math.sin(dlam) ** 2),
+        pts = (
+            points_in.withColumn("_prow", prow)
+            .withColumn("_pcol", pcol)
+            # explode_OUTER: a NULL/out-of-domain coordinate yields an empty
+            # disk; the point must still surface (with a null cell) so it
+            # reaches the fallback instead of silently vanishing (round-4
+            # review — the old exhaustive plan kept such points)
+            .withColumn("_cell", F.explode_outer(disk))
+            .drop("_prow", "_pcol")
         )
-        lb_km = 2.0 * 6371.0072 * F.asin(F.sqrt(a_lb))
-        certified = (F.col("_n") >= k) & (F.col("_kd") + 1e-5 < lb_km)
+        # LEFT join keeps zero-candidate points visible for the fallback test
+        cand = pts.join(F.broadcast(a), on="_cell", how="left").drop("_cell")
+        d = haversine_km(lat, lon, F.col("_alat"), F.col("_alon"))
+        cand = cand.withColumn("dist_km", F.round(d, 6))
 
-    out_cert = cand.filter(certified & F.col("anchor_id").isNotNull()).select(
-        *pt_cols, "rank", "anchor_id", "dist_km"
-    )
-    fb_pts = cand.filter(~certified & (F.col("rank") == 1)).select(*pt_cols)
+        w = Window.partitionBy(*pt_cols)
+        wo = w.orderBy(F.col("dist_km").asc_nulls_last(), F.col("anchor_id").asc_nulls_last())
+        cand = (
+            cand.withColumn("rank", F.row_number().over(wo).cast("long"))
+            .withColumn("_n", F.count("anchor_id").over(w))
+            .filter(F.col("rank") <= k)
+        )
+        # k-th distance among the kept rows (partitioning is preserved through
+        # the filter, so this window reuses the same exchange)
+        cand = cand.withColumn("_kd", F.max("dist_km").over(w))
+
+        if full_cover:
+            certified = F.col("_n") >= k  # disk = whole grid: nothing outside it
+        else:
+            # LB: anchors outside the disk have |dlat| > ring*lat_step OR
+            # (wrapped) |dlon| > ring*lon_step. haversine a-term bound:
+            #   a >= min(sin^2(dphi/2), cos(phi1)*cos(phi_band)*sin^2(dlam/2))
+            # with phi_band = min(90, |phi1| + ring*lat_step) (an anchor whose
+            # latitude is outside that band already trips the first term).
+            dphi = math.radians(ring_n * lat_step) / 2.0
+            dlam = math.radians(min(180.0, ring_n * lon_step)) / 2.0
+            phi1 = F.radians(lat)
+            phib = F.radians(F.least(F.lit(90.0), F.abs(lat) + F.lit(ring_n * lat_step)))
+            a_lb = F.least(
+                F.lit(math.sin(dphi) ** 2),
+                F.greatest(F.cos(phi1) * F.cos(phib), F.lit(0.0))
+                * F.lit(math.sin(dlam) ** 2),
+            )
+            lb_km = 2.0 * 6371.0072 * F.asin(F.sqrt(a_lb))
+            certified = (F.col("_n") >= k) & (F.col("_kd") + 1e-5 < lb_km)
+
+        out = cand.filter(certified & F.col("anchor_id").isNotNull()).select(
+            *pt_cols, "rank", "anchor_id", "dist_km"
+        )
+        failed = cand.filter(~certified & (F.col("rank") == 1)).select(*pt_cols)
+        return out, failed
+
+    out_cert, fb_pts = _disk_pass(points, ring)
+    if (2 * ring + 1) < n_rows or (2 * ring + 1) < n_cols:
+        # ring escalation: one re-certified retry at 3x width before paying
+        # the exhaustive price (only the uncertified sliver re-enters)
+        out_esc, fb_pts = _disk_pass(fb_pts, 3 * ring)
+        out_cert = out_cert.unionByName(out_esc)
     # exhaustive re-check for the uncertified sliver: a salted replicate
     # equi-join (the skew.salted_join shape). A lit(1) key would be
     # constant-folded into a BroadcastNestedLoopJoin; a hash-of-row salt

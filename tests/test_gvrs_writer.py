@@ -762,3 +762,78 @@ def test_update_gvrs_random_deltas_match_numpy_overlay(spark, seed):
     np.testing.assert_array_equal(np.isnan(got), np.isnan(expect))
     m = ~np.isnan(expect)
     np.testing.assert_array_equal(got[m], expect[m])
+
+
+def test_update_gvrs_nan_erase_equals_null_erase(spark):
+    """Round-5 advice: Spark orders NaN above every number, so without
+    normalization a NaN-erase duplicate would beat a real value under
+    max(). NaN and NULL erases must behave identically — a value among the
+    duplicates wins; all-NaN erases to fill. (pandas NaN becomes NULL at
+    the createDataFrame boundary, so the NaN rows are built with SQL.)"""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    src = _write(spark, SPEC, e, grid)
+    vals = spark.createDataFrame(
+        [(6, 6, 50.0), (8, 8, 70.0)], "row long, col long, z double"
+    )
+    nans = spark.sql(
+        "SELECT * FROM VALUES (6L, 6L, double('NaN')), (7L, 7L, double('NaN')),"
+        " (7L, 7L, double('NaN')), (8L, 8L, CAST(NULL AS double))"
+        " AS t(row, col, z)"
+    )
+    dst = src + ".nan.gvrs"
+    G.update_gvrs(spark, src, dst, vals.unionByName(nans))
+    _, g2 = _engine_read(dst)
+    assert g2[6, 6] == 50.0       # real value beats NaN-erase duplicate
+    assert np.isnan(g2[7, 7])     # all-NaN erases to fill
+    assert g2[8, 8] == 70.0       # real value beats NULL-erase (unchanged rule)
+
+
+def test_update_gvrs_in_place_dst_equals_src(spark):
+    """Round-5 advice closure: dst == src must NOT destroy the store.
+    write_gvrs assembles into a temp file and os.replace()s on success, so
+    the in-place form is safe — the updated store reads back correctly."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    src = _write(spark, SPEC, e, grid)
+    delta = spark.createDataFrame(
+        [(0, 0, 4321.0), (30, 40, -17.0)], "row long, col long, z double"
+    )
+    stats = G.update_gvrs(spark, src, src, delta)
+    assert stats["changed"]
+    _, g2 = _engine_read(src)
+    assert g2[0, 0] == 4321.0
+    assert g2[30, 40] == -17.0
+    mask = np.ones_like(grid, dtype=bool)
+    mask[0, 0] = mask[30, 40] = False
+    np.testing.assert_array_equal(g2[mask], grid[mask])
+
+
+def test_write_gvrs_failure_leaves_existing_store_intact(spark):
+    """Round-5 advice: a failed write must never clobber a pre-existing
+    good store (temp-file + os.replace protocol). A blocks frame that
+    raises in the executor aborts the write; the original bytes and the
+    directory stay exactly as they were, and no temp file is left behind."""
+    grid = _ramp(60, 80)
+    e = G.default_element("z", "int")
+    path = _write(spark, SPEC, e, grid)
+    with open(path, "rb") as f:
+        before = f.read()
+
+    @F.udf("binary")
+    def _boom(x):
+        raise ValueError("executor failure injected by test")
+
+    bad_blocks = spark.range(3).select(
+        F.col("id").cast("int").alias("tile_index"), _boom(F.col("id")).alias("block")
+    )
+    with pytest.raises(Exception):
+        G.write_gvrs(path, SPEC, e, bad_blocks)
+    with open(path, "rb") as f:
+        assert f.read() == before
+    leftovers = [p for p in os.listdir(os.path.dirname(path)) if ".tmp-" in p]
+    assert leftovers == []
+    _, g2 = _engine_read(path)
+    np.testing.assert_array_equal(
+        np.nan_to_num(g2, nan=-1.0), np.nan_to_num(grid, nan=-1.0)
+    )

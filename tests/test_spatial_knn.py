@@ -142,3 +142,44 @@ def test_knn_null_coordinates_survive(spark):
     real = {(r.rank, r.anchor_id, r.dist_km) for r in by_pt[1]}
     brute = {(rk, aid, d) for (_pid, rk, aid, d) in _brute([(1, 10.0, 20.0)], anchors, 3)}
     assert real == brute
+
+
+def test_knn_out_of_domain_longitude_wraps(spark):
+    """Round-5 advice: cell assignment must wrap longitude with pmod so the
+    cell geometry matches haversine periodicity. An anchor at lon=359
+    (geometrically -1) used to clamp into the easternmost cell, letting a
+    certified point near lon=0 drop it from the top-k. Points and anchors
+    with lons far outside [-180, 180) must match the exhaustive answer
+    (haversine itself is periodic, so _brute needs no wrapping)."""
+    anchors = _anchors(120) + [
+        (900, 10.0, 359.0),     # ≡ (10, -1)
+        (901, -20.0, -541.0),   # ≡ (-20, 179)
+        (902, 45.0, 720.5),     # ≡ (45, 0.5)
+    ]
+    points = [
+        (0, 10.5, 0.0),         # nearest anchor should include 900
+        (1, -20.0, 178.5),      # near 901
+        (2, 44.0, 0.2),         # near 902
+        (3, 5.0, 361.0),        # out-of-domain POINT lon ≡ 1.0
+        (4, 5.0, -359.0),       # ≡ 1.0 from the other side
+    ]
+    pdf = spark.createDataFrame(points, "pt_id int, lat double, lon double")
+    adf = spark.createDataFrame(anchors, "anchor_id int, alat double, alon double")
+    got = spatial.knn_join(pdf, adf, k=3, res=3, ring=1).collect()
+    got_set = {(r.pt_id, r.rank, r.anchor_id, r.dist_km) for r in got}
+    assert got_set == _brute(points, anchors, 3)
+    # sanity: the wrapped anchors actually surface as neighbors
+    assert any(aid == 900 for (_p, _r, aid, _d) in got_set if _p == 0)
+
+
+def test_knn_ring_escalation_certifies_sparse_points(spark):
+    """Round-4 review nit: uncertified points retry at 3x ring before the
+    exhaustive fallback. With a sparse anchor set at high res most points
+    fail the ring-1 certificate; results must still be exact."""
+    anchors = _anchors(20)
+    points = _points(150)
+    pdf = spark.createDataFrame(points, "pt_id int, lat double, lon double")
+    adf = spark.createDataFrame(anchors, "anchor_id int, alat double, alon double")
+    got = spatial.knn_join(pdf, adf, k=3, res=5, ring=1).collect()
+    got_set = {(r.pt_id, r.rank, r.anchor_id, r.dist_km) for r in got}
+    assert got_set == _brute(points, anchors, 3)
