@@ -123,6 +123,7 @@ class GvrsInfo:
     n_rows_of_tiles: int
     n_cols_of_tiles: int
     checksum_enabled: bool
+    raster_space: int  # 0 unspecified, 1 point, 2 area (RasterSpaceType.java:61-69)
     coord_system: int  # 0 unspecified, 1 cartesian, 2 geographic
     x0: float
     y0: float
@@ -181,7 +182,9 @@ def parse_gvrs_header(path: str) -> GvrsInfo:
         n_rows, n_cols, tile_rows, tile_cols = c.i32(), c.i32(), c.i32(), c.i32()
         c.skip(8)
         checksum_enabled = c.u8() != 0
-        c.u8()  # raster-space code
+        raster_space = c.u8()  # GvrsFileSpecification.java:892-893
+        if raster_space > 2:
+            raster_space = 0  # RasterSpaceType.valueOf: unknown -> Unspecified
         coord_system = c.u8()
         c.skip(5)
         x0, y0, x1, y1 = c.f64(), c.f64(), c.f64(), c.f64()
@@ -205,6 +208,7 @@ def parse_gvrs_header(path: str) -> GvrsInfo:
             n_rows_of_tiles=(n_rows + tile_rows - 1) // tile_rows,
             n_cols_of_tiles=(n_cols + tile_cols - 1) // tile_cols,
             checksum_enabled=checksum_enabled,
+            raster_space=raster_space,
             coord_system=coord_system,
             x0=x0, y0=y0, x1=x1, y1=y1,
             cell_size_x=cell_size_x, cell_size_y=cell_size_y,
@@ -758,74 +762,84 @@ def default_element(name: str = "z", etype: str = "int", **kw) -> GvrsElement:
     return e
 
 
-def gvrs_export_blocks(tiles, spec, element: GvrsElement, compress: bool = True):
-    """tiles (store.build_tiles output: tile_index, cells array<double>) ->
-    (tile_index, block binary) with GVRS-format payloads: the engine codec
-    race (GVRS-bitstream Huffman, Deflate predictors, LSOP-12, float planes)
-    remapped to the export codec indexes; standard (uncompressed) form when
-    the race does not win (RecordManager.writeTile:448-461). Runs in
-    EXECUTORS — the driver only assembles bytes."""
-    import pandas as pd
+def encode_tile_payload(
+    v: np.ndarray, nr: int, nc: int, element: GvrsElement, compress: bool = True
+) -> bytes:
+    """ONE tile's cells (float64, NaN = unset) -> a GVRS-format payload:
+    the engine codec race (GVRS-bitstream Huffman, Deflate predictors,
+    LSOP-12, float planes) remapped to the export codec indexes; standard
+    (uncompressed) form when the race does not win
+    (RecordManager.writeTile:448-461). Pure function so both the Spark
+    export kernel and the per-shard compaction executors share it."""
     from gridfour_spark import compress as C
     from gridfour_spark import floatcodec as FC
 
-    nr, nc = spec.n_rows_in_tile, spec.n_cols_in_tile
     etype = element.etype
     fill = element.fill
-    scale, offset, i_fill = element.scale, element.offset, element.i_fill
+    nan = np.isnan(v)
+    if etype == "float":
+        f32 = v.astype(np.float32)
+        if not np.isnan(fill):
+            f32[nan] = np.float32(fill)
+        std = f32.astype("<f4").tobytes()
+        payload = std
+        if compress:
+            p = FC.encode_float_tile(f32, nr, nc)
+            if len(p) < len(std):
+                payload = p
+        return payload
+    if etype == "icf":
+        ints = np.floor((v - element.offset) * element.scale + 0.5)
+        ints[nan] = element.i_fill
+    else:
+        ints = v.copy()
+        ints[nan] = fill
+    ints = ints.astype(np.int64)
+    r = (
+        C.encode_tile(
+            ints, nr, nc, use_lsop=True, use_huffman=False,
+            use_gvrs_huffman=True,
+        )
+        if compress
+        else {"kept": False, "n_bytes": 0, "payload": b""}
+    )
+    if etype == "short":
+        std = ints.astype("<i2").tobytes()
+        if len(std) & 2:
+            std += b"\x00\x00"  # pad odd cell counts to 4
+    else:
+        std = ints.astype("<i4").tobytes()
+    if compress and r["kept"] and r["n_bytes"] < len(std):
+        p = bytearray(bytes(r["payload"]))
+        if p[0] == 4:
+            # engine GvrsHuffman payloads carry a 4-byte bit
+            # count at offset 10 that the reference format
+            # does not have (CodecHuffman reads tree bits
+            # from byte 10) — strip it on export
+            p = p[:10] + p[14:]
+        p[0] = _ENGINE_TO_EXPORT[bytes(r["payload"])[0]]
+        return bytes(p)
+    return std
+
+
+def gvrs_export_blocks(tiles, spec, element: GvrsElement, compress: bool = True):
+    """tiles (store.build_tiles output: tile_index, cells array<double>) ->
+    (tile_index, block binary) with GVRS-format payloads via
+    encode_tile_payload. Runs in EXECUTORS — the driver only assembles
+    bytes."""
+    import pandas as pd
+
+    nr, nc = spec.n_rows_in_tile, spec.n_cols_in_tile
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for ti, cells in zip(pdf["tile_index"], pdf["cells"]):
                 v = np.asarray(cells, dtype=np.float64)
-                nan = np.isnan(v)
-                payload = None
-                if etype == "float":
-                    f32 = v.astype(np.float32)
-                    if not np.isnan(fill):
-                        f32[nan] = np.float32(fill)
-                    std = f32.astype("<f4").tobytes()
-                    payload = std
-                    if compress:
-                        p = FC.encode_float_tile(f32, nr, nc)
-                        if len(p) < len(std):
-                            payload = p
-                else:
-                    if etype == "icf":
-                        ints = np.floor((v - offset) * scale + 0.5)
-                        ints[nan] = i_fill
-                    else:
-                        ints = v.copy()
-                        ints[nan] = fill
-                    ints = ints.astype(np.int64)
-                    r = (
-                        C.encode_tile(
-                            ints, nr, nc, use_lsop=True, use_huffman=False,
-                            use_gvrs_huffman=True,
-                        )
-                        if compress
-                        else {"kept": False, "n_bytes": 0, "payload": b""}
-                    )
-                    if etype == "short":
-                        std = ints.astype("<i2").tobytes()
-                        if len(std) & 2:
-                            std += b"\x00\x00"  # pad odd cell counts to 4
-                    else:
-                        std = ints.astype("<i4").tobytes()
-                    if compress and r["kept"] and r["n_bytes"] < len(std):
-                        p = bytearray(bytes(r["payload"]))
-                        if p[0] == 4:
-                            # engine GvrsHuffman payloads carry a 4-byte bit
-                            # count at offset 10 that the reference format
-                            # does not have (CodecHuffman reads tree bits
-                            # from byte 10) — strip it on export
-                            p = p[:10] + p[14:]
-                        p[0] = _ENGINE_TO_EXPORT[bytes(r["payload"])[0]]
-                        payload = bytes(p)
-                    else:
-                        payload = std
-                rows.append({"tile_index": int(ti), "block": payload})
+                rows.append({
+                    "tile_index": int(ti),
+                    "block": encode_tile_payload(v, nr, nc, element, compress),
+                })
             yield pd.DataFrame(rows)
 
     return tiles.select("tile_index", "cells").mapInPandas(
@@ -993,7 +1007,10 @@ def write_gvrs(
     body = bytearray()
     body += struct.pack("<4i", spec.n_rows, spec.n_cols, nrt, nct)
     body += struct.pack("<2i", 0, 0)
-    body += bytes([1 if checksum else 0, 0, 2 if geographic else 1])
+    rs_code = {"unspecified": 0, "point": 1, "area": 2}[
+        getattr(spec, "raster_space", "unspecified")
+    ]
+    body += bytes([1 if checksum else 0, rs_code, 2 if geographic else 1])
     body += b"\x00" * 5
     body += struct.pack("<6d", x0, y0, x1, y1, csx, csy)
     body += struct.pack("<6d", *m2r)
@@ -1217,6 +1234,7 @@ def spec_from_info(info: GvrsInfo):
         x0=info.x0, y0=info.y0,
         cell_size_x=info.cell_size_x, cell_size_y=info.cell_size_y,
         geographic=(info.coord_system == 2),
+        raster_space={1: "point", 2: "area"}.get(info.raster_space, "unspecified"),
     )
 
 

@@ -170,6 +170,9 @@ def test_reference_written_compressed_store_reads_bit_exact(tmp_path, mode, expe
                    check=True, capture_output=True, timeout=300)
 
     info = G.parse_gvrs_header(path)
+    # the harness sets RasterSpaceType Point (canon) / Area (full) — the
+    # header byte at GvrsFileSpecification.java:892-893 must parse back
+    assert info.raster_space == (1 if mode == "canon" else 2)
     used = {}
     with open(path, "rb") as f:
         for ti, pos in info.tile_positions.items():

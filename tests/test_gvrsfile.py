@@ -215,7 +215,7 @@ def test_extended_tile_directory_raw_offsets(tmp_path):
     info = GvrsInfo(
         path="", version=1, subversion=4, n_rows=20, n_cols=20,
         tile_rows=10, tile_cols=10, n_rows_of_tiles=2, n_cols_of_tiles=2,
-        checksum_enabled=False, coord_system=0,
+        checksum_enabled=False, raster_space=0, coord_system=0,
         x0=0, y0=0, x1=1, y1=1, cell_size_x=1, cell_size_y=1,
         m2r=(0,) * 6, r2m=(0,) * 6,
     )

@@ -26,8 +26,11 @@ public class RefWriteCompressed {
     if (mode.equals("canon")) {
       spec.removeAllCompressionCodecs();
       spec.addCompressionCodec("GvrsCanonicalHuffman", CodecCanonHuffman.class);
+      // also pins the RasterSpaceType header byte (round-4 verdict missing #2)
+      spec.setRasterSpaceType(org.gridfour.coordinates.RasterSpaceType.Point);
     } else {
       LsCodecUtility.addLsopToSpecification(spec, false);
+      spec.setRasterSpaceType(org.gridfour.coordinates.RasterSpaceType.Area);
     }
     spec.addElementSpecification(new GvrsElementSpecificationInt("z"));
     Random r = new Random(7);
