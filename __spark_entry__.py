@@ -1612,6 +1612,71 @@ def _q_update_store_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_sharded_update_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED-store update lifecycle (round-4 verdict missing #3,
+    update_gvrs_shards): same bump/erase delta as the single-file update
+    leg, applied IN PLACE to a 5-shard store — one delta shuffle keyed by
+    shard, per-shard compaction entirely in executors, driver state
+    O(shards). Value-matched against the same DuckDB overlay formula; the
+    live-tile count spans all shard directories."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from gridfour_spark import gvrsfile as G
+
+    spec = SPEC_A
+    d = tempfile.mkdtemp(prefix="oracle_shupd_")
+    try:
+        tiles = _tiles_cached(spark, spec, "dem")
+        e = G.default_element("z", "int")
+        G.write_gvrs_shards(
+            G.gvrs_export_blocks(tiles, spec, e, compress=False), spec, e, d,
+            n_shards=5, compressed=False,
+        ).collect()
+        g = synth.grid_df(spark, spec, value="dem")
+        bump = g.filter((F.col("row") % 97 == 3) & (F.col("col") % 89 == 7)).select(
+            "row", "col", (F.col("z") + 1000.0).alias("z")
+        )
+        erase = g.filter(
+            F.col("row").between(80, 120) & F.col("col").between(110, 165)
+        ).select("row", "col", F.lit(None).cast("double").alias("z"))
+        delta = bump.unionByName(erase)
+        G.update_gvrs_shards(spark, d, d, delta, n_shards=5)
+        live = sum(
+            len(G.parse_gvrs_header(p).tile_positions)
+            for p in _glob.glob(os.path.join(d, "part-*.gvrs"))
+        )
+        # touched-tile count straight from the delta definition (matches the
+        # oracle's DISTINCT tile subquery)
+        nrt, nct = spec.n_rows_in_tile, spec.n_cols_in_tile
+        ncot = (spec.n_cols + nct - 1) // nct
+        n_changed = (
+            delta.select(
+                ((F.col("row") / nrt).cast("long") * ncot
+                 + (F.col("col") / nct).cast("long")).alias("ti")
+            ).distinct().count()
+        )
+        cells = None
+        for p in sorted(_glob.glob(os.path.join(d, "part-*.gvrs"))):
+            c = G.gvrs_cells(spark, p)
+            cells = c if cells is None else cells.unionByName(c)
+        out = cells.filter(F.col("z").isNotNull() & ~F.isnan("z")).agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("z").cast("long")).alias("sum_z"),
+        ).select(
+            "n_cells", "sum_z",
+            F.lit(live).cast("long").alias("n_live_tiles"),
+            F.lit(n_changed).cast("long").alias("n_changed"),
+        ).collect()
+        return spark.createDataFrame(
+            out, "n_cells long, sum_z long, n_live_tiles long, n_changed long"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_compression_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite of the end-to-end store round-trip checks (plain,
     null-holed, multi-element, binary-store update) in one schema
@@ -1645,7 +1710,17 @@ def _q_compression_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_live_tiles").alias("b"),
         F.col("n_changed").alias("c"),
     )
-    return plain.unionByName(nulls).unionByName(multi).unionByName(upd)
+    shup = _q_sharded_update_verify(spark, sf_dir).select(
+        F.lit("sharded_update").alias("leg"),
+        F.col("n_cells"),
+        F.col("sum_z").alias("a"),
+        F.col("n_live_tiles").alias("b"),
+        F.col("n_changed").alias("c"),
+    )
+    return (
+        plain.unionByName(nulls).unionByName(multi)
+        .unionByName(upd).unionByName(shup)
+    )
 
 
 def _q_icf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1946,6 +2021,25 @@ def oracle_sql() -> dict[str, str]:
             -- update leg: same bump/erase delta applied to the grid formula;
             -- b = live tiles after the all-fill free, c = tiles the delta touched
             SELECT 'update', COUNT(z), CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),
+                   (SELECT COUNT(DISTINCT CAST(floor(row/40.0) AS BIGINT)*11 + CAST(floor(col/55.0) AS BIGINT))
+                    FROM (SELECT row, col,
+                                 CASE WHEN row BETWEEN 80 AND 120 AND col BETWEEN 110 AND 165 THEN NULL
+                                      WHEN row % 97 = 3 AND col % 89 = 7 THEN z + 1000
+                                      ELSE z END AS z
+                          FROM ({_grid_a('dem')})) WHERE z IS NOT NULL),
+                   (SELECT COUNT(DISTINCT CAST(floor(row/40.0) AS BIGINT)*11 + CAST(floor(col/55.0) AS BIGINT))
+                    FROM ({_grid_a(None)})
+                    WHERE (row BETWEEN 80 AND 120 AND col BETWEEN 110 AND 165)
+                       OR (row % 97 = 3 AND col % 89 = 7))
+            FROM (SELECT CASE WHEN row BETWEEN 80 AND 120 AND col BETWEEN 110 AND 165 THEN NULL
+                              WHEN row % 97 = 3 AND col % 89 = 7 THEN z + 1000
+                              ELSE z END AS z
+                  FROM ({_grid_a('dem')}))
+            UNION ALL
+            -- sharded-update leg: identical overlay semantics through
+            -- update_gvrs_shards (per-shard executor compaction), so the
+            -- expected values are the same formulas
+            SELECT 'sharded_update', COUNT(z), CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),
                    (SELECT COUNT(DISTINCT CAST(floor(row/40.0) AS BIGINT)*11 + CAST(floor(col/55.0) AS BIGINT))
                     FROM (SELECT row, col,
                                  CASE WHEN row BETWEEN 80 AND 120 AND col BETWEEN 110 AND 165 THEN NULL
