@@ -250,3 +250,317 @@ def decode_tile(payload: bytes, nr: int, nc: int) -> np.ndarray:
     return np.asarray(
         C.ALL_PREDICTORS[predictor][1](seed, res[:n_expected], nr, nc)
     ).ravel()
+
+
+# --- encoder (write direction: the engine's export race can emit ----------
+# --- GvrsCanonicalHuffman payloads the reference decodes) -----------------
+
+def _code_lengths(counts: np.ndarray, max_len: int = 15) -> np.ndarray:
+    """Optimal length-limited code lengths (boundary package-merge) over an
+    arbitrary alphabet — the reference builds a plain Huffman tree and
+    repairs overlong codes with PackageMerge (TreeBuilder.java:171-187);
+    going straight to package-merge is lossless-optimal under the same
+    15-bit cap (LengthEncoder.MAX_STANDARD_SYMBOL)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    sym = np.flatnonzero(counts)
+    out = np.zeros(counts.size, dtype=np.int64)
+    if sym.size == 0:
+        return out
+    if sym.size == 1:
+        out[sym[0]] = 1
+        return out
+    if sym.size > (1 << max_len):
+        raise ValueError("alphabet too large for length cap")
+    leaves = sorted((int(counts[s]), int(s), [int(s)]) for s in sym)
+    prev: list = []
+    big = counts.size
+    for _level in range(max_len):
+        merged = []
+        for i in range(0, len(prev) - 1, 2):
+            a, b = prev[i], prev[i + 1]
+            merged.append((a[0] + b[0], big + min(a[1], b[1]), a[2] + b[2]))
+        prev = sorted(leaves + merged)
+    for _w, _t, syms in prev[: 2 * sym.size - 2]:
+        for s in syms:
+            out[s] += 1
+    return out
+
+
+def _rev_codes(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical codes, BIT-REVERSED within their length, so that a plain
+    little-endian append emits the code MSB-first as the decoder expects
+    (the bit-order bridge between HuffmanCodeBits and BitOutputStore)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    codes = np.zeros(lengths.size, dtype=np.uint64)
+    order = sorted((int(l), s) for s, l in enumerate(lengths) if l > 0)
+    code = 0
+    prev_len = 0
+    for l, s in order:
+        code <<= l - prev_len
+        rev = 0
+        c = code
+        for _ in range(l):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        codes[s] = rev
+        code += 1
+        prev_len = l
+    return codes, lengths
+
+
+class _BitWriter:
+    """Little-endian bit accumulator: (value, nbits) units held as numpy
+    chunks, packed vectorized at the end — no per-unit Python ints in the
+    hot span path."""
+
+    __slots__ = ("chunks",)
+
+    def __init__(self) -> None:
+        self.chunks: list = []
+
+    def append(self, value: int, nbits: int) -> None:
+        if nbits:
+            self.chunks.append((
+                np.asarray([int(value) & ((1 << nbits) - 1)], dtype=np.uint64),
+                np.asarray([nbits], dtype=np.int64),
+            ))
+
+    def extend(self, vals: np.ndarray, bits: np.ndarray) -> None:
+        self.chunks.append((
+            np.asarray(vals, dtype=np.uint64),
+            np.asarray(bits, dtype=np.int64),
+        ))
+
+    def getvalue(self) -> bytes:
+        if not self.chunks:
+            return b""
+        vals = np.concatenate([c[0] for c in self.chunks])
+        bits = np.concatenate([c[1] for c in self.chunks])
+        total = int(bits.sum())
+        if total == 0:
+            return b""
+        offs = np.concatenate([[0], np.cumsum(bits)[:-1]])
+        out = np.zeros(total, dtype=np.uint8)
+        for b in range(int(bits.max())):
+            m = bits > b
+            out[offs[m] + b] = (vals[m] >> np.uint64(b)) & np.uint64(1)
+        return np.packbits(out, bitorder="little").tobytes()
+
+
+def _encode_length_runs(lengths) -> list[tuple[int, int]]:
+    """LengthEncoder.encodeLengths:85-163 — (code, run_length) pairs; codes
+    16/17/18 carry 2/3/7 extra bits."""
+    n = len(lengths)
+    out: list[tuple[int, int]] = []
+    prior = -1
+    i = 0
+    while i < n:
+        ln = int(lengths[i])
+        if ln > _MAX_STANDARD_SYMBOL:
+            raise ValueError(f"invalid code length {ln}")
+        if ln == 0:
+            prior = 0
+            j = i + 1
+            while j < n and lengths[j] == 0:
+                j += 1
+            nz = j - i
+            if nz == 1:
+                out.append((0, 0))
+                i += 1
+            elif nz == 2:
+                out.append((0, 0))
+                out.append((0, 0))
+                i += 2
+            elif nz <= 10:
+                out.append((_REPEAT_ZERO_3BITS, nz - 3))
+                i += nz
+            else:
+                nz = min(nz, 138)
+                out.append((_REPEAT_ZERO_7BITS, nz - 11))
+                i += nz
+        elif ln == prior:
+            j = i + 1
+            while j < n and lengths[j] == prior:
+                j += 1
+            np_run = j - i
+            if np_run == 1:
+                out.append((prior, 0))
+                i += 1
+            elif np_run == 2:
+                out.append((prior, 0))
+                out.append((prior, 0))
+                i += 2
+            else:
+                np_run = min(np_run, 6)
+                out.append((_REPEAT_PREV_2BITS, np_run - 3))
+                i += np_run
+        else:
+            prior = ln
+            out.append((ln, 0))
+            i += 1
+    return out
+
+
+_RUN_EXTRA_BITS = {_REPEAT_PREV_2BITS: 2, _REPEAT_ZERO_3BITS: 3, _REPEAT_ZERO_7BITS: 7}
+
+
+def _count_symbols(values: np.ndarray) -> np.ndarray:
+    """CanonicalHuffman.countSymbols:352-415 — per-symbol counts including
+    escape-code multiplicities, vectorized over magnitude tiers."""
+    counts = np.zeros(N_SYMBOLS_TOTAL, dtype=np.int64)
+    v = np.asarray(values, dtype=np.int64)
+    null = v == INT4_NULL_CODE
+    counts[I_NULL_DATA_CODE] = int(null.sum())
+    v = v[~null]
+    a = np.abs(v + (v >= 0).astype(np.int64) * 0)  # |v| with v in int64
+    tiers = [
+        ((v >= -128) & (v <= 127), 0, 0, 0),
+        ((v >= -512) & (v <= 511) & ~((v >= -128) & (v <= 127)), 2, 1, 0),
+        ((v >= -2048) & (v <= 2047) & ~((v >= -512) & (v <= 511)), 4, 2, 0),
+        ((v >= -8192) & (v <= 8191) & ~((v >= -2048) & (v <= 2047)), 6, 3, 0),
+        ((v >= -32768) & (v <= 32767) & ~((v >= -8192) & (v <= 8191)), 8, 0, 1),
+        ((v >= -8388608) & (v <= 8388607) & ~((v >= -32768) & (v <= 32767)), 16, 0, 2),
+        (~((v >= -8388608) & (v <= 8388607)), 24, 0, 3),
+    ]
+    n2 = n1 = 0
+    for mask, shift, n_esc2, n_esc1 in tiers:
+        if not mask.any():
+            continue
+        targets = (v[mask] >> shift) + 128
+        counts[:256] += np.bincount(targets, minlength=256)[:256]
+        n2 += n_esc2 * int(mask.sum())
+        n1 += n_esc1 * int(mask.sum())
+    counts[I_ESCAPE_2BITS] = n2
+    counts[I_ESCAPE_1BYTE] = n1
+    counts[I_END_OF_TEXT] = 1
+    _ = a
+    return counts
+
+
+def encode_block(values: np.ndarray, writer: _BitWriter | None = None) -> bytes | None:
+    """ONE CanonicalHuffman.encode() block: code-length bootstrap + text +
+    END_OF_TEXT. Returns the packed bytes (or appends to ``writer`` and
+    returns None for multi-block stores like the LSOP stream shape)."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        raise ValueError("empty symbol stream")
+    counts = _count_symbols(v)
+    text_lengths = _code_lengths(counts, _MAX_STANDARD_SYMBOL)
+    pack = _encode_length_runs(text_lengths)
+
+    ct_counts = np.zeros(_SYMBOL_SET_SIZE + 1, dtype=np.int64)
+    ct_counts[_SYMBOL_SET_SIZE] = 1  # end-of-text slot (buildCodeLengthTree)
+    for code, _rl in pack:
+        ct_counts[code] += 1
+    ct_lengths = _code_lengths(ct_counts, _MAX_STANDARD_SYMBOL)
+
+    out = writer if writer is not None else _BitWriter()
+    out.append(0, 1)  # reserved bit
+    for code, rl in _encode_length_runs(ct_lengths):
+        out.append(code, 5)
+        eb = _RUN_EXTRA_BITS.get(code)
+        if eb:
+            out.append(rl, eb)
+
+    ct_rev, ct_len = _rev_codes(ct_lengths)
+    for code, rl in pack:
+        out.append(int(ct_rev[code]), int(ct_len[code]))
+        eb = _RUN_EXTRA_BITS.get(code)
+        if eb:
+            out.append(rl, eb)
+
+    rev, lens = _rev_codes(text_lengths)
+    # vectorized main path: contiguous in-range spans emit as arrays;
+    # escapes (rare) emit per-symbol
+    inr = (v >= -128) & (v <= 127)
+    esc_idx = np.nonzero(~inr)[0]
+    prev = 0
+
+    def _emit_span(a: int, b: int) -> None:
+        if b > a:
+            seg = (v[a:b] + 128).astype(np.int64)
+            out.extend(rev[seg], lens[seg])
+
+    def _sym(s: int) -> None:
+        out.append(int(rev[s]), int(lens[s]))
+
+    for i in esc_idx:
+        _emit_span(prev, int(i))
+        prev = int(i) + 1
+        s = int(v[i])
+        if s == INT4_NULL_CODE:
+            _sym(I_NULL_DATA_CODE)
+        elif -512 <= s <= 511:
+            _sym((s >> 2) + 128); _sym(I_ESCAPE_2BITS); out.append(s & 3, 2)
+        elif -2048 <= s <= 2047:
+            _sym((s >> 4) + 128)
+            _sym(I_ESCAPE_2BITS); out.append((s >> 2) & 3, 2)
+            _sym(I_ESCAPE_2BITS); out.append(s & 3, 2)
+        elif -8192 <= s <= 8191:
+            _sym((s >> 6) + 128)
+            _sym(I_ESCAPE_2BITS); out.append((s >> 4) & 3, 2)
+            _sym(I_ESCAPE_2BITS); out.append((s >> 2) & 3, 2)
+            _sym(I_ESCAPE_2BITS); out.append(s & 3, 2)
+        elif -32768 <= s <= 32767:
+            _sym((s >> 8) + 128)
+            _sym(I_ESCAPE_1BYTE); out.append(s & 0xFF, 8)
+        elif -8388608 <= s <= 8388607:
+            _sym((s >> 16) + 128)
+            _sym(I_ESCAPE_1BYTE); out.append((s >> 8) & 0xFF, 8)
+            _sym(I_ESCAPE_1BYTE); out.append(s & 0xFF, 8)
+        else:
+            _sym((s >> 24) + 128)
+            _sym(I_ESCAPE_1BYTE); out.append((s >> 16) & 0xFF, 8)
+            _sym(I_ESCAPE_1BYTE); out.append((s >> 8) & 0xFF, 8)
+            _sym(I_ESCAPE_1BYTE); out.append(s & 0xFF, 8)
+    _emit_span(prev, v.size)
+    _sym(I_END_OF_TEXT)
+    if writer is None:
+        return out.getvalue()
+    return None
+
+
+ENGINE_CODEC_INDEX = 5  # engine-internal payload[0] for GvrsCanonicalHuffman
+
+
+def encode_tile_packing(values: np.ndarray, nr: int, nc: int) -> dict | None:
+    """CodecCanonHuffman.encode:100-142 as the engine-race candidate: the
+    uniform-value 6-byte special form, else the best predictor's residuals
+    through one canonical block. Payload layout matches the reference
+    byte-for-byte after the codec-index remap: [index, predictor,
+    seed(4 LE), body]. Returns {predictor, payload, n_bytes} or None."""
+    from gridfour_spark import compress as C
+
+    v = np.asarray(values, dtype=np.int64).reshape(nr, nc)
+    has_nulls = bool((v == INT4_NULL_CODE).any())
+    if not (v != INT4_NULL_CODE).any():
+        return None  # no valid data (encode returns null)
+    if not has_nulls and bool((v == v.ravel()[0]).all()):
+        seed = int(v.ravel()[0])
+        payload = bytes([ENGINE_CODEC_INDEX, 0]) + (seed & 0xFFFFFFFF).to_bytes(4, "little")
+        return {"predictor": 0, "payload": payload, "n_bytes": len(payload)}
+    race = (
+        {C.PREDICTOR_DIFFERENCING_NULLS: C.residuals_differencing_nulls}
+        if has_nulls
+        else {p: fn for p, (fn, _d) in C.PREDICTORS.items()}
+    )
+    best = None
+    for ptype, enc in race.items():
+        if ptype == C.PREDICTOR_TRIANGLE and (nr < 2 or nc < 2):
+            continue
+        try:
+            r = enc(v)
+        except (ValueError, IndexError):
+            continue
+        if r is None:
+            continue
+        seed, syms = r
+        body = encode_block(np.asarray(syms, dtype=np.int64))
+        payload = (
+            bytes([ENGINE_CODEC_INDEX, ptype])
+            + (int(np.int64(seed)) & 0xFFFFFFFF).to_bytes(4, "little")
+            + body
+        )
+        if best is None or len(payload) < best["n_bytes"]:
+            best = {"predictor": ptype, "payload": payload, "n_bytes": len(payload)}
+    return best

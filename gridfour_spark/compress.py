@@ -502,6 +502,7 @@ def encode_tile(
     use_huffman: bool = True,
     use_lsop8: bool = False,
     use_gvrs_huffman: bool = False,
+    use_canon: bool = False,
 ) -> dict:
     """Race all predictors through M32+Deflate; keep the smallest packing.
 
@@ -587,6 +588,21 @@ def encode_tile(
                     "n_symbols": len(syms),
                     "codec": codec_name,
                 }
+    if use_canon:
+        # reference-format canonical Huffman (CodecCanonHuffman) — a default
+        # registered codec in the current reference; its residuals skip the
+        # M32 layer entirely and the uniform-tile special form is 6 bytes
+        from gridfour_spark import canonhuffman as _ch
+
+        r = _ch.encode_tile_packing(values, nr, nc)
+        if r is not None and (best is None or r["n_bytes"] < best["n_bytes"]):
+            best = {
+                "predictor": r["predictor"],
+                "payload": r["payload"],
+                "n_bytes": r["n_bytes"],
+                "n_symbols": nr * nc - 1,
+                "codec": "canon_gvrs",
+            }
     standard = nr * nc * 4
     if best is None:  # no predictor could encode (e.g. all-null tile): store raw
         best = {"predictor": 0, "payload": b"", "n_bytes": standard, "n_symbols": 0, "codec": "raw"}
@@ -599,6 +615,10 @@ def decode_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
     """Inverse of encode_tile — dispatch on the stored codec index
     (CodecDeflate.decode:109-152; CodecMaster.decode:195-202)."""
     codec = packing[0]
+    if codec == 5:  # GvrsCanonicalHuffman (engine index; no M32 layer)
+        from gridfour_spark import canonhuffman as _ch
+
+        return _ch.decode_tile(packing, nr, nc)
     ptype = packing[1]
     seed = int.from_bytes(packing[2:6], "little", signed=True)
     n_m32 = int.from_bytes(packing[6:10], "little")

@@ -721,7 +721,7 @@ def gvrs_cells(spark, path: str, element: str | None = None):
 # + LSOP12, so the payload indexes work even if a reader ignores the
 # GvrsJavaCodecs metadata. Engine kernel indexes are remapped at encode time.
 _EXPORT_CODECS = ["GvrsHuffman", "GvrsDeflate", "GvrsFloat", "GvrsCanonicalHuffman", "LSOP12"]
-_ENGINE_TO_EXPORT = {4: 0, 0: 1, 2: 2, 1: 4}  # gvrshuffman, deflate, float, lsop
+_ENGINE_TO_EXPORT = {4: 0, 0: 1, 2: 2, 5: 3, 1: 4}  # gvrshuffman, deflate, float, canon, lsop
 # NOTE the trailing newline: CodecSpecification.specificationStringParse
 # only commits a spec line when it sees '\n', so an unterminated last line
 # is silently dropped (and the codec indexes shift at decode time)
@@ -763,7 +763,8 @@ def default_element(name: str = "z", etype: str = "int", **kw) -> GvrsElement:
 
 
 def encode_tile_payload(
-    v: np.ndarray, nr: int, nc: int, element: GvrsElement, compress: bool = True
+    v: np.ndarray, nr: int, nc: int, element: GvrsElement, compress: bool = True,
+    use_canon: bool = False,
 ) -> bytes:
     """ONE tile's cells (float64, NaN = unset) -> a GVRS-format payload:
     the engine codec race (GVRS-bitstream Huffman, Deflate predictors,
@@ -795,10 +796,22 @@ def encode_tile_payload(
         ints = v.copy()
         ints[nan] = fill
     ints = ints.astype(np.int64)
+    if (
+        compress
+        and ints.size * (2 if etype == "short" else 4) > 6  # beats the std form
+        and int(ints.min()) == int(ints.max())
+    ):
+        # uniform tile: the reference's canonical-Huffman special form is
+        # 6 bytes flat (CodecCanonHuffman.encode:100-115 / decode:171-177)
+        # — unconditionally better than any raced packing; emitted with
+        # the EXPORT codec index directly
+        return bytes([_EXPORT_CODECS.index("GvrsCanonicalHuffman"), 0]) + (
+            int(ints[0]) & 0xFFFFFFFF
+        ).to_bytes(4, "little")
     r = (
         C.encode_tile(
             ints, nr, nc, use_lsop=True, use_huffman=False,
-            use_gvrs_huffman=True,
+            use_gvrs_huffman=True, use_canon=use_canon,
         )
         if compress
         else {"kept": False, "n_bytes": 0, "payload": b""}

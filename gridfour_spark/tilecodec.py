@@ -81,7 +81,7 @@ def decompress_tiles(compressed: DataFrame, spec: GridSpec) -> DataFrame:
                     v = np.frombuffer(payload, dtype=np.int32)
                 elif row["codec"] in ("lsop12", "lsop08"):
                     v = L.decode_lsop_any(payload, nr, nc).ravel()
-                else:
+                else:  # deflate/huffman/canonical: byte-0 dispatch
                     v = C.decode_tile(payload, nr, nc).ravel()
                 rows.append(
                     {

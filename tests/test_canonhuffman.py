@@ -208,3 +208,117 @@ def test_reference_written_compressed_store_reads_bit_exact(tmp_path, mode, expe
                 900.0 * si * math.cos(j * 0.05) + 30.0 * sj + 0.5
             ) + r.next_int(5)
     np.testing.assert_array_equal(g, exp)
+
+
+# --- encoder (write direction) --------------------------------------------
+
+def _roundtrip_block(v):
+    b = CH.encode_block(np.asarray(v, dtype=np.int64))
+    bits = _bits(b)
+    got, _ = CH.decode_block(bits, 0, len(v))
+    np.testing.assert_array_equal(got, np.asarray(v, dtype=np.int64))
+
+
+@pytest.mark.parametrize("case", [
+    "zeros", "single", "escapes", "geometric", "runs", "wild", "nulls",
+])
+def test_encoder_roundtrip(case):
+    rng = np.random.default_rng(11)
+    data = {
+        "zeros": np.zeros(1000, np.int64),
+        "single": np.array([7], np.int64),
+        "escapes": np.array(
+            [0, 1, -1, 127, -128, 200, -512, 1500, -2048, 5000, -8192, 20000,
+             -32768, 1000000, -8388608, 8388607, 100000000, 2147483647,
+             -2147483647, CH.INT4_NULL_CODE, 0, 3], np.int64),
+        "geometric": (rng.geometric(0.08, 6000) * rng.choice([-1, 1], 6000)).astype(np.int64),
+        "runs": np.repeat(rng.integers(-5, 6, 40), rng.integers(1, 200, 40)).astype(np.int64),
+        "wild": rng.integers(-10**9, 10**9, 3000),
+        "nulls": np.where(rng.random(800) < 0.3, CH.INT4_NULL_CODE,
+                          rng.integers(-50, 51, 800)).astype(np.int64),
+    }[case]
+    _roundtrip_block(data)
+
+
+def test_encoder_tile_race_roundtrip():
+    """encode_tile_packing -> decode_tile across predictors, nulls, uniform."""
+    rng = np.random.default_rng(12)
+    i, j = np.mgrid[0:40, 0:48]
+    cases = [
+        (3 * i + 2 * j - 40).astype(np.int64),                       # linear
+        (np.round(500 * np.sin(i * 0.2) * np.cos(j * 0.15))).astype(np.int64),
+        np.where(rng.random((40, 48)) < 0.2, CH.INT4_NULL_CODE,
+                 rng.integers(0, 90, (40, 48))).astype(np.int64),     # nulls
+        np.full((40, 48), -773, np.int64),                            # uniform
+    ]
+    for v in cases:
+        r = CH.encode_tile_packing(v.ravel(), 40, 48)
+        got = CH.decode_tile(r["payload"], 40, 48)
+        np.testing.assert_array_equal(got, v.ravel())
+    assert CH.encode_tile_packing(np.full(64, -773, np.int64), 8, 8)["n_bytes"] == 6
+
+
+def test_reference_decodes_engine_canonical_packings():
+    """WRITE-direction interop: the UNMODIFIED reference decoder
+    (CanonicalHuffman / CodecCanonHuffman via tools/RefDecodeCanon.java)
+    must recover every engine-encoded packing bit-exact — raw blocks with
+    every escape tier, predictor-raced tiles, nulls, and the 6-byte
+    uniform special form."""
+    import subprocess
+
+    cp = _ensure_ref_writer()
+    if cp is None:
+        pytest.skip("reference Java tooling unavailable")
+    if not os.path.exists(os.path.join(cp, "RefDecodeCanon.class")):
+        subprocess.run(
+            ["javac", "-encoding", "utf8", "-cp", cp, "-d", cp,
+             os.path.join(os.path.dirname(__file__), "..", "tools", "RefDecodeCanon.java")],
+            check=True, capture_output=True, timeout=120)
+
+    rng = np.random.default_rng(13)
+    lines, expected = [], []
+    for v in [np.zeros(1000, np.int64),
+              rng.integers(-10, 11, 4000),
+              np.array([0, 200, -512, 1500, -8192, 20000, -32768, 1000000,
+                        -8388608, 2147483647, CH.INT4_NULL_CODE, -7], np.int64),
+              (rng.geometric(0.08, 6000) * rng.choice([-1, 1], 6000)).astype(np.int64)]:
+        lines.append(f"canon {v.size} {CH.encode_block(v).hex()}")
+        expected.append(v)
+    i, j = np.mgrid[0:120, 0:120]
+    tiles = [
+        (np.round(1200 * np.sin(i * 0.05) * np.cos(j * 0.04))
+         + rng.integers(-3, 4, (120, 120))).astype(np.int64).ravel(),
+        np.where(rng.random(14400) < 0.2, CH.INT4_NULL_CODE,
+                 rng.integers(0, 50, 14400)).astype(np.int64),
+        np.full(14400, -773, np.int64),
+    ]
+    for v in tiles:
+        r = CH.encode_tile_packing(v, 120, 120)
+        lines.append(f"tile 120 120 {r['payload'].hex()}")
+        expected.append(v)
+    out = subprocess.run(
+        ["java", "-cp", cp, "RefDecodeCanon"],
+        input="\n".join(lines).encode(), capture_output=True, check=True, timeout=300,
+    )
+    for k, (g, e) in enumerate(zip(out.stdout.decode().strip().splitlines(), expected)):
+        got = np.array([int(x) for x in g.split(",")], np.int64)
+        np.testing.assert_array_equal(got[: e.size], e, err_msg=f"case {k}")
+
+
+def test_export_uniform_tile_uses_canonical_special_form(tmp_path):
+    """The export race emits the 6-byte canonical uniform form for constant
+    tiles; the engine reader (and the reference, via codec registration)
+    decode it back."""
+    from gridfour_spark.spec import GridSpec
+
+    spec = GridSpec(n_rows=20, n_cols=24, n_rows_in_tile=20, n_cols_in_tile=24)
+    e = G.default_element("z", "int")
+    v = np.full(480, 1234.0)
+    payload = G.encode_tile_payload(v, 20, 24, e, compress=True)
+    assert len(payload) == 6
+    assert payload[0] == G._EXPORT_CODECS.index("GvrsCanonicalHuffman")
+    path = str(tmp_path / "u.gvrs")
+    G.write_gvrs(path, spec, e, [{"tile_index": 0, "block": payload}])
+    info = G.parse_gvrs_header(path)
+    (_ti, arrays), = G.read_tile_arrays(path, info, [0])
+    np.testing.assert_array_equal(arrays[0], np.full(480, 1234.0))
