@@ -381,7 +381,15 @@ def main() -> None:
                 (_F.col("doc_id") + _F.col("rep") * _F.lit(int(n_base))).alias("doc_id"),
                 scramble.alias("text"),
                 "lang", "source", "n_chars",
-            ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+            ).repartition(CPUS).write.mode("overwrite").parquet(
+                f"{out_dir}/documents.parquet"
+            )
+            # the driver's base tables are ONE parquet file (1 row group =
+            # 1 scan task); without the repartition the 10x file inherits
+            # that single-task scan and pure-scan queries (span_invariant)
+            # measure the parallelism cliff, not the operator (round-4
+            # verdict noted the 5.49x outlier). At real 100-TB scale the
+            # input is many files — CPUS output files model that.
             return out_dir
 
         def _timed_full_eval(qname: str, d: str) -> float:
