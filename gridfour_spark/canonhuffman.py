@@ -470,54 +470,67 @@ def encode_block(values: np.ndarray, writer: _BitWriter | None = None) -> bytes 
             out.append(rl, eb)
 
     rev, lens = _rev_codes(text_lengths)
-    # vectorized main path: contiguous in-range spans emit as arrays;
-    # escapes (rare) emit per-symbol
-    inr = (v >= -128) & (v <= 127)
-    esc_idx = np.nonzero(~inr)[0]
-    prev = 0
-
-    def _emit_span(a: int, b: int) -> None:
-        if b > a:
-            seg = (v[a:b] + 128).astype(np.int64)
-            out.extend(rev[seg], lens[seg])
-
-    def _sym(s: int) -> None:
-        out.append(int(rev[s]), int(lens[s]))
-
-    for i in esc_idx:
-        _emit_span(prev, int(i))
-        prev = int(i) + 1
-        s = int(v[i])
-        if s == INT4_NULL_CODE:
-            _sym(I_NULL_DATA_CODE)
-        elif -512 <= s <= 511:
-            _sym((s >> 2) + 128); _sym(I_ESCAPE_2BITS); out.append(s & 3, 2)
-        elif -2048 <= s <= 2047:
-            _sym((s >> 4) + 128)
-            _sym(I_ESCAPE_2BITS); out.append((s >> 2) & 3, 2)
-            _sym(I_ESCAPE_2BITS); out.append(s & 3, 2)
-        elif -8192 <= s <= 8191:
-            _sym((s >> 6) + 128)
-            _sym(I_ESCAPE_2BITS); out.append((s >> 4) & 3, 2)
-            _sym(I_ESCAPE_2BITS); out.append((s >> 2) & 3, 2)
-            _sym(I_ESCAPE_2BITS); out.append(s & 3, 2)
-        elif -32768 <= s <= 32767:
-            _sym((s >> 8) + 128)
-            _sym(I_ESCAPE_1BYTE); out.append(s & 0xFF, 8)
-        elif -8388608 <= s <= 8388607:
-            _sym((s >> 16) + 128)
-            _sym(I_ESCAPE_1BYTE); out.append((s >> 8) & 0xFF, 8)
-            _sym(I_ESCAPE_1BYTE); out.append(s & 0xFF, 8)
-        else:
-            _sym((s >> 24) + 128)
-            _sym(I_ESCAPE_1BYTE); out.append((s >> 16) & 0xFF, 8)
-            _sym(I_ESCAPE_1BYTE); out.append((s >> 8) & 0xFF, 8)
-            _sym(I_ESCAPE_1BYTE); out.append(s & 0xFF, 8)
-    _emit_span(prev, v.size)
-    _sym(I_END_OF_TEXT)
+    _emit_text_units(v, rev, lens, out)
+    out.append(int(rev[I_END_OF_TEXT]), int(lens[I_END_OF_TEXT]))
     if writer is None:
         return out.getvalue()
     return None
+
+
+def _emit_text_units(v: np.ndarray, rev: np.ndarray, lens: np.ndarray,
+                     out: "_BitWriter") -> None:
+    """Fully vectorized text emission (CanonicalHuffman.encode:200-278):
+    every symbol expands into 1..7 (value, nbits) units per its escape
+    tier; units are built per tier as arrays and interleaved back into
+    stream order with one lexsort over (symbol position, unit rank). No
+    per-symbol Python on any tier."""
+    pv, pb, pk, pr = [], [], [], []
+
+    def add(vals, bits, ks, rank):
+        pv.append(np.asarray(vals, dtype=np.uint64))
+        pb.append(np.asarray(bits, dtype=np.int64))
+        pk.append(ks)
+        pr.append(np.full(ks.size, rank, dtype=np.int64))
+
+    def add_sym(sym, ks, rank):
+        add(np.full(ks.size, rev[sym]), np.full(ks.size, lens[sym]), ks, rank)
+
+    null = v == INT4_NULL_CODE
+    done = null.copy()
+    ks = np.nonzero(null)[0]
+    if ks.size:
+        add_sym(I_NULL_DATA_CODE, ks, 0)
+
+    # (lo, hi, shift, n_2bit_escapes, n_1byte_escapes) per magnitude tier
+    for lo, hi, shift, n2, n1 in (
+        (-128, 127, 0, 0, 0),
+        (-512, 511, 2, 1, 0),
+        (-2048, 2047, 4, 2, 0),
+        (-8192, 8191, 6, 3, 0),
+        (-32768, 32767, 8, 0, 1),
+        (-8388608, 8388607, 16, 0, 2),
+        (None, None, 24, 0, 3),
+    ):
+        m = ~done if lo is None else ((v >= lo) & (v <= hi) & ~done)
+        done |= m
+        ks = np.nonzero(m)[0]
+        if not ks.size:
+            continue
+        s = v[ks]
+        tgt = (s >> shift) + 128
+        add(rev[tgt], lens[tgt], ks, 0)
+        rank = 1
+        for e in range(n2):
+            add_sym(I_ESCAPE_2BITS, ks, rank); rank += 1
+            add((s >> (2 * (n2 - 1 - e))) & 3, np.full(ks.size, 2), ks, rank)
+            rank += 1
+        for e in range(n1):
+            add_sym(I_ESCAPE_1BYTE, ks, rank); rank += 1
+            add((s >> (8 * (n1 - 1 - e))) & 0xFF, np.full(ks.size, 8), ks, rank)
+            rank += 1
+    kcat = np.concatenate(pk)
+    order = np.lexsort((np.concatenate(pr), kcat))
+    out.extend(np.concatenate(pv)[order], np.concatenate(pb)[order])
 
 
 ENGINE_CODEC_INDEX = 5  # engine-internal payload[0] for GvrsCanonicalHuffman

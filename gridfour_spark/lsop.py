@@ -122,7 +122,9 @@ def _predict_f32(v: np.ndarray, u: np.ndarray) -> np.ndarray:
     return acc
 
 
-def encode_lsop(values: np.ndarray, nr: int, nc: int) -> dict | None:
+def encode_lsop(
+    values: np.ndarray, nr: int, nc: int, use_canon_residuals: bool = True
+) -> dict | None:
     if nr < 6 or nc < 6:
         return None
     v = values.reshape(nr, nc)
@@ -152,6 +154,26 @@ def encode_lsop(values: np.ndarray, nr: int, nc: int) -> dict | None:
         + bytes([1])  # method: deflate
     )
     payload = header + zlib.compress(init_m32, 6) + zlib.compress(interior_m32, 6)
+    if use_canon_residuals:
+        # the CURRENT reference's LsEncoder12 ALWAYS races canonical-Huffman
+        # residuals against deflate and keeps the smaller
+        # (LsEncoder12.encode:122-161, COMPRESSION_TYPE_CANON_HUFFMAN);
+        # mirror it: the canonical form codes the residual INTEGERS
+        # directly (no M32 layer) in the revised header layout with
+        # implicit counts (LsHeader.packHeader:220-244 — 55-byte header)
+        from gridfour_spark import canonhuffman as CH
+
+        w = CH._BitWriter()
+        CH.encode_block(np.asarray(init_syms, dtype=np.int64), w)
+        CH.encode_block(interior.astype(np.int64), w)
+        canon_payload = (
+            bytes([LSOP_CODEC_INDEX, 0x40 | 2, 12])
+            + int(np.int64(v64[0, 0]) & 0xFFFFFFFF).to_bytes(4, "little")
+            + u.astype("<f4").tobytes()
+            + w.getvalue()
+        )
+        if len(canon_payload) < len(payload):
+            payload = canon_payload
     return {
         "predictor": 12,
         "payload": payload,
@@ -204,6 +226,27 @@ def decode_lsop_scalar(payload: bytes, nr: int, nc: int) -> np.ndarray:
 
 
 def _parse_lsop(payload: bytes, nr: int, nc: int):
+    if payload[1] & 0x40:
+        # revised header (canonical-Huffman residuals, LsHeader.java:66-73):
+        # two canonical blocks of the residual INTEGERS, no M32 layer
+        from gridfour_spark import canonhuffman as CH
+        from gridfour_spark.gvrsfile import parse_ls_header
+
+        h = parse_ls_header(payload)
+        assert h["n_coeff"] == 12 and h["comp_type"] == 2
+        bits = np.unpackbits(
+            np.frombuffer(payload[h["header_size"]:], dtype=np.uint8),
+            bitorder="little",
+        )
+        n_init = 4 * nr + 2 * nc - 9
+        n_int = (nr - 2) * (nc - 4)
+        init, p = CH.decode_block(bits, 0, n_init)
+        interior, _ = CH.decode_block(bits, p, n_int)
+        if init.size < n_init:
+            init = np.concatenate([init, np.zeros(n_init - init.size, np.int64)])
+        if interior.size < n_int:
+            interior = np.concatenate([interior, np.zeros(n_int - interior.size, np.int64)])
+        return h["seed"], np.asarray(h["u"]), init, interior
     assert payload[0] == LSOP_CODEC_INDEX and payload[1] == 12
     seed = int.from_bytes(payload[2:6], "little", signed=True)
     u = np.frombuffer(payload[6:54], dtype="<f4")
@@ -475,5 +518,13 @@ def decode_lsop8_parsed(
 
 
 def decode_lsop_any(payload: bytes, nr: int, nc: int) -> np.ndarray:
-    """Dispatch on the stored coefficient count (LsHeader byte 1)."""
-    return decode_lsop8(payload, nr, nc) if payload[1] == 8 else decode_lsop(payload, nr, nc)
+    """Dispatch on the LsHeader second byte: legacy layout carries the
+    coefficient count there; bit 6 marks the revised layout (LsHeader.java
+    :104-190), including canonical-Huffman residual packings, which route
+    through the universal reference-format parser."""
+    b1 = payload[1]
+    if b1 & 0x40:  # revised header (e.g. canonical residuals)
+        from gridfour_spark.gvrsfile import decode_lsop_reference
+
+        return decode_lsop_reference(payload, nr, nc).reshape(nr, nc)
+    return decode_lsop8(payload, nr, nc) if b1 == 8 else decode_lsop(payload, nr, nc)

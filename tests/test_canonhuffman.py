@@ -296,6 +296,16 @@ def test_reference_decodes_engine_canonical_packings():
         r = CH.encode_tile_packing(v, 120, 120)
         lines.append(f"tile 120 120 {r['payload'].hex()}")
         expected.append(v)
+    # engine LSOP packings with canonical-Huffman residuals (the
+    # LsEncoder12-parity race) through the reference's LsDecoder12
+    from gridfour_spark import lsop as L
+
+    for v in [tiles[0],
+              rng.integers(-500, 500, 14400).astype(np.int64)]:
+        r = L.encode_lsop(v, 120, 120, use_canon_residuals=True)
+        if r["payload"][1] & 0x40:  # canonical form won the internal race
+            lines.append(f"lsop 120 120 {r['payload'].hex()}")
+            expected.append(v)
     out = subprocess.run(
         ["java", "-cp", cp, "RefDecodeCanon"],
         input="\n".join(lines).encode(), capture_output=True, check=True, timeout=300,

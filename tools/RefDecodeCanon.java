@@ -3,10 +3,12 @@ import java.io.InputStreamReader;
 import org.gridfour.compress.canonicalHuffman.CanonicalHuffman;
 import org.gridfour.compress.canonicalHuffman.CodecCanonHuffman;
 import org.gridfour.io.BitInputStore;
+import org.gridfour.lsop.LsDecoder12;
 
 // Decodes engine-written canonical-Huffman packings with the UNMODIFIED
 // reference decoder — the write-direction interop proof. Reads lines from
-// stdin:  "canon <nSymbols> <hex>"  or  "tile <nr> <nc> <hex>"
+// stdin:  "canon <nSymbols> <hex>" | "tile <nr> <nc> <hex>" |
+//         "lsop <nr> <nc> <hex>"  (LSOP-12, incl. canonical residuals)
 // and prints one line of comma-separated ints per input line.
 public class RefDecodeCanon {
   static byte[] unhex(String s) {
@@ -43,6 +45,13 @@ public class RefDecodeCanon {
         byte[] packing = unhex(t[3]);
         CodecCanonHuffman codec = new CodecCanonHuffman();
         int[] out = codec.decode(nr, nc, packing);
+        print(out, nr * nc);
+      } else if (t[0].equals("lsop")) {
+        int nr = Integer.parseInt(t[1]);
+        int nc = Integer.parseInt(t[2]);
+        byte[] packing = unhex(t[3]);
+        LsDecoder12 dec = new LsDecoder12();
+        int[] out = dec.decode(nr, nc, packing);
         print(out, nr * nc);
       }
     }
