@@ -66,7 +66,8 @@ class _CanonTables:
     code = (code << 1) | bit until code - first_code[L] < count[L].
     """
 
-    __slots__ = ("first", "count", "offset", "syms", "max_len", "min_len")
+    __slots__ = ("first", "count", "offset", "syms", "max_len", "min_len",
+                 "tab_sym", "tab_len")
 
     def __init__(self, lengths) -> None:
         lengths = np.asarray(lengths, dtype=np.int64)
@@ -96,6 +97,27 @@ class _CanonTables:
                 self.offset[length] = rank
                 code += k
                 rank += k
+        # flat single-step lookup: the stream is LSB-first, so a code c of
+        # length L occupies every table index whose LOW L bits equal
+        # bit-reversed(c) — a stride-2^L slice assignment per code (the
+        # same acceleration idea as CanonHuffTreeDecoder's kLookup table,
+        # but covering the FULL code length so decode is one probe)
+        kk = self.max_len
+        tab_sym = np.zeros(1 << kk, dtype=np.int32)
+        tab_len = np.zeros(1 << kk, dtype=np.int32)
+        for length in range(self.min_len, self.max_len + 1):
+            cnt = self.count[length]
+            for r in range(cnt):
+                c = self.first[length] + r
+                rc = 0
+                cc = c
+                for _ in range(length):
+                    rc = (rc << 1) | (cc & 1)
+                    cc >>= 1
+                tab_sym[rc:: 1 << length] = self.syms[self.offset[length] + r]
+                tab_len[rc:: 1 << length] = length
+        self.tab_sym = tab_sym.tolist()
+        self.tab_len = tab_len.tolist()
 
     def read_symbol(self, bits: np.ndarray, pos: int) -> tuple[int, int]:
         """Decode one symbol starting at bit ``pos``; returns (symbol, new_pos)."""
@@ -114,30 +136,38 @@ class _CanonTables:
                 raise ValueError("invalid canonical Huffman code in stream")
 
 
-def _read_encoded_lengths(bits: np.ndarray, pos: int, n_symbols: int) -> tuple[list, int]:
+def _rd(data: bytes, pos: int, n: int) -> int:
+    """n sequential bits (n <= 16) at absolute bit position ``pos``,
+    little-endian composition (BitInputStore.getBits) — one 4-byte window
+    read from the packed byte stream."""
+    b = pos >> 3
+    return (int.from_bytes(data[b:b + 4], "little") >> (pos & 7)) & ((1 << n) - 1)
+
+
+def _read_encoded_lengths(data: bytes, pos: int, n_symbols: int) -> tuple[list, int]:
     """LengthEncoder.readEncodedLengths:197-236 — 5-bit literals plus
     run-length codes; fills exactly ``n_symbols`` entries (runs may overrun
     by design; extra entries are discarded like the Java over-allocation)."""
     out: list[int] = []
     prior = 0
     while len(out) < n_symbols:
-        index = _get_bits(bits, pos, 5)
+        index = _rd(data, pos, 5)
         pos += 5
         if index <= _MAX_STANDARD_SYMBOL:
             prior = index
             out.append(index)
         elif index == _REPEAT_PREV_2BITS:
-            n = _get_bits(bits, pos, 2) + 3
+            n = _rd(data, pos, 2) + 3
             pos += 2
             out.extend([prior] * n)
         elif index == _REPEAT_ZERO_3BITS:
             prior = 0
-            n = _get_bits(bits, pos, 3) + 3
+            n = _rd(data, pos, 3) + 3
             pos += 3
             out.extend([0] * n)
         elif index == _REPEAT_ZERO_7BITS:
             prior = 0
-            n = _get_bits(bits, pos, 7) + 11
+            n = _rd(data, pos, 7) + 11
             pos += 7
             out.extend([0] * n)
         else:
@@ -146,30 +176,39 @@ def _read_encoded_lengths(bits: np.ndarray, pos: int, n_symbols: int) -> tuple[l
 
 
 def _decode_tree(
-    bits: np.ndarray, pos: int, table: _CanonTables, n_symbols: int
+    data: bytes, pos: int, table: _CanonTables, n_symbols: int
 ) -> tuple[list, int]:
     """CanonHuffTreeDecoder.decodeTree:146-199 — the text tree's code
     lengths, themselves Huffman-coded through the bootstrap ``table`` with
-    the same run-length escape semantics."""
+    the same run-length escape semantics. One table probe per symbol."""
+    tab_s, tab_l = table.tab_sym, table.tab_len
+    mask = (1 << table.max_len) - 1
+    ib = int.from_bytes
     out: list[int] = []
     prior = 0
     while len(out) < n_symbols:
-        sym, pos = table.read_symbol(bits, pos)
+        b = pos >> 3
+        w = (ib(data[b:b + 4], "little") >> (pos & 7)) & mask
+        sym = tab_s[w]
+        ln = tab_l[w]
+        if ln == 0:
+            raise ValueError("invalid canonical Huffman code in stream")
+        pos += ln
         if sym <= _MAX_STANDARD_SYMBOL:
             prior = sym
             out.append(sym)
         elif sym == _REPEAT_PREV_2BITS:
-            n = _get_bits(bits, pos, 2) + 3
+            n = _rd(data, pos, 2) + 3
             pos += 2
             out.extend([prior] * n)
         elif sym == _REPEAT_ZERO_3BITS:
             prior = 0
-            n = _get_bits(bits, pos, 3) + 3
+            n = _rd(data, pos, 3) + 3
             pos += 3
             out.extend([0] * n)
         elif sym == _REPEAT_ZERO_7BITS:
             prior = 0
-            n = _get_bits(bits, pos, 7) + 11
+            n = _rd(data, pos, 7) + 11
             pos += 7
             out.extend([0] * n)
         else:
@@ -182,38 +221,55 @@ def _wrap_i32(v: int) -> int:
 
 
 def decode_block(
-    bits: np.ndarray, pos: int, max_symbols: int
+    bits, pos: int, max_symbols: int
 ) -> tuple[np.ndarray, int]:
     """Decode ONE CanonicalHuffman.encode() block (code-length bootstrap +
-    text + END_OF_TEXT) from an LSB-first bit array; returns
-    (int64 symbol array, bit position just past END_OF_TEXT).
+    text + END_OF_TEXT); returns (int64 symbol array, bit position just
+    past END_OF_TEXT).
 
-    ``max_symbols`` bounds the output like the Java caller's pre-sized
-    array — a well-formed stream terminates with END_OF_TEXT at or before
-    it (CanonicalHuffman.decode:428-451).
+    ``bits`` is either an LSB-first unpacked bit array (numpy uint8) or
+    the packed ``bytes`` themselves; positions are absolute bit offsets
+    either way.  ``max_symbols`` bounds the output like the Java caller's
+    pre-sized array — a well-formed stream terminates with END_OF_TEXT at
+    or before it (CanonicalHuffman.decode:428-451).
     """
+    if isinstance(bits, (bytes, bytearray, memoryview)):
+        data = bytes(bits)
+    else:
+        data = np.packbits(np.asarray(bits, dtype=np.uint8), bitorder="little").tobytes()
+    # guard pad so 4-byte window reads never truncate near the end
+    data += b"\x00\x00\x00"
     pos += 1  # one reserved bit (CanonicalHuffman.buildCodeLengthTree:305-306)
-    boot_lengths, pos = _read_encoded_lengths(bits, pos, _SYMBOL_SET_SIZE + 1)
+    boot_lengths, pos = _read_encoded_lengths(data, pos, _SYMBOL_SET_SIZE + 1)
     boot = _CanonTables(boot_lengths)
-    text_lengths, pos = _decode_tree(bits, pos, boot, N_SYMBOLS_TOTAL)
+    text_lengths, pos = _decode_tree(data, pos, boot, N_SYMBOLS_TOTAL)
     tree = _CanonTables(text_lengths)
 
+    tab_s, tab_l = tree.tab_sym, tree.tab_len
+    mask = (1 << tree.max_len) - 1
+    ib = int.from_bytes
     out: list[int] = []
     prior = 0
     while True:
-        sym, pos = tree.read_symbol(bits, pos)
+        b = pos >> 3
+        w = (ib(data[b:b + 4], "little") >> (pos & 7)) & mask
+        sym = tab_s[w]
+        ln = tab_l[w]
+        if ln == 0:
+            raise ValueError("invalid canonical Huffman code in stream")
+        pos += ln
         if sym == I_END_OF_TEXT:
             break
         if sym < 256:
             prior = sym - 128
             out.append(prior)
         elif sym == I_ESCAPE_2BITS:
-            part = _get_bits(bits, pos, 2)
+            part = _rd(data, pos, 2)
             pos += 2
             prior = _wrap_i32((prior << 2) | part)
             out[-1] = prior
         elif sym == I_ESCAPE_1BYTE:
-            part = _get_bits(bits, pos, 8)
+            part = _rd(data, pos, 8)
             pos += 8
             prior = _wrap_i32((prior << 8) | part)
             out[-1] = prior
