@@ -963,6 +963,34 @@ def _metadata_record_bytes(name: str, record_id: int, type_code: int, content: b
     return bytes(out)
 
 
+def _tile_directory_bytes(positions: dict, n_cols_of_tiles: int) -> bytes:
+    """Tile directory record content: compact u32 position/8 form, or the
+    extended raw-int64 form once any position exceeds the 32 GB compact
+    range — the reference's automatic switch
+    (RecordManager.writeTileDirectory:864-881: version byte, extended
+    boolean, 6 reserved; TileDirectoryExtended.writeTilePositions:267-279
+    stores RAW int64 offsets, only the compact form divides by 8)."""
+    if positions:
+        t_rows = [ti // n_cols_of_tiles for ti in positions]
+        t_cols = [ti % n_cols_of_tiles for ti in positions]
+        row0, col0 = min(t_rows), min(t_cols)
+        nrows_d = max(t_rows) - row0 + 1
+        ncols_d = max(t_cols) - col0 + 1
+    else:
+        row0 = col0 = nrows_d = ncols_d = 0
+    extended = bool(positions) and max(positions.values()) // 8 > 0xFFFFFFFF
+    out = bytearray()
+    out += bytes([0, 1 if extended else 0]) + b"\x00" * 6
+    out += struct.pack("<4i", row0, col0, nrows_d, ncols_d)
+    offs = np.zeros((nrows_d, ncols_d), dtype="<i8" if extended else "<u4")
+    for ti, p in positions.items():
+        offs[ti // n_cols_of_tiles - row0, ti % n_cols_of_tiles - col0] = (
+            p if extended else p // 8
+        )
+    out += offs.tobytes()
+    return bytes(out)
+
+
 def write_gvrs(
     path: str,
     spec,
@@ -1107,37 +1135,10 @@ def write_gvrs(
                     blk = bytes(row["block"] if isinstance(row, dict) else row.block)
                     content += struct.pack("<i", len(blk)) + blk
                 positions[ti] = rs.write(2, bytes(content))
-                if positions[ti] // 8 > 0xFFFFFFFF:
-                    # FAIL FAST (review): the compact directory form caps at
-                    # 32 GB (u32 * 8 positions); the reference switches to the
-                    # extended int64 form there. Raising on the FIRST
-                    # overflowing record (not after streaming the whole body)
-                    # bounds the wasted I/O; the except handler below unlinks
-                    # the partial file. At that size use write_gvrs_shards
-                    # (per-shard files stay compact).
-                    raise ValueError(
-                        f"store exceeds the compact tile-directory range at tile {ti} "
-                        f"(content pos {positions[ti]}); write shards via "
-                        "write_gvrs_shards instead"
-                    )
 
-            # tile directory (compact u32 position/8 form)
-            if positions:
-                t_rows = [ti // n_cols_of_tiles for ti in positions]
-                t_cols = [ti % n_cols_of_tiles for ti in positions]
-                row0, col0 = min(t_rows), min(t_cols)
-                nrows_d = max(t_rows) - row0 + 1
-                ncols_d = max(t_cols) - col0 + 1
-            else:
-                row0 = col0 = nrows_d = ncols_d = 0
-            dir_content = bytearray()
-            dir_content += bytes([0, 0]) + b"\x00" * 6  # version, compact, reserved
-            dir_content += struct.pack("<4i", row0, col0, nrows_d, ncols_d)
-            offs = np.zeros((nrows_d, ncols_d), dtype="<u4")
-            for ti, p in positions.items():
-                offs[ti // n_cols_of_tiles - row0, ti % n_cols_of_tiles - col0] = p // 8
-            dir_content += offs.tobytes()
-            tile_dir_pos = rs.write(5, bytes(dir_content))
+            tile_dir_pos = rs.write(
+                5, _tile_directory_bytes(positions, n_cols_of_tiles)
+            )
 
             # metadata directory
             meta_dir_pos = 0

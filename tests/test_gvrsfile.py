@@ -230,3 +230,40 @@ def test_extended_tile_directory_raw_offsets(tmp_path):
         with open(p, "rb") as f:
             pos = _read_tile_directory(f, 0, info)
         assert pos == {0: 123456}, (extended, pos)
+
+
+def test_tile_directory_bytes_extended_round_trip():
+    """Round-5: write_gvrs no longer refuses stores past the 32 GB compact
+    range — _tile_directory_bytes switches to the extended raw-int64 form
+    (the reference's automatic switch) and _read_tile_directory parses it
+    back exactly. Compact form stays byte-stable for in-range positions."""
+    import io
+    import struct as _s
+
+    from gridfour_spark.gvrsfile import (
+        GvrsInfo, _read_tile_directory, _tile_directory_bytes,
+    )
+
+    info = GvrsInfo(
+        path="", version=1, subversion=4, n_rows=20, n_cols=20,
+        tile_rows=10, tile_cols=10, n_rows_of_tiles=2, n_cols_of_tiles=2,
+        checksum_enabled=False, raster_space=0, coord_system=0,
+        x0=0, y0=0, x1=1, y1=1, cell_size_x=1, cell_size_y=1,
+        m2r=(0,) * 6, r2m=(0,) * 6,
+    )
+
+    # giant positions (a ~100 GB store) -> extended form
+    big = {0: 48, 1: 40_000_000_000, 3: 99_999_999_992}
+    content = _tile_directory_bytes(big, info.n_cols_of_tiles)
+    assert content[1] == 1  # extended flag
+    got = _read_tile_directory(io.BytesIO(content), 0, info)
+    assert got == big
+
+    # in-range positions -> compact form, /8-coded u32
+    small = {0: 48, 2: 1024, 3: 0xFFFFFFFF * 8}
+    content = _tile_directory_bytes(small, info.n_cols_of_tiles)
+    assert content[1] == 0
+    n = _s.unpack_from("<i", content, 16)[0] * _s.unpack_from("<i", content, 20)[0]
+    assert len(content) == 24 + 4 * n
+    got = _read_tile_directory(io.BytesIO(content), 0, info)
+    assert got == small
