@@ -1115,7 +1115,9 @@ def write_gvrs(
                 return np.full(n, fv, dtype="<i4").tobytes()
 
             positions: dict[int, int] = {}
-            if multi:
+            if multi and hasattr(blocks, "groupBy"):
+                # a LIST input (executor-side shard assembly) is already
+                # grouped into {tile_index, m} rows
                 from pyspark.sql import functions as F
 
                 blocks = blocks.groupBy("tile_index").agg(
@@ -1196,12 +1198,17 @@ def write_gvrs_shards(
     parallel. Read side: union of read_gvrs over the shard files (each
     file's directory covers disjoint tiles).
 
-    blocks: (tile_index, block) from gvrs_export_blocks.
+    blocks: (tile_index, block) from gvrs_export_blocks. For a
+    MULTI-ELEMENT store pass ``element`` as a list and blocks rows of
+    (tile_index, element, block) — one gvrs_export_blocks per element
+    unioned with an element literal, like single-file write_gvrs; a tile
+    missing one element's block gets that element's standard fill payload.
     Returns a DataFrame (shard, path, n_tiles) — one row per written file.
     """
     import pandas as pd
     from pyspark.sql import functions as F
 
+    multi = isinstance(element, (list, tuple))
     # out_dir must be on a filesystem ALL executors share (NFS/FUSE/cloud
     # mount) — each task writes its shard file directly; single-JVM local
     # mode trivially satisfies this
@@ -1214,10 +1221,21 @@ def write_gvrs_shards(
         shard = int(key[0])
         os.makedirs(out_dir, exist_ok=True)  # executor-side (shared fs)
         path = os.path.join(out_dir, f"part-{shard:05d}.gvrs")
-        rows = pdf.sort_values("tile_index").to_dict("records")
+        if multi:
+            # group the per-element blocks into the write_gvrs multi row
+            # contract: one row per tile carrying an element->block map
+            rows = [
+                {"tile_index": int(ti),
+                 "m": dict(zip(g["element"], (bytes(b) for b in g["block"])))}
+                for ti, g in pdf.groupby("tile_index", sort=True)
+            ]
+            n_tiles = len(rows)
+        else:
+            rows = pdf.sort_values("tile_index").to_dict("records")
+            n_tiles = len(rows)
         write_gvrs(path, spec, element, rows, **write_kw)
         return pd.DataFrame(
-            {"shard": [shard], "path": [path], "n_tiles": [len(rows)]}
+            {"shard": [shard], "path": [path], "n_tiles": [n_tiles]}
         )
 
     return sharded.groupBy("shard").applyInPandas(
@@ -1270,9 +1288,10 @@ def update_gvrs_shards(
     fill, merged all-fill tiles are dropped, delta cells over absent tiles
     allocate new ones, metadata records carry over per shard.
 
-    delta_cells: (row, col, z) — sharded stores are single-element
-    (write_gvrs_shards contract). Returns {"shards_changed": [...],
-    "shards_copied": n, "tiles_changed": n, "tiles_copied": n}.
+    delta_cells: (row, col, z[, element]) — the element column targets one
+    band of a multi-element store (defaulting to the first element, like
+    update_gvrs). Returns {"shards_changed": [...], "shards_copied": n,
+    "tiles_changed": n, "tiles_copied": n}.
     """
     import glob as _glob
 
@@ -1283,10 +1302,10 @@ def update_gvrs_shards(
     if not parts:
         raise FileNotFoundError(f"no gvrs shards under {src_dir}")
     info0 = parse_gvrs_header(parts[0])
-    if len(info0.elements) != 1:
-        raise ValueError("sharded stores are single-element by contract")
     spec = spec_from_info(info0)
-    element = info0.elements[0]
+    elements = info0.elements
+    multi = len(elements) > 1
+    element_or_list = elements if multi else elements[0]
     if compressed is None:
         compressed = bool(info0.codec_ids)
     if checksum is None:
@@ -1298,20 +1317,26 @@ def update_gvrs_shards(
     in_place = os.path.realpath(dst_dir) == os.path.realpath(src_dir)
     os.makedirs(dst_dir, exist_ok=True)
 
-    d = delta_cells.select(
+    d = delta_cells
+    if "element" not in d.columns:
+        d = d.withColumn("element", F.lit(elements[0].name))
+    d = d.select(
         F.col("row").cast("long"),
         F.col("col").cast("long"),
         F.col("z").cast("double"),
+        "element",
     ).filter(
         (F.col("row") >= 0) & (F.col("row") < info0.n_rows)
         & (F.col("col") >= 0) & (F.col("col") < info0.n_cols)
     )
     d = d.withColumn("z", F.when(F.isnan("z"), F.lit(None)).otherwise(F.col("z")))
-    d = d.groupBy("row", "col").agg(F.max("z").alias("z"))
+    d = d.groupBy("row", "col", "element").agg(F.max("z").alias("z"))
     ti_col = (F.col("row") / nrt).cast("long") * ncot + (F.col("col") / nct).cast("long")
     d = d.withColumn("_ti", ti_col).withColumn(
         "shard", F.pmod(F.col("_ti"), F.lit(n_shards)).cast("int")
     )
+
+    e_names = [e.name for e in elements]
 
     def kernel(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         shard = int(key[0])
@@ -1320,12 +1345,12 @@ def update_gvrs_shards(
         changed = sorted(int(t) for t in pdf["_ti"].unique())
         blocks = []
         copied = 0
-        arrays = {}
+        arrays: dict = {}
         extra_meta = []
         if os.path.exists(src):
             info = parse_gvrs_header(src)
             rmp = _export_codec_remap(info.codec_ids)
-            std = info.standard_size_for(element)
+            stds = [info.standard_size_for(e) for e in elements]
             changed_set = set(changed)
             with open(src, "rb") as f:
                 for ti, pos in info.tile_positions.items():
@@ -1333,14 +1358,23 @@ def update_gvrs_shards(
                         continue
                     f.seek(pos)
                     f.read(4)  # tileIndex echo
-                    n = struct.unpack("<i", f.read(4))[0]
-                    payload = f.read(n)
-                    if rmp is not None and n != std:
-                        payload = bytes([rmp[payload[0]]]) + payload[1:]
-                    blocks.append({"tile_index": int(ti), "block": payload})
+                    payloads = []
+                    for std in stds:
+                        n = struct.unpack("<i", f.read(4))[0]
+                        payload = f.read(n)
+                        if rmp is not None and n != std:
+                            payload = bytes([rmp[payload[0]]]) + payload[1:]
+                        payloads.append(payload)
+                    if multi:
+                        blocks.append({
+                            "tile_index": int(ti),
+                            "m": dict(zip(e_names, payloads)),
+                        })
+                    else:
+                        blocks.append({"tile_index": int(ti), "block": payloads[0]})
                     copied += 1
             arrays = {
-                int(ti): arrs[0]
+                int(ti): arrs
                 for ti, arrs in read_tile_arrays(
                     src, info, [t for t in changed if t in info.tile_positions]
                 )
@@ -1351,23 +1385,34 @@ def update_gvrs_shards(
         for ti in changed:
             g = by_tile.get_group(ti)
             trow, tcol = divmod(ti, ncot)
-            v = np.asarray(
-                arrays.get(ti, np.full(n_cells, np.nan)), dtype=np.float64
-            ).copy()
-            idx = (
-                (g["row"].to_numpy() - trow * nrt) * nct
-                + (g["col"].to_numpy() - tcol * nct)
-            ).astype(np.int64)
-            v[idx] = g["z"].to_numpy(dtype=np.float64)  # pandas NULL -> NaN = erase
-            if np.all(np.isnan(v)):
-                continue  # merged all-fill: the freed-record analogue
-            blocks.append({
-                "tile_index": int(ti),
-                "block": encode_tile_payload(v, nrt, nct, element, compressed),
-            })
+            base = arrays.get(ti)
+            m: dict = {}
+            any_live = False
+            for ei, e in enumerate(elements):
+                v = np.asarray(
+                    base[ei] if base is not None else np.full(n_cells, np.nan),
+                    dtype=np.float64,
+                ).copy()
+                ge = g[g["element"] == e.name]
+                if len(ge):
+                    idx = (
+                        (ge["row"].to_numpy() - trow * nrt) * nct
+                        + (ge["col"].to_numpy() - tcol * nct)
+                    ).astype(np.int64)
+                    v[idx] = ge["z"].to_numpy(dtype=np.float64)  # NULL -> NaN = erase
+                if np.all(np.isnan(v)):
+                    continue  # all-fill band: write_gvrs fills it standard
+                any_live = True
+                m[e.name] = encode_tile_payload(v, nrt, nct, e, compressed)
+            if not any_live:
+                continue  # merged all-fill tile: the freed-record analogue
+            if multi:
+                blocks.append({"tile_index": int(ti), "m": m})
+            else:
+                blocks.append({"tile_index": int(ti), "block": m[elements[0].name]})
             n_changed += 1
         write_gvrs(
-            dst, spec, element, blocks,
+            dst, spec, element_or_list, blocks,
             product_label=product_label, checksum=checksum,
             compressed=compressed, extra_metadata=extra_meta,
         )

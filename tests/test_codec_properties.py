@@ -107,3 +107,49 @@ def test_predictor_inverses(values):
         seed, syms = enc(v.ravel().reshape(nr, nc))
         got = dec(seed, syms.astype(np.int64), nr, nc)
         np.testing.assert_array_equal(got.reshape(nr, nc).astype(np.int64), v)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.integers(min_value=-600, max_value=600),   # escape-tier boundary bias
+            st.just(-(2**31)),                            # INT4_NULL_CODE
+        ),
+        min_size=1, max_size=500,
+    )
+)
+@settings(**_SETTINGS)
+def test_reference_canonical_huffman_block_round_trip(values):
+    """Round-5 codec: the reference-format canonical Huffman integer block
+    (escape-extended symbols, END_OF_TEXT framing) must round-trip any
+    int32 stream, including null codes and every escape tier."""
+    from gridfour_spark import canonhuffman as CH
+
+    v = np.asarray(values, dtype=np.int64)
+    packed = CH.encode_block(v)
+    got, _pos = CH.decode_block(
+        np.unpackbits(np.frombuffer(packed, np.uint8), bitorder="little"), 0, v.size
+    )
+    np.testing.assert_array_equal(got, v)
+
+
+@given(
+    st.integers(min_value=2, max_value=9),
+    st.integers(min_value=2, max_value=9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(**_SETTINGS)
+def test_reference_canonical_tile_round_trip(nr, nc, seed):
+    """encode_tile_packing -> decode_tile over random small tiles with
+    nulls mixed in (predictor race + canonical body)."""
+    from gridfour_spark import canonhuffman as CH
+
+    rng = np.random.default_rng(seed)
+    v = rng.integers(-3000, 3000, nr * nc).astype(np.int64)
+    v[rng.random(nr * nc) < 0.15] = CH.INT4_NULL_CODE
+    if not (v != CH.INT4_NULL_CODE).any():
+        v[0] = 7  # encoder returns None for all-null tiles by contract
+    r = CH.encode_tile_packing(v, nr, nc)
+    got = CH.decode_tile(r["payload"], nr, nc)
+    np.testing.assert_array_equal(got, v)

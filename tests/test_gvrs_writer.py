@@ -942,3 +942,68 @@ def test_update_gvrs_shards_in_place_and_new_tile(spark):
         np.nan_to_num(got, nan=-1e9)[mask], np.nan_to_num(grid, nan=-1e9)[mask]
     )
     assert present  # silence lint; presence asserted implicitly above
+
+
+def test_multi_element_shards_write_update_read(spark):
+    """Round-5: multi-element SHARDED stores — executor-side assembly of
+    [length][data] element sets per tile, update targeting one band, and
+    the reference reader opening a shard standalone."""
+    import tempfile
+
+    grid = _ramp(60, 80)
+    band2 = (grid * 2.0 + 7.0)
+    e1 = G.default_element("dem", "int")
+    e2 = G.default_element("band2", "int")
+    rows = []
+    for r in range(60):
+        for c in range(80):
+            rows.append((r, c, float(grid[r, c]), "dem"))
+            rows.append((r, c, float(band2[r, c]), "band2"))
+    cells = spark.createDataFrame(rows, "row int, col int, z double, element string")
+    parts = []
+    for e in (e1, e2):
+        tiles = store.build_tiles(
+            cells.filter(F.col("element") == e.name).drop("element"), SPEC)
+        parts.append(G.gvrs_export_blocks(tiles, SPEC, e)
+                     .withColumn("element", F.lit(e.name)))
+    blocks = parts[0].unionByName(parts[1])
+    src = tempfile.mkdtemp(prefix="gvrs_ms_")
+    manifest = G.write_gvrs_shards(blocks, SPEC, [e1, e2], src, n_shards=3).collect()
+    assert sum(r.n_tiles for r in manifest) == 9
+
+    # one shard standalone through the compiled reference: both bands
+    shard0 = os.path.join(src, "part-00000.gvrs")
+    got = _java_read(shard0)
+    info0 = G.parse_gvrs_header(shard0)
+    for ti in info0.tile_positions:
+        tr, tc = divmod(ti, info0.n_cols_of_tiles)
+        r1 = min((tr + 1) * 25, 60)
+        c1 = min((tc + 1) * 30, 80)
+        np.testing.assert_array_equal(
+            got["dem"][tr * 25:r1, tc * 30:c1], grid[tr * 25:r1, tc * 30:c1])
+        np.testing.assert_array_equal(
+            got["band2"][tr * 25:r1, tc * 30:c1], band2[tr * 25:r1, tc * 30:c1])
+
+    # update ONE band through the sharded updater (element column)
+    delta = spark.createDataFrame(
+        [(0, 0, 555.0, "band2"), (30, 40, -9.0, "band2")],
+        "row long, col long, z double, element string",
+    )
+    stats = G.update_gvrs_shards(spark, src, src, delta, n_shards=3)
+    assert stats["tiles_changed"] == 2
+
+    # read back: band2 updated, dem untouched everywhere
+    g_dem = np.full((60, 80), np.nan)
+    g_b2 = np.full((60, 80), np.nan)
+    for p in sorted(glob.glob(os.path.join(src, "part-*.gvrs"))):
+        pi = G.parse_gvrs_header(p)
+        for ti, arrays in G.read_tile_arrays(p, pi, sorted(pi.tile_positions)):
+            tr, tc = divmod(ti, pi.n_cols_of_tiles)
+            r1 = min((tr + 1) * 25, 60)
+            c1 = min((tc + 1) * 30, 80)
+            g_dem[tr*25:r1, tc*30:c1] = arrays[0].reshape(25, 30)[:r1-tr*25, :c1-tc*30]
+            g_b2[tr*25:r1, tc*30:c1] = arrays[1].reshape(25, 30)[:r1-tr*25, :c1-tc*30]
+    np.testing.assert_array_equal(g_dem, grid)
+    exp2 = band2.copy()
+    exp2[0, 0], exp2[30, 40] = 555.0, -9.0
+    np.testing.assert_array_equal(g_b2, exp2)
