@@ -173,12 +173,20 @@ def compact_stream_deltas(
     cell rewritten in batch 7 must not be resurrected by batch 3's value.
     Delta padding (NaN fill inside staged tile arrays) never erases base
     cells; only written values travel."""
+    from gridfour_spark import gvrsfile as G
+
+    delta = _staged_delta(spark, base, spec)
+    return G.update_gvrs(spark, src_gvrs, dst_gvrs, delta)
+
+
+def _staged_delta(spark: SparkSession, base: str, spec: GridSpec):
+    """Staged micro-batch partitions -> one (row, col, z) delta frame with
+    newest-batch-wins conflict resolution (shared by the single-file and
+    sharded compactors)."""
     import glob
     import os
 
     from pyspark.sql.window import Window
-
-    from gridfour_spark import gvrsfile as G
 
     if not glob.glob(os.path.join(base, "stage=batch_*")):
         raise FileNotFoundError(f"no staged deltas under {base}")
@@ -206,9 +214,28 @@ def compact_stream_deltas(
         & F.col("z").isNotNull() & ~F.isnan("z")
     )
     w = Window.partitionBy("row", "col").orderBy(F.desc("_batch"))
-    delta = (
+    return (
         cells.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("row", "col", "z")
     )
-    return G.update_gvrs(spark, src_gvrs, dst_gvrs, delta)
+
+
+def compact_stream_deltas_sharded(
+    spark: SparkSession,
+    base: str,
+    src_dir: str,
+    dst_dir: str,
+    spec: GridSpec = GLOBAL_GRID,
+    n_shards: int = 16,
+) -> dict:
+    """compact_stream_deltas for a SHARDED binary store — the 100-TB
+    shape: the staged-delta scan and newest-batch-wins resolution are
+    identical, then the merge runs through gvrsfile.update_gvrs_shards
+    (one shuffle keyed by shard, per-shard compaction in executors,
+    O(shards) driver state). In-place (dst_dir == src_dir) is safe via
+    the per-shard atomic replace."""
+    from gridfour_spark import gvrsfile as G
+
+    delta = _staged_delta(spark, base, spec)
+    return G.update_gvrs_shards(spark, src_dir, dst_dir, delta, n_shards=n_shards)

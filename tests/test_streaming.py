@@ -306,3 +306,85 @@ def test_stream_deltas_compact_into_binary_store(spark, event_chunks):
             assert af[t] == b4[t]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_deltas_compact_into_sharded_store(spark):
+    """Round-5: the staged-delta compactor also targets SHARDED stores
+    (compact_stream_deltas_sharded -> update_gvrs_shards). Oracle: the
+    single-file compactor over the same staged deltas — both stores must
+    hold identical grids, and newest-batch-wins must hold across stages."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from gridfour_spark import gvrsfile as G
+    from gridfour_spark import store, synth
+    from gridfour_spark import streaming as S
+    from gridfour_spark.spec import GridSpec
+
+    spec = GridSpec(n_rows=60, n_cols=80, n_rows_in_tile=25, n_cols_in_tile=30,
+                    x0=0.5, y0=0.5, cell_size_x=1.0, cell_size_y=1.0)
+    base = tempfile.mkdtemp(prefix="stream_shcompact_")
+    try:
+        grid = np.floor(100 * np.add.outer(np.arange(60) * 0.1, np.arange(80) * 0.2))
+        cells = spark.createDataFrame(
+            [(int(r), int(c), float(grid[r, c])) for r in range(60) for c in range(80)],
+            "row int, col int, z double",
+        )
+        tiles = store.build_tiles(cells, spec)
+        e = G.default_element("z", "int")
+        blocks = G.gvrs_export_blocks(tiles, spec, e, compress=False)
+        # single-file base + sharded base from the SAME blocks
+        src1 = os.path.join(base, "base.gvrs")
+        G.write_gvrs(src1, spec, e, blocks, compressed=False)
+        shdir = os.path.join(base, "shards")
+        G.write_gvrs_shards(
+            G.gvrs_export_blocks(tiles, spec, e, compress=False), spec, e,
+            shdir, n_shards=3, compressed=False,
+        ).collect()
+
+        # staged deltas: batch_0 writes (5,5)=111, batch_2 overwrites it
+        # and touches a second tile — layout identical to stream_to_store
+        for bi, rows in [(0, [(0, 0, 5, 5, 111.0)]),
+                         (2, [(0, 0, 5, 5, 222.0), (1, 1, 30, 40, -7.0)])]:
+            pdf = []
+            for trow, tcol, r, c, z in rows:
+                arr = [None] * (25 * 30)
+                arr[(r - trow * 25) * 30 + (c - tcol * 30)] = z
+                pdf.append((trow * 3 + tcol, trow, tcol, arr))
+            df = spark.createDataFrame(
+                pdf, "tile_index long, tile_row int, tile_col int, cells array<double>"
+            )
+            out = os.path.join(base, f"stage=batch_{bi}", "bucket=0")
+            df.write.mode("overwrite").parquet(out)
+
+        stats1 = S.compact_stream_deltas(spark, base, src1, src1, spec=spec)
+        stats2 = S.compact_stream_deltas_sharded(
+            spark, base, shdir, shdir, spec=spec, n_shards=3)
+        assert stats1["changed"] and stats2["tiles_changed"] == 2
+
+        def _grid_single(p):
+            info = G.parse_gvrs_header(p)
+            g = np.full((60, 80), np.nan)
+            for ti, arrays in G.read_tile_arrays(p, info, sorted(info.tile_positions)):
+                tr, tc = divmod(ti, info.n_cols_of_tiles)
+                r1, c1 = min((tr + 1) * 25, 60), min((tc + 1) * 30, 80)
+                g[tr*25:r1, tc*30:c1] = arrays[0].reshape(25, 30)[:r1-tr*25, :c1-tc*30]
+            return g
+
+        g1 = _grid_single(src1)
+        g2 = np.full((60, 80), np.nan)
+        for p in sorted(glob.glob(os.path.join(shdir, "part-*.gvrs"))):
+            pi = G.parse_gvrs_header(p)
+            for ti, arrays in G.read_tile_arrays(p, pi, sorted(pi.tile_positions)):
+                tr, tc = divmod(ti, pi.n_cols_of_tiles)
+                r1, c1 = min((tr + 1) * 25, 60), min((tc + 1) * 30, 80)
+                g2[tr*25:r1, tc*30:c1] = arrays[0].reshape(25, 30)[:r1-tr*25, :c1-tc*30]
+        np.testing.assert_array_equal(g1, g2)
+        assert g1[5, 5] == 222.0   # newest batch wins
+        assert g1[30, 40] == -7.0
+        exp = grid.copy(); exp[5, 5] = 222.0; exp[30, 40] = -7.0
+        np.testing.assert_array_equal(g1, exp)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
