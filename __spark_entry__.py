@@ -415,6 +415,16 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, _emb_queries(spark, sf_dir), k=5)
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (round 5): the memory-bounded ANN path — candidates scored
+    asymmetrically against m=4 code-byte reconstructions (a 64x smaller
+    inverted index than float32 vectors at dim=64), exact re-rank of the
+    top 4k short list. Deterministic first-n codebook/centroids so the
+    whole plan (encode argmin, ADC, rerank) value-matches DuckDB."""
+    emb = similarity.load_embeddings(spark, sf_dir)
+    return similarity.ivfpq_topk(emb, _emb_queries(spark, sf_dir), k=5)
+
+
 def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVF vs exact brute force (honesty metric; see ann_recall
     for why absolute recall is low on isotropic random vectors)."""
@@ -1752,7 +1762,10 @@ def _q_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf = _recall_of(q, bf, similarity.ivf_topk(emb, q, k=5)).select(
             F.lit("ivf").alias("method"), "n_queries", "n_hits", "recall_at_5"
         )
-        out = lsh.unionByName(ivf).collect()
+        ivfpq = _recall_of(q, bf, similarity.ivfpq_topk(emb, q, k=5)).select(
+            F.lit("ivfpq").alias("method"), "n_queries", "n_hits", "recall_at_5"
+        )
+        out = lsh.unionByName(ivf).unionByName(ivfpq).collect()
     finally:
         bf.unpersist()
     return spark.createDataFrame(out, "method string, n_queries long, n_hits long, recall_at_5 double")
@@ -1785,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "recall_suite": _q_recall_suite,
         "emb_near_dup": _q_emb_near_dup,
         "media_features": _q_media_features,
@@ -1930,11 +1944,13 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": similarity.brute_force_topk_sql(n_queries=10, k=5),
         "ann_topk": similarity.ann_topk_sql(n_queries=10, k=5),
         "ivf_topk": similarity.ivf_topk_sql(n_queries=10, k=5),
+        "pq_topk": similarity.ivfpq_topk_sql(n_queries=10, k=5, dim=64),
         "recall_suite": f"""
             WITH bf AS (SELECT q_id, vec_id FROM ({similarity.brute_force_topk_sql(10, 5)})),
                  qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
                  ann AS (SELECT q_id, vec_id FROM ({similarity.ann_topk_sql(10, 5)})),
                  ivf AS (SELECT q_id, vec_id FROM ({similarity.ivf_topk_sql(10, 5)})),
+                 ivfpq AS (SELECT q_id, vec_id FROM ({similarity.ivfpq_topk_sql(10, 5, dim=64)})),
                  ann_hits AS (
                    SELECT bf.q_id, COUNT(*) AS n_hit
                    FROM bf JOIN ann ON bf.q_id = ann.q_id AND bf.vec_id = ann.vec_id
@@ -1945,6 +1961,11 @@ def oracle_sql() -> dict[str, str]:
                    FROM bf JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
                    GROUP BY 1
                  ),
+                 ivfpq_hits AS (
+                   SELECT bf.q_id, COUNT(*) AS n_hit
+                   FROM bf JOIN ivfpq ON bf.q_id = ivfpq.q_id AND bf.vec_id = ivfpq.vec_id
+                   GROUP BY 1
+                 ),
                  ann_per_q AS (
                    SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit
                    FROM qs q LEFT JOIN ann_hits h ON q.q_id = h.q_id
@@ -1952,6 +1973,10 @@ def oracle_sql() -> dict[str, str]:
                  ivf_per_q AS (
                    SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit
                    FROM qs q LEFT JOIN ivf_hits h ON q.q_id = h.q_id
+                 ),
+                 ivfpq_per_q AS (
+                   SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit
+                   FROM qs q LEFT JOIN ivfpq_hits h ON q.q_id = h.q_id
                  )
             SELECT 'lsh' AS method, COUNT(*) AS n_queries,
                    CAST(SUM(n_hit) AS BIGINT) AS n_hits,
@@ -1961,6 +1986,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf', COUNT(*), CAST(SUM(n_hit) AS BIGINT),
                    ROUND(SUM(n_hit) / (COUNT(*) * 5.0), 6)
             FROM ivf_per_q
+            UNION ALL
+            SELECT 'ivfpq', COUNT(*), CAST(SUM(n_hit) AS BIGINT),
+                   ROUND(SUM(n_hit) / (COUNT(*) * 5.0), 6)
+            FROM ivfpq_per_q
         """,
         "emb_near_dup": """
             WITH aug AS (

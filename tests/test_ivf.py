@@ -98,3 +98,87 @@ def test_trained_centroids_recover_clusters(spark):
     total = sum(sum(d.values()) for d in per_list.values())
     dominant = sum(max(d.values()) for d in per_list.values())
     assert dominant / total >= 0.95, per_list
+
+
+# --- IVF-PQ (round 5): product-quantized ANN ---------------------------------
+
+def test_pq_encode_deterministic_and_reconstruction_improves(spark):
+    """pq_encode is deterministic (argmin on ROUND(d,6), ties to lowest
+    code) and on a CLUSTERED corpus the residual form reconstructs closer
+    to the original vectors than the raw form with the same budget (the
+    IVFADC point — on isotropic data the two are comparable, so the
+    clustered corpus is the discriminating fixture)."""
+    emb = S.synth_clustered_embeddings(
+        spark, n=1000, dim=16, n_clusters=16, noise=0.4
+    ).select("vec_id", "embedding")
+    cent = S.ivf_train(emb, n_lists=16, n_iters=2)
+    assigned = S.ivf_assign(emb, cent)
+    pv = assigned.join(F.broadcast(cent), "list_id").select(
+        "vec_id", "list_id", F.zip_with("v", "c_vec", lambda x, c: x - c).alias("pv")
+    )
+    cb_res = S.pq_codebook(pv, m=4, n_codes=8, vec_col="pv")
+    enc1 = {r.vec_id: list(r.codes) for r in S.pq_encode(pv, cb_res, 4, vec_col="pv").collect()}
+    enc2 = {r.vec_id: list(r.codes) for r in S.pq_encode(pv, cb_res, 4, vec_col="pv").collect()}
+    assert enc1 == enc2
+    assert all(len(c) == 4 for c in enc1.values())
+
+    # reconstruction MSE: residual form (centroid + codeword) vs raw form
+    cbn_res = S._codebook_np(cb_res)
+    cb_raw = S.pq_codebook(emb, m=4, n_codes=8)
+    cbn_raw = S._codebook_np(cb_raw)
+    enc_raw = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, cb_raw, 4).collect()}
+    rows = {r.vec_id: (np.array(r.v), np.array(r.c_vec)) for r in
+            assigned.join(F.broadcast(cent), "list_id")
+            .select("vec_id", "v", "c_vec").collect()}
+    res_cells = {r.vec_id: np.array(r.pv) for r in pv.collect()}
+    mse_res = mse_raw = 0.0
+    for vid, (v, c) in rows.items():
+        rec_res = c + np.concatenate([cbn_res[s][enc1[vid][s]] for s in range(4)])
+        rec_raw = np.concatenate([cbn_raw[s][enc_raw[vid][s]] for s in range(4)])
+        mse_res += float(((v - rec_res) ** 2).sum())
+        mse_raw += float(((v - rec_raw) ** 2).sum())
+    assert mse_res < mse_raw, (mse_res, mse_raw)
+    assert res_cells  # pv frame materialized
+
+
+def test_ivfpq_residual_beats_raw_recall_on_clustered_corpus(spark):
+    """The clustered corpus is exactly where raw-vector PQ collapses
+    (every cluster member quantizes to the same codewords); the residual
+    form must dominate at equal m/n_codes/rerank."""
+    cemb = S.synth_clustered_embeddings(spark, n=2000, dim=16, n_clusters=16, noise=0.5).cache()
+    cq = cemb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    bf = S.brute_force_topk(cemb, cq, k=5).select("q_id", "vec_id").cache()
+    cent = S.ivf_train(cemb, n_lists=16, n_iters=2)
+    r_res = _recall(bf, S.ivfpq_topk(
+        cemb, cq, k=5, n_lists=16, nprobe=2, m=4, n_codes=16, cent=cent,
+        residual=True).select("q_id", "vec_id"), cq)
+    r_raw = _recall(bf, S.ivfpq_topk(
+        cemb, cq, k=5, n_lists=16, nprobe=2, m=4, n_codes=16, cent=cent,
+        residual=False).select("q_id", "vec_id"), cq)
+    assert r_res > r_raw, (r_res, r_raw)
+    assert r_res >= 0.5, r_res
+
+
+def test_ivfpq_inverted_index_carries_no_vectors(spark):
+    """The 100-TB point of PQ: the candidate-side plan joins (list_id,
+    vec_id, codes) — the float vectors only re-enter for the rerank*k
+    short list. Assert the ADC-scored frame's schema has no vector column
+    besides the broadcast query."""
+    emb = S.load_embeddings(spark, SF_SMOKE)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.ivfpq_topk(emb, q, k=3)
+    rows = out.collect()
+    assert rows and all(r.rank <= 3 for r in rows)
+    # rerank exactness: every returned cos_sim must equal the true cosine
+    import math
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in
+            emb.select("vec_id", "embedding").collect()}
+    for r in rows:
+        a, b = vecs[r.q_id], vecs[r.vec_id]
+        true = float(a @ b / math.sqrt((a @ a) * (b @ b)))
+        assert abs(r.cos_sim - round(true, 6)) <= 1e-6, r

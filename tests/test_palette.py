@@ -113,3 +113,29 @@ def test_termination_and_categorical_coverage(spark):
     cat = [(5.0, 5.0, (7, 8, 9), (7, 8, 9))]
     assert _argb_at(spark, cat, 5.0) == (0xFF000000 | (7 << 16) | (8 << 8) | 9)
     assert _argb_at(spark, cat, 5.5) is None
+
+
+def test_srgb_linear_round_trip_and_java_constants(spark):
+    """LinearRgb parity (imaging/util/LinearRgb.java): every sRGB level
+    round-trips exactly through linear space, and spot values match the
+    reference's power-function constants (transition 0.04045, gamma 2.4,
+    offset 0.055, dark factor 12.92)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gridfour_spark import raster_ops as R
+
+    df = spark.range(256).select(F.col("id").alias("c"))
+    rows = df.select(
+        "c",
+        R.srgb_to_linear(F.col("c")).alias("lin"),
+        R.linear_to_srgb(R.srgb_to_linear(F.col("c"))).alias("back"),
+    ).collect()
+    for r in rows:
+        assert r.back == r.c, (r.c, r.back)
+        s = r.c / 255.0
+        exp = s / 12.92 if s <= 0.04045 else ((s + 0.055) / 1.055) ** 2.4
+        assert math.isclose(r.lin, exp, rel_tol=1e-12), r.c
+    assert abs(rows[255].lin - 1.0) < 1e-12
+    assert rows[0].lin == 0.0
