@@ -324,6 +324,16 @@ def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.near_dup_pairs(_augmented_docs(spark, sf_dir), jaccard_threshold=0.3)
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: near-dup pairs collapsed into connected-component clusters
+    (doc_id, cluster_id = min reachable id, cluster_size) — the cluster
+    step a training pipeline runs after pair generation to pick canonical
+    documents. Distributed min-label propagation with pointer doubling;
+    DuckDB oracle recomputes the closure with a recursive CTE."""
+    pairs = textops.near_dup_pairs(_augmented_docs(spark, sf_dir), jaccard_threshold=0.3)
+    return textops.dedup_clusters(pairs)
+
+
 def _aug2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_augmented_docs plus EXACT copies (doc_id+2000000): the corpus shape
     that makes raw LSH buckets hot — the dedup-first path must stay bounded."""
@@ -1793,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
         "near_dup": _q_near_dup,
+        "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_canonical": _q_near_dup_canonical,
         "simhash_near_dup": _q_simhash_near_dup,
         "sim_topk": _q_sim_topk,
@@ -1939,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_AUG_DOCS_SQL}) GROUP BY 1
         """,
         "near_dup": textops.near_dup_pairs_sql(0.3, docs_src=_AUG_DOCS_SQL),
+        "near_dup_clusters": textops.dedup_clusters_sql(0.3, docs_src=_AUG_DOCS_SQL),
         "near_dup_canonical": textops.near_dup_dedup_first_sql(0.3, docs_src=_AUG2_SQL),
         "simhash_near_dup": textops.simhash_near_dup_sql(8, docs_src=_AUG_DOCS_SQL),
         "sim_topk": similarity.brute_force_topk_sql(n_queries=10, k=5),

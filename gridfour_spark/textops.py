@@ -597,3 +597,104 @@ cand AS (
 SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
 FROM cand WHERE {ham} <= {max_hamming}
 """
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Near-dup PAIRS -> connected-component CLUSTERS: (doc_id, cluster_id,
+    cluster_size) with cluster_id = the MIN doc id reachable through the
+    pair graph (the canonical representative a training pipeline keeps).
+
+    Distributed min-label propagation with POINTER DOUBLING: each round
+    (a) every node takes the min label over itself and its neighbors
+    (one edge join + partial-aggregated groupBy min), then (b) labels
+    jump to their label's label (one self-join) — the doubling step
+    collapses chains in O(log diameter) rounds instead of O(diameter),
+    the property that matters when a 10^12-doc pair graph has long
+    transitive chains. Converges when no label changes; each round is
+    two hash joins + one agg, never a collect of edges or labels.
+
+    Each round ends in localCheckpoint(): iterative self-referencing
+    plans otherwise GROW EXPONENTIALLY (every round embeds the previous
+    round's join tree twice) until Catalyst itself OOMs — lineage
+    truncation per iteration is the standard Spark pattern for
+    fixpoint algorithms, and on a real cluster it also caps the
+    recovery cost of a lost executor to one round."""
+    E = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    E = E.unionByName(
+        E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    # persist (not checkpoint) for the input frames: their lineage is one
+    # shot — only the ITERATION output needs truncation. (localCheckpoint
+    # directly over the LSH pipeline's plan also trips a Catalyst
+    # AttributeMap bug in Spark 4.1 — round-5 finding.)
+    L = (
+        E.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        prop = E.join(L, E.src == L.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        newL = prop.unionByName(L.select("doc_id", "label")).groupBy("doc_id").agg(
+            F.min("label").alias("label")
+        )
+        # pointer doubling: label <- label(label)
+        newL = (
+            newL.alias("x")
+            .join(
+                newL.select(
+                    F.col("doc_id").alias("_lid"), F.col("label").alias("_ll")
+                ),
+                F.col("x.label") == F.col("_lid"),
+                "left",
+            )
+            .select(
+                F.col("x.doc_id"),
+                F.coalesce(F.col("_ll"), F.col("x.label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            newL.alias("n")
+            .join(L.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        L = newL
+        if changed == 0:
+            break
+    sizes = L.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = L.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+    E.unpersist()
+    return out
+
+
+def dedup_clusters_sql(jaccard_threshold: float = 0.3, docs_src: str = "documents") -> str:
+    """DuckDB twin: transitive closure of the near-dup pair graph via a
+    recursive CTE, cluster_id = MIN reachable id (self included)."""
+    pairs = near_dup_pairs_sql(jaccard_threshold, docs_src=docs_src)
+    return f"""
+WITH RECURSIVE pair_base AS (
+  SELECT doc_a, doc_b FROM ({pairs})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pair_base
+  UNION
+  SELECT doc_b, doc_a FROM pair_base
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+lbl AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lbl l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM lbl GROUP BY cluster_id) s USING (cluster_id)
+"""

@@ -86,3 +86,45 @@ def test_salted_embedding_near_dup_identical(spark):
         for r in similarity.embedding_near_dup(emb, threshold=0.5, n_salts=3).collect()
     )
     assert plain == salted and len(plain) > 0
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Round-5 cluster collapse: distributed min-label propagation with
+    pointer doubling must equal a driver union-find on the same pairs —
+    including a LONG CHAIN (the pointer-doubling stressor), a clique, and
+    an isolated pair."""
+    from gridfour_spark import textops
+
+    pairs = [(i, i + 1) for i in range(100, 140)]          # 41-node chain
+    pairs += [(0, 1), (1, 2), (0, 2)]                       # triangle
+    pairs += [(500, 900)]                                   # isolated pair
+    pairs += [(7, 3), (3, 9)]                               # min id not first
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in textops.dedup_clusters(pdf).collect()}
+
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    comps = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    exp = {}
+    for root, members in comps.items():
+        cid = min(members)
+        for mm in members:
+            exp[mm] = (cid, len(members))
+    assert got == exp
+    # chain collapsed to one cluster rooted at 100 despite depth 40
+    assert got[140] == (100, 41)
