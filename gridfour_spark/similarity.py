@@ -503,6 +503,7 @@ def ivfpq_topk(
     residual: bool = True,
     cent: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse probe like ivf_topk, but candidates
     are scored ASYMMETRICALLY against their reconstructed codewords
@@ -516,25 +517,34 @@ def ivfpq_topk(
     preserves WITHIN-list ordering — raw-vector PQ collapses it (measured
     on the clustered bench corpus: recall@5 0.38 raw vs ~0.9 residual at
     the same m/n_codes/rerank). A codebook passed in must be trained on
-    the matching quantity (see pq_train vec_col)."""
+    the matching quantity (see pq_train vec_col).
+
+    In production the (list_id, vec_id, codes) inverted index is a STORED
+    artifact, not rebuilt per query — build it once with ivfpq_index
+    (persist it or write it bucketed by list_id) and pass ``index=``;
+    the ad-hoc build here re-derives the assignment/encode kernels."""
     if cent is None:
         cent = ivf_centroids(emb, n_lists)
     spark = emb.sparkSession
-    assigned = ivf_assign(emb, cent)  # (vec_id, v, list_id)
-    if residual:
-        pv = assigned.join(F.broadcast(cent), "list_id").select(
-            "vec_id", "list_id",
-            F.zip_with("v", "c_vec", lambda x, c: x - c).alias("pv"),
-        )
-    else:
-        pv = assigned.select("vec_id", "list_id", F.col("v").alias("pv"))
+    if codebook is None or index is None:
+        assigned = ivf_assign(emb, cent)  # (vec_id, v, list_id)
+        if residual:
+            pv = assigned.join(F.broadcast(cent), "list_id").select(
+                "vec_id", "list_id",
+                F.zip_with("v", "c_vec", lambda x, c: x - c).alias("pv"),
+            )
+        else:
+            pv = assigned.select("vec_id", "list_id", F.col("v").alias("pv"))
     if codebook is None:
         codebook = pq_codebook(pv, m, n_codes, vec_col="pv")
     cbn = _codebook_np(codebook)
     bcb = spark.sparkContext.broadcast(cbn)
 
-    enc = pq_encode(pv, codebook, m, vec_col="pv")
-    inv = pv.select("vec_id", "list_id").join(enc, "vec_id")
+    if index is None:
+        enc = pq_encode(pv, codebook, m, vec_col="pv")
+        inv = pv.select("vec_id", "list_id").join(enc, "vec_id")
+    else:
+        inv = index
 
     qp = queries.select("q_id", _as_double("q_vec").alias("q")).crossJoin(F.broadcast(cent))
     qs = qp.select(
@@ -593,6 +603,26 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos_sim")
     )
+
+
+def ivfpq_index(
+    emb: DataFrame, cent: DataFrame, codebook: DataFrame, m: int = 4,
+    residual: bool = True,
+) -> DataFrame:
+    """Build the (list_id, vec_id, codes) inverted index once — the stored
+    artifact a production deployment persists (write bucketed by list_id
+    so a probe reads one bucket). Pass the result to
+    ivfpq_topk(index=...) to skip the per-query rebuild."""
+    assigned = ivf_assign(emb, cent)
+    if residual:
+        pv = assigned.join(F.broadcast(cent), "list_id").select(
+            "vec_id", "list_id",
+            F.zip_with("v", "c_vec", lambda x, c: x - c).alias("pv"),
+        )
+    else:
+        pv = assigned.select("vec_id", "list_id", F.col("v").alias("pv"))
+    enc = pq_encode(pv, codebook, m, vec_col="pv")
+    return pv.select("vec_id", "list_id").join(enc, "vec_id")
 
 
 def ivfpq_codebook_trained(
