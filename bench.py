@@ -308,24 +308,23 @@ def main() -> None:
         "ivf_trained": _recall(
             _S.ivf_topk(cemb, cq, k=5, n_lists=32, nprobe=2, cent=_cent_tr)
         ),
-        # IVF-PQ (round 5): same probes, m=4 residual code bytes per vector
-        # + exact re-rank of 4k / 8k candidates — the honesty numbers for
-        # the memory-bounded path (the rerank depth is the recall knob)
-        "ivfpq_trained_rerank4": _recall(
-            _S.ivfpq_topk(
-                cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16,
-                cent=_cent_tr,
-                codebook=_S.ivfpq_codebook_trained(cemb, _cent_tr, m=4, n_codes=16),
-            )
-        ),
-        "ivfpq_trained_rerank8": _recall(
-            _S.ivfpq_topk(
-                cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16, rerank=8,
-                cent=_cent_tr,
-                codebook=_S.ivfpq_codebook_trained(cemb, _cent_tr, m=4, n_codes=16),
-            )
-        ),
     }
+    # IVF-PQ (round 5): same probes, m=4 residual code bytes per vector +
+    # exact re-rank of 4k / 8k candidates — the honesty numbers for the
+    # memory-bounded path (the rerank depth is the recall knob). Codebook
+    # trained once; the inverted index built once and persisted — the
+    # stored-artifact production shape.
+    _cb_tr = _S.ivfpq_codebook_trained(cemb, _cent_tr, m=4, n_codes=16)
+    _pq_index = _S.ivfpq_index(cemb, _cent_tr, _cb_tr, m=4).persist()
+    recall_clustered["ivfpq_trained_rerank4"] = _recall(
+        _S.ivfpq_topk(cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16,
+                      cent=_cent_tr, codebook=_cb_tr, index=_pq_index)
+    )
+    recall_clustered["ivfpq_trained_rerank8"] = _recall(
+        _S.ivfpq_topk(cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16,
+                      rerank=8, cent=_cent_tr, codebook=_cb_tr, index=_pq_index)
+    )
+    _pq_index.unpersist()
 
     # throughput charges the flagship with the geometry materialization it
     # consumes (the cache is an amortization ACROSS queries, not a skip)

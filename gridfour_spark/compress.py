@@ -619,6 +619,11 @@ def decode_tile(packing: bytes, nr: int, nc: int) -> np.ndarray:
         from gridfour_spark import canonhuffman as _ch
 
         return _ch.decode_tile(packing, nr, nc)
+    if codec == 1:  # LSOP-12/8, legacy or revised header (canonical residuals
+        # win more races since round 5, so the generic inverse must dispatch it)
+        from gridfour_spark import lsop as _l
+
+        return _l.decode_lsop_any(packing, nr, nc)
     ptype = packing[1]
     seed = int.from_bytes(packing[2:6], "little", signed=True)
     n_m32 = int.from_bytes(packing[6:10], "little")
