@@ -1283,6 +1283,14 @@ def update_gvrs_shards(
     map (or left in place when dst_dir == src_dir — the in-place form is
     safe because write_gvrs replaces atomically).
 
+    Atomicity scope (disclosed): each SHARD replace is atomic, but the
+    update is not transactional ACROSS shards — a job killed mid-run can
+    leave some shards updated and others not (every shard is individually
+    consistent and readable). For all-or-nothing semantics write to a
+    fresh dst_dir and swap directories on success, or re-run the same
+    delta: the merge is idempotent (re-applying a delta to an
+    already-updated shard yields the same bytes).
+
     Merge semantics match update_gvrs: per (row, col) the MAX non-null z
     wins among duplicates (NaN normalized to NULL first), NULL erases to
     fill, merged all-fill tiles are dropped, delta cells over absent tiles

@@ -1007,3 +1007,37 @@ def test_multi_element_shards_write_update_read(spark):
     exp2 = band2.copy()
     exp2[0, 0], exp2[30, 40] = 555.0, -9.0
     np.testing.assert_array_equal(g_b2, exp2)
+
+
+def test_update_gvrs_shards_creates_absent_shard_file(spark):
+    """A delta landing in a shard whose FILE does not exist (no tiles ever
+    hashed there) must create the shard from scratch — and re-applying the
+    same delta is idempotent (byte-identical shard files)."""
+    import tempfile
+
+    grid = _ramp(60, 80)
+    grid[:, 30:] = np.nan   # only tiles 0 and 3 populated (cols 0-29)
+    grid[25:, :] = np.nan   # drop rows >= 25 outside tile rows 0
+    src = tempfile.mkdtemp(prefix="gvrs_abs_")
+    _shards_grid(spark, grid, src, n_shards=4)
+    present = sorted(int(os.path.basename(p)[5:10])
+                     for p in glob.glob(os.path.join(src, "part-*.gvrs")))
+    assert 2 not in present  # tile 2 (shard 2) was all-fill -> no file
+
+    delta = spark.createDataFrame(
+        [(5, 70, 777.0)], "row long, col long, z double"  # tile 2 -> shard 2
+    )
+    stats = G.update_gvrs_shards(spark, src, src, delta, n_shards=4)
+    assert stats["shards_changed"] == [2] and stats["tiles_changed"] == 1
+    p2 = os.path.join(src, "part-00002.gvrs")
+    assert os.path.exists(p2)
+    got = _read_shards_grid(spark, src)
+    assert got[5, 70] == 777.0
+    with open(p2, "rb") as f:
+        first = f.read()
+    # idempotence: same delta again -> byte-identical shard
+    G.update_gvrs_shards(spark, src, src, delta, n_shards=4)
+    with open(p2, "rb") as f:
+        again = f.read()
+    # byte-identical modulo the 8-byte close timestamp at offset 40
+    assert again[:40] == first[:40] and again[48:] == first[48:]
