@@ -601,6 +601,29 @@ def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join (round 5): every purchase matched to the
+    user's latest click AT OR BEFORE it — the sort-merge as-of shape as
+    one union-tag + window pass (O(|L|+|R|), no per-key cross product;
+    gridfour_spark/asof.py). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from gridfour_spark.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    r = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join(l, r, key="user_id", ts="ts",
+                    right_cols=["event_id", "value"], order_col="event_id")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("value"),
+        F.col("event_id_r").alias("click_id"),
+        F.col("ts_r").alias("click_ts"),
+        F.round("value_r", 6).alias("click_value"),
+    )
+
+
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows over the events table — the batch twin of
     streaming.windowed_event_counts (same window/agg semantics the streaming
@@ -1830,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "geotiff_roundtrip": _q_geotiff_roundtrip,
         "event_windows": _q_event_windows,
+        "asof_join": _q_asof_join,
         "stream_tile_counts": _q_stream_tile_counts,
         "resumable_write": _q_resumable_write,
         "tpch_pricing": _q_tpch_pricing,
@@ -2202,6 +2226,21 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_grid_a('dem')})
               GROUP BY row // 2, col // 2
             )
+        """,
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+                 r0 AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+                 -- dedupe duplicate (user, ts) right rows to the greatest
+                 -- event_id, the same tie the Spark window resolves
+                 r AS (SELECT user_id, ts, event_id, value FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                                     ORDER BY event_id DESC) AS rn
+                        FROM r0) WHERE rn = 1)
+            SELECT l.event_id, l.user_id, l.ts,
+                   ROUND(l.value, 6) AS value,
+                   r.event_id AS click_id, r.ts AS click_ts,
+                   ROUND(r.value, 6) AS click_value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "stream_tile_counts": _stream_tile_counts_sql(),

@@ -1,0 +1,97 @@
+"""As-of (temporal) join — a custom operator Spark lacks natively.
+
+For every left row, find the single right row with the GREATEST right
+timestamp <= the left timestamp within the same key (the "most recent
+prior state" lookup: each purchase matched to the user's latest preceding
+click, each tick to the prevailing quote). The naive formulation is a
+range join (left x right per key, then argmax) — a cross product per key
+that explodes on hot keys.
+
+This implementation is the sort-merge as-of shape as ONE window pass:
+union-tag both sides onto a single per-key timeline, sort by (ts, side,
+order), and carry the last-seen right row forward with
+``last_value(ignorenulls)`` — cost is one shuffle on the key and one sort,
+O(|L| + |R|) rows, no pair blowup, hot keys degrade linearly. The same
+plan DuckDB expresses natively as ``ASOF LEFT JOIN`` (the oracle twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    order_col: str | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of LEFT join: left columns + the matched right row's
+    ``right_cols`` (suffixed), NULL when no right row at or before the
+    left timestamp exists for the key.
+
+    Ties: a right row at EXACTLY the left timestamp matches ("at or
+    before"); among multiple right rows sharing (key, ts), the one with
+    the greatest ``order_col`` wins (deterministic — pass the right side's
+    unique id). tolerance_us drops matches older than the window
+    (left.ts - right.ts > tolerance), like pandas merge_asof tolerance.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, ts)]
+    if order_col is None:
+        order_col = right_cols[0]
+
+    lcols = left.columns
+    r_struct = F.struct(*[F.col(c) for c in [ts] + right_cols])
+    l_tag = left.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"), F.lit(None).cast("long").alias("_ord"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType.simpleString()
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"), F.col(order_col).cast("long").alias("_ord"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("_l"))
+            .schema["_l"].dataType.simpleString()
+        ).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort BEFORE left rows at equal ts (side desc) so an
+    # exact-timestamp right row is visible to the left row; _ord breaks
+    # duplicate right timestamps deterministically (greatest wins)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_ord").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 0)
+    if tolerance_us is not None:
+        # microsecond-precise tolerance on the raw timestamps: matches
+        # older than the window revert to NULL (pandas merge_asof rule)
+        out = out.withColumn(
+            "_m",
+            F.when(
+                F.col("_m").isNotNull()
+                & (
+                    (F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_m")[ts]))
+                    <= F.lit(int(tolerance_us))
+                ),
+                F.col("_m"),
+            ),
+        )
+    sel = [F.col("_l")[c].alias(c) for c in lcols]
+    sel += [F.col("_m")[ts].alias(f"{ts}{suffix}")]
+    sel += [F.col("_m")[c].alias(f"{c}{suffix}") for c in right_cols]
+    return out.select(*sel)

@@ -1,0 +1,82 @@
+"""As-of join: exactness vs pandas merge_asof, tie/tolerance semantics,
+and the no-pair-blowup plan shape (one window pass, no range join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gridfour_spark.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10.0)), (2, 1, _ts(20.0)), (3, 2, _ts(5.0)), (4, 3, _ts(7.0))],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, _ts(9.0), 1.0), (101, 1, _ts(10.0), 2.0), (102, 1, _ts(15.0), 3.0),
+         (103, 2, _ts(6.0), 4.0),          # after left ts 5 -> no match for lid 3
+         (104, 1, _ts(10.0), 5.0)],        # duplicate (user, ts): greater rid wins
+        "rid long, user_id long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_with_ties_and_no_match(spark, frames):
+    left, right = frames
+    out = {r.lid: (r.rid_r, r.v_r) for r in
+           asof_join(left, right, key="user_id", ts="ts",
+                     right_cols=["rid", "v"], order_col="rid").collect()}
+    assert out[1] == (104, 5.0)   # exact-ts match; duplicate resolved to max rid
+    assert out[2] == (102, 3.0)   # latest at-or-before 20
+    assert out[3] == (None, None)  # only future right rows for user 2
+    assert out[4] == (None, None)  # user 3 has no right rows
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    out = {r.lid: r.rid_r for r in
+           asof_join(left, right, key="user_id", ts="ts",
+                     right_cols=["rid", "v"], order_col="rid",
+                     tolerance_us=2_000_000).collect()}
+    assert out[1] == 104           # gap 0 <= 2s
+    assert out[2] is None          # gap 5s > 2s -> dropped
+
+
+def test_asof_matches_pandas_merge_asof_on_events(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    l = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    r = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    got = {row.event_id: row.event_id_r for row in
+           asof_join(l, r, key="user_id", ts="ts",
+                     right_cols=["event_id"], order_col="event_id").collect()}
+    lp = l.toPandas().sort_values("ts")
+    rp = r.toPandas().sort_values("ts").rename(columns={"event_id": "event_id_r"})
+    m = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    exp = {int(x.event_id): (int(x.event_id_r) if pd.notna(x.event_id_r) else None)
+           for _, x in m.iterrows()}
+    assert got == exp
+
+
+def test_asof_plan_is_one_window_no_range_join(spark, frames):
+    left, right = frames
+    plan = (
+        asof_join(left, right, key="user_id", ts="ts",
+                  right_cols=["rid", "v"], order_col="rid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1          # exactly one carry pass
+    assert "Join" not in plan.replace("Window", "")  # no join operator at all
