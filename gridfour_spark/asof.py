@@ -79,15 +79,17 @@ def asof_join(
     out = carried.filter(F.col("_side") == 0)
     if tolerance_us is not None:
         # microsecond-precise tolerance on the raw timestamps: matches
-        # older than the window revert to NULL (pandas merge_asof rule)
+        # older than the window revert to NULL (pandas merge_asof rule).
+        # unix_micros requires TIMESTAMP; NTZ columns cast first — the
+        # session-zone shift cancels in the difference.
+        def _us(c):
+            return F.unix_micros(c.cast("timestamp"))
+
         out = out.withColumn(
             "_m",
             F.when(
                 F.col("_m").isNotNull()
-                & (
-                    (F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_m")[ts]))
-                    <= F.lit(int(tolerance_us))
-                ),
+                & ((_us(F.col("_ts")) - _us(F.col("_m")[ts])) <= F.lit(int(tolerance_us))),
                 F.col("_m"),
             ),
         )

@@ -80,3 +80,23 @@ def test_asof_plan_is_one_window_no_range_join(spark, frames):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") == 1          # exactly one carry pass
     assert "Join" not in plan.replace("Window", "")  # no join operator at all
+
+
+def test_asof_tolerance_on_ntz_timestamps(spark):
+    """tolerance_us must work on TIMESTAMP_NTZ columns too (parquet events
+    load as NTZ; unix_micros requires TIMESTAMP — the operator casts,
+    and the session-zone shift cancels in the difference)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10.0))], "lid long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(100, 1, _ts(2.0), 1.0)], "rid long, user_id long, ts timestamp_ntz, v double"
+    )
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_cols=["rid", "v"], order_col="rid",
+                    tolerance_us=5_000_000).collect()
+    assert out[0].rid_r is None   # gap 8s > 5s tolerance
+    out2 = asof_join(left, right, key="user_id", ts="ts",
+                     right_cols=["rid", "v"], order_col="rid",
+                     tolerance_us=10_000_000).collect()
+    assert out2[0].rid_r == 100
