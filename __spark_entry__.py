@@ -624,6 +624,27 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (round 5): each purchase matched to EVERY
+    1-hour attribution window opened by a click of the same user —
+    bucketized equi-join + exact range filter (gridfour_spark/asof.py
+    interval_join; no per-key theta cross product). Oracle: the plain
+    BETWEEN join DuckDB plans as an IEJoin."""
+    from gridfour_spark.asof import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    intervals = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    out = interval_join(points, intervals, key="user_id", ts="ts")
+    return out.select("event_id", "user_id", "ts", "click_id", "start")
+
+
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows over the events table — the batch twin of
     streaming.windowed_event_counts (same window/agg semantics the streaming
@@ -1854,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_roundtrip": _q_geotiff_roundtrip,
         "event_windows": _q_event_windows,
         "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         "stream_tile_counts": _q_stream_tile_counts,
         "resumable_write": _q_resumable_write,
         "tpch_pricing": _q_tpch_pricing,
@@ -2226,6 +2248,15 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_grid_a('dem')})
               GROUP BY row // 2, col // 2
             )
+        """,
+        "interval_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+                 iv AS (SELECT user_id, event_id AS click_id, ts AS start,
+                               ts + INTERVAL 1 HOUR AS "end"
+                        FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts, iv.click_id, iv.start
+            FROM p JOIN iv ON p.user_id = iv.user_id
+                          AND p.ts >= iv.start AND p.ts < iv."end"
         """,
         "asof_join": """
             WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),

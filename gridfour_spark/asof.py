@@ -97,3 +97,50 @@ def asof_join(
     sel += [F.col("_m")[ts].alias(f"{ts}{suffix}")]
     sel += [F.col("_m")[c].alias(f"{c}{suffix}") for c in right_cols]
     return out.select(*sel)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Range (interval) join: every point row matched to EVERY interval of
+    the same key with start <= ts < end — the other temporal join Spark
+    lacks natively. The naive formulation is a theta-join (per-key cross
+    product filtered on the range); Spark plans that as BNLJ and it
+    explodes on hot keys.
+
+    Scalable shape: both sides BUCKETIZE on floor(time / bucket_us) —
+    intervals explode over the buckets they SPAN (sequence between start
+    and end buckets), points land in exactly one bucket — then one
+    equi-join on (key, bucket) + the exact range filter. Each
+    (point, interval) pair meets in exactly one bucket (the point's), so
+    no dedup is needed. Cost: |intervals| x avg_span_buckets + |points|
+    shuffled rows; pick bucket_us near the typical interval length so the
+    explode factor stays ~2. Hot keys shard across buckets instead of
+    cross-producting."""
+    p = points.withColumn(
+        "_b", F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(bucket_us))
+    )
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start).cast("timestamp")) / F.lit(bucket_us)),
+                # end is EXCLUSIVE: an interval ending exactly on a bucket
+                # boundary does not span the next bucket
+                F.floor(
+                    (F.unix_micros(F.col(end).cast("timestamp")) - F.lit(1))
+                    / F.lit(bucket_us)
+                ),
+            )
+        ),
+    )
+    joined = p.join(iv, on=[key, "_b"]).where(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+    )
+    return joined.drop("_b")

@@ -100,3 +100,37 @@ def test_asof_tolerance_on_ntz_timestamps(spark):
                      right_cols=["rid", "v"], order_col="rid",
                      tolerance_us=10_000_000).collect()
     assert out2[0].rid_r == 100
+
+
+def test_interval_join_matches_naive_and_no_bnlj(spark):
+    """Bucketized interval join must equal the naive range filter exactly —
+    including intervals spanning multiple buckets, exclusive-end boundary
+    points, and multi-match points — and plan as an equi-join (no BNLJ)."""
+    points = spark.createDataFrame(
+        [(1, 1, _ts(30.0)), (2, 1, _ts(3600.0)),       # exactly at an interval end
+         (3, 1, _ts(5400.0)), (4, 2, _ts(100.0)), (5, 2, _ts(100.0))],
+        "pid long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 1, _ts(0.0), _ts(3600.0)),                # pid 1 in; pid 2 OUT (exclusive end)
+         (11, 1, _ts(1800.0), _ts(9000.0)),             # spans 3 buckets; pids 2,3 in
+         (12, 2, _ts(0.0), _ts(200.0)),                 # two points match
+         (13, 2, _ts(50.0), _ts(150.0))],               # overlapping: multi-match
+        "iid long, user_id long, start timestamp, end timestamp",
+    )
+    from gridfour_spark.asof import interval_join
+
+    out = interval_join(points, intervals, key="user_id", ts="ts")
+    got = {(r.pid, r.iid) for r in out.collect()}
+    naive = {
+        (p.pid, i.iid)
+        for p in points.collect() for i in intervals.collect()
+        if p.user_id == i.user_id and i.start <= p.ts < i.end
+    }
+    assert got == naive
+    assert (2, 10) not in got and (2, 11) in got   # exclusive end honored
+    assert {(4, 12), (4, 13), (5, 12), (5, 13)} <= got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
