@@ -645,6 +645,59 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "click_id", "start")
 
 
+def _q_hyper_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable / continuous-aggregate rollup (round 5): minute buckets
+    aggregate RAW events once; hour and day levels re-aggregate the
+    MINUTE aggregate (sum-of-sums, sum-of-counts, min-of-mins,
+    max-of-maxs) — the TimescaleDB continuous-aggregate shape where each
+    coarser level reads the finer materialization, never the raw table
+    (at 100 TB the raw scan happens exactly once per refresh). The
+    oracle aggregates every level straight from RAW events, so the
+    reuse algebra itself is what gets value-checked."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vm = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(vm).alias("sum_milli"),
+        F.min(vm).alias("min_milli"),
+        F.max(vm).alias("max_milli"),
+    )
+
+    def _up(finer, unit):
+        return finer.groupBy(
+            F.date_trunc(unit, "bucket").alias("bucket"), "event_type"
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_milli").alias("sum_milli"),
+            F.min("min_milli").alias("min_milli"),
+            F.max("max_milli").alias("max_milli"),
+        )
+
+    hour = _up(minute, "hour")
+    day = _up(hour, "day")
+    out = (
+        minute.withColumn("resolution", F.lit("minute"))
+        .unionByName(hour.withColumn("resolution", F.lit("hour")))
+        .unionByName(day.withColumn("resolution", F.lit("day")))
+    )
+    return out.select("resolution", "bucket", "event_type", "n",
+                      "sum_milli", "min_milli", "max_milli")
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch (round 5): distinct words per
+    language estimated from the bottom-64 hash values — a sketch whose
+    estimator is EXACTLY reproducible in the DuckDB oracle (unlike HLL's
+    opaque registers), and whose kept set is a mergeable partial
+    aggregate (pinned in tests) — the property that makes it
+    shuffle-friendly at corpus scale."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    return textops.kmv_distinct(words, "lang", "word", k=64)
+
+
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows over the events table — the batch twin of
     streaming.windowed_event_counts (same window/agg semantics the streaming
@@ -1876,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
+        "hyper_rollup": _q_hyper_rollup,
+        "kmv_distinct": _q_kmv_distinct,
         "stream_tile_counts": _q_stream_tile_counts,
         "resumable_write": _q_resumable_write,
         "tpch_pricing": _q_tpch_pricing,
@@ -2248,6 +2303,31 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_grid_a('dem')})
               GROUP BY row // 2, col // 2
             )
+        """,
+        "kmv_distinct": textops.kmv_distinct_sql(
+            "lang", "unnest(string_split(text, ' '))",
+            "SELECT lang, text FROM documents", k=64
+        ),
+        "hyper_rollup": """
+            WITH base AS (
+              SELECT ts, event_type,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+              FROM events
+            ),
+            lv AS (
+              SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket,
+                     event_type, vm FROM base
+              UNION ALL
+              SELECT 'hour', date_trunc('hour', ts), event_type, vm FROM base
+              UNION ALL
+              SELECT 'day', date_trunc('day', ts), event_type, vm FROM base
+            )
+            SELECT resolution, bucket, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(vm) AS BIGINT) AS sum_milli,
+                   CAST(MIN(vm) AS BIGINT) AS min_milli,
+                   CAST(MAX(vm) AS BIGINT) AS max_milli
+            FROM lv GROUP BY 1, 2, 3
         """,
         "interval_join": """
             WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

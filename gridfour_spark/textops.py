@@ -27,6 +27,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_MINHASH = 8  # 2 bands x 4 rows (small-SF default; see lsh_params for scale)
 SHINGLE = 3
@@ -697,4 +698,60 @@ SELECT l.doc_id, l.cluster_id, s.cluster_size
 FROM lbl l
 JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
       FROM lbl GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values (KMV) distinct sketch per group — the bottom-k
+    cousin of HLL with an exactly-reproducible estimator (DuckDB twin
+    hash-matches, unlike approx_count_distinct's opaque registers).
+
+    Hash each value to 60 bits (the md5/conv idiom shared with MinHash);
+    keep the k SMALLEST distinct hashes per group; estimate
+    (k-1) / h_(k)-normalized when a group saturates, exact distinct count
+    otherwise. The kept set is MERGEABLE (union two groups' keeps, re-cut
+    to k — pinned in tests), which is what makes the sketch a shuffle-
+    friendly partial aggregate at 100-TB scale: partitions keep k hashes
+    per group locally and only those merge."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.to_binary(F.col(value_col).cast("string"), F.lit("utf-8"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    hashes = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    kept = hashes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    scale = float(2**60)
+    return kept.groupBy("g").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        F.col("g").alias(group_col),
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+            F.floor(F.lit(float(k - 1)) * F.lit(scale) / F.col("kth_hash") + 0.5)
+        ).cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(group_col: str, value_expr: str, src: str, k: int = 64) -> str:
+    """DuckDB twin: identical hash, bottom-k cut, and estimator."""
+    return f"""
+WITH vals AS (SELECT {group_col} AS g, {value_expr} AS v FROM ({src})),
+hashes AS (
+  SELECT DISTINCT g, CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM vals
+),
+kept AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashes
+  ) WHERE rn <= {k}
+)
+SELECT g AS {group_col}, COUNT(*) AS n_kept, MAX(h) AS kth_hash,
+       CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                 ELSE floor({float(k - 1)!r} * {float(2**60)!r} / MAX(h) + 0.5)
+            END AS BIGINT) AS est_distinct
+FROM kept GROUP BY g
 """

@@ -128,3 +128,40 @@ def test_dedup_clusters_matches_union_find(spark):
     assert got == exp
     # chain collapsed to one cluster rooted at 100 despite depth 40
     assert got[140] == (100, 41)
+
+
+def test_kmv_sketch_accuracy_and_mergeability(spark):
+    """KMV distinct sketch (round 5): estimate within the theoretical
+    ~1/sqrt(k-1) error on a known cardinality, exact below saturation, and
+    MERGEABLE — union of two halves' kept sets re-cut to k equals the
+    sketch of the union (the partial-aggregate property)."""
+    from pyspark.sql.window import Window as W
+
+    from gridfour_spark import textops
+
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    out = textops.kmv_distinct(df, "grp", "val", k=64).collect()[0]
+    assert out.n_kept == 64
+    rel_err = abs(out.est_distinct - n) / n
+    assert rel_err < 4.0 / (64 - 1) ** 0.5, (out.est_distinct, rel_err)
+
+    # below saturation: exact
+    small = spark.range(40).select(
+        F.lit("s").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    o2 = textops.kmv_distinct(small, "grp", "val", k=64).collect()[0]
+    assert o2.est_distinct == 40 and o2.kth_hash is not None
+
+    # mergeability: bottom-k of (keptA union keptB) == bottom-k of (A union B)
+    a = df.filter(F.col("val").substr(2, 10).cast("long") % 2 == 0)
+    b = df.filter(F.col("val").substr(2, 10).cast("long") % 2 == 1)
+    h = lambda d: d.select(  # noqa: E731
+        F.conv(F.substring(F.md5(F.to_binary(F.col("val"), F.lit("utf-8"))), 1, 15),
+               16, 10).cast("long").alias("h")).distinct()
+    kept = lambda d: {r.h for r in h(d).withColumn(  # noqa: E731
+        "rn", F.row_number().over(W.orderBy("h"))).filter(F.col("rn") <= 64).collect()}
+    merged = sorted(kept(a) | kept(b))[:64]
+    assert set(merged) == kept(df)
