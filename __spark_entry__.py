@@ -664,6 +664,11 @@ def _q_hyper_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(vm).alias("min_milli"),
         F.max(vm).alias("max_milli"),
     )
+    # materialize the finest level so the coarser levels genuinely read
+    # the aggregate, not raw events through lazy lineage (without this the
+    # union plan scans raw three times and the continuous-aggregate claim
+    # would be false in-plan)
+    minute = textops._persist_tracked(minute)
 
     def _up(finer, unit):
         return finer.groupBy(
