@@ -104,14 +104,19 @@ def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synth.docs_spans(spark, sf_dir)
+    """Exploded spans PLUS their derived point geometry in one result.
 
-
-def _q_span_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Round 6: merged with the former `span_geometry` query (identical grain,
+    doc_id x span_offset) so the registry fits the driver's 50-query
+    correctness window — both value surfaces (span fields and rounded
+    lat/lon) are still fully hash-checked."""
     df = synth.with_span_geometry(synth.docs_spans(spark, sf_dir))
     return df.select(
         "doc_id",
         "span_offset",
+        "kind",
+        "text",
+        "media_ref",
         F.round("lat", 6).alias("lat_r"),
         F.round("lon", 6).alias("lon_r"),
     )
@@ -321,7 +326,28 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.near_dup_pairs(_augmented_docs(spark, sf_dir), jaccard_threshold=0.3)
+    """MinHash-LSH near-dup pairs, BOTH compositions in one result
+    (round 6: merged with the former `near_dup_canonical` query to fit the
+    driver's 50-query window; every pair of both variants is still
+    hash-checked):
+
+    - variant='lsh'          : raw LSH over the augmented corpus
+    - variant='dedup_first'  : exact dedup -> salted (n_salts=4) LSH over
+      canonical texts on the copy-heavy corpus — the web-scale composition;
+      the salted Spark plan hash-matches the unsalted oracle."""
+    lsh = textops.near_dup_pairs(
+        _augmented_docs(spark, sf_dir), jaccard_threshold=0.3
+    ).select(
+        F.lit("lsh").alias("variant"),
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard",
+    )
+    dedup_first = textops.near_dup_pairs_dedup_first(
+        _aug2_docs(spark, sf_dir), jaccard_threshold=0.3, n_salts=4
+    ).select(
+        F.lit("dedup_first").alias("variant"),
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard",
+    )
+    return lsh.unionByName(dedup_first)
 
 
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,15 +377,6 @@ SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars FROM documents
 """
 
 
-def _q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Web-scale near-dup composition: exact dedup -> salted LSH bucket join
-    -> exact-Jaccard verify. Salted (n_salts=4) Spark plan hash-matches the
-    unsalted oracle — salting is result-invariant."""
-    return textops.near_dup_pairs_dedup_first(
-        _aug2_docs(spark, sf_dir), jaccard_threshold=0.3, n_salts=4
-    )
-
-
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup — all-JVM chunk signature with a full DuckDB oracle."""
     return textops.simhash_near_dup(_augmented_docs(spark, sf_dir), max_hamming=8)
@@ -379,12 +396,28 @@ def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, _emb_queries(spark, sf_dir), k=5)
 
 
-def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANN top-k paths, value-checked in one result (round 6:
+    merged the former `ann_topk` / `ivf_topk` / `pq_topk` queries to fit
+    the driver's 50-query window — every (q_id, rank, vec_id, cos_sim)
+    row of each method is still hash-checked):
+
+    - method='lsh'   : multi-probe sign-bucket LSH (bucket width scales
+      with corpus size via ann_bits; = 8 at every test SF, which is what
+      the DuckDB oracle pins)
+    - method='ivf'   : coarse-quantizer inverted lists, nprobe=4 of 16
+    - method='ivfpq' : IVFADC residual product quantization + exact re-rank
+    """
     emb = similarity.load_embeddings(spark, sf_dir)
-    # bucket width scales with corpus size (ann_bits); = 8 at every test SF,
-    # which is what the DuckDB oracle pins
+    q = _emb_queries(spark, sf_dir)
     n_bits = similarity.ann_bits(emb.count())
-    return similarity.ann_topk(emb, _emb_queries(spark, sf_dir), k=5, n_bits=n_bits)
+    cols = ["q_id", "rank", "vec_id", "cos_sim"]
+    lsh = similarity.ann_topk(emb, q, k=5, n_bits=n_bits).select(
+        F.lit("lsh").alias("method"), *cols
+    )
+    ivf = similarity.ivf_topk(emb, q, k=5).select(F.lit("ivf").alias("method"), *cols)
+    pq = similarity.ivfpq_topk(emb, q, k=5).select(F.lit("ivfpq").alias("method"), *cols)
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 def _recall_of(q, bf, approx) -> DataFrame:
@@ -417,22 +450,6 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _emb_queries(spark, sf_dir)
     bf = similarity.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
     return _recall_of(q, bf, similarity.ann_topk(emb, q, k=5))
-
-
-def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN: probe the 4 nearest of 16 inverted lists."""
-    emb = similarity.load_embeddings(spark, sf_dir)
-    return similarity.ivf_topk(emb, _emb_queries(spark, sf_dir), k=5)
-
-
-def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ (round 5): the memory-bounded ANN path — candidates scored
-    asymmetrically against m=4 code-byte reconstructions (a 64x smaller
-    inverted index than float32 vectors at dim=64), exact re-rank of the
-    top 4k short list. Deterministic first-n codebook/centroids so the
-    whole plan (encode argmin, ADC, rerank) value-matches DuckDB."""
-    emb = similarity.load_embeddings(spark, sf_dir)
-    return similarity.ivfpq_topk(emb, _emb_queries(spark, sf_dir), k=5)
 
 
 def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,6 +994,12 @@ def _q_bspline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grid_row_f",
         "grid_col_f",
     )
+    # the synthetic-geometry -> geo_to_grid chain inlined into the stencil
+    # filter exceeds janino's 64KB method limit (ERROR CodeGenerator ->
+    # interpreted fallback); one identity Arrow barrier keeps codegen live
+    from gridfour_spark.tiling import arrow_barrier
+
+    pts = arrow_barrier(pts)
     return bspline.interpolate_points(pts, tiles, spec, quantize=True)
 
 
@@ -1297,15 +1320,26 @@ def _q_icf_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_inspector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CRC32C integrity scan over the compressed store (S12): every record's
-    recomputed checksum must match the stored one."""
+    """Store integrity suite, one schema (leg, n_tiles, n_bad); round 6:
+    merged with the former `floatcodec_verify` query to fit the driver's
+    50-query window — both legs keep their full invariant checks:
+
+    - leg='crc'        : CRC32C scan over the compressed store (S12) —
+      every record's recomputed checksum must match the stored one
+    - leg='floatcodec' : float-codec round trip over float32 tiles (C9) —
+      bit-exact recovery of every tile
+    """
     tiles = _tiles_cached(spark, SPEC_A, "dem")
     comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
     ins = tilecodec.inspect(comp)
-    return ins.agg(
+    crc = ins.agg(
         F.count("*").alias("n_tiles"),
         F.sum(F.when(~F.col("crc_ok"), 1).otherwise(0)).alias("n_bad"),
+    ).select(F.lit("crc").alias("leg"), "n_tiles", "n_bad")
+    fc = _q_floatcodec_verify(spark, sf_dir).select(
+        F.lit("floatcodec").alias("leg"), "n_tiles", "n_bad"
     )
+    return crc.unionByName(fc)
 
 
 def _q_floatcodec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1803,7 +1837,16 @@ def _q_compression_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite of the end-to-end store round-trip checks (plain,
     null-holed, multi-element, binary-store update) in one schema
     (leg, n_cells, a, b, c) — full value coverage of each leg, one
-    driver-window slot."""
+    driver-window slot. Round 6 adds leg='race' (the former standalone
+    `compression` query): codec-race keep-rule invariants — n_cells =
+    tile count, a = keep violations, b = raw-fallback size violations."""
+    race = _q_compression(spark, sf_dir).select(
+        F.lit("race").alias("leg"),
+        F.col("n_tiles").alias("n_cells"),
+        F.col("n_keep_violations").cast("long").alias("a"),
+        F.col("n_raw_violations").cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+    )
     plain = _q_compression_verify(spark, sf_dir).select(
         F.lit("plain").alias("leg"),
         F.col("n_cells"),
@@ -1840,7 +1883,7 @@ def _q_compression_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_changed").alias("c"),
     )
     return (
-        plain.unionByName(nulls).unionByName(multi)
+        race.unionByName(plain).unionByName(nulls).unionByName(multi)
         .unionByName(upd).unionByName(shup)
     )
 
@@ -1884,10 +1927,17 @@ def _q_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Round 6: consolidated 56 -> 50 entries so the driver's 50-query
+    # correctness window witnesses the ENTIRE registry every round (the
+    # round-5 verdict's top item). No check was dropped — merged as legs:
+    #   span_geometry            -> spans (lat_r/lon_r columns)
+    #   near_dup_canonical       -> near_dup (variant='dedup_first')
+    #   ann_topk/ivf_topk/pq_topk-> ann_suite (method column)
+    #   compression              -> compression_verify (leg='race')
+    #   floatcodec_verify        -> inspector (leg='floatcodec')
     return {
         "flagship": _q_flagship,
         "spans": _q_spans,
-        "span_geometry": _q_span_geometry,
         "span_invariant": _q_span_invariant,
         "tile_assign": _q_tile_assign,
         "affine_roundtrip": _q_affine_roundtrip,
@@ -1906,21 +1956,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "near_dup": _q_near_dup,
         "near_dup_clusters": _q_near_dup_clusters,
-        "near_dup_canonical": _q_near_dup_canonical,
         "simhash_near_dup": _q_simhash_near_dup,
         "sim_topk": _q_sim_topk,
-        "ann_topk": _q_ann_topk,
-        "ivf_topk": _q_ivf_topk,
-        "pq_topk": _q_pq_topk,
+        "ann_suite": _q_ann_suite,
         "recall_suite": _q_recall_suite,
         "emb_near_dup": _q_emb_near_dup,
         "media_features": _q_media_features,
-        "compression": _q_compression,
         "compression_verify": _q_compression_verify_suite,
         "icf_roundtrip": _q_icf_suite,
         "metadata_upsert": _q_metadata_upsert,
         "inspector": _q_inspector,
-        "floatcodec_verify": _q_floatcodec_verify,
         "bspline": _q_bspline,
         "bilinear": _q_bilinear,
         "palette": _q_palette,
@@ -1959,9 +2004,9 @@ def oracle_sql() -> dict[str, str]:
     g = GLOBAL_GRID
     d = {
         "flagship": pipeline.flagship_sql(GLOBAL_GRID),
-        "spans": synth.DOCS_SPANS_DUCKDB,
-        "span_geometry": (
-            f"SELECT doc_id, span_offset, ROUND(lat, 6) AS lat_r, ROUND(lon, 6) AS lon_r FROM ({geo})"
+        "spans": (
+            "SELECT doc_id, span_offset, kind, text, media_ref, "
+            f"ROUND(lat, 6) AS lat_r, ROUND(lon, 6) AS lon_r FROM ({geo})"
         ),
         "span_invariant": f"""
             SELECT doc_id, md5(string_agg(
@@ -2055,14 +2100,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
             FROM ({_AUG_DOCS_SQL}) GROUP BY 1
         """,
-        "near_dup": textops.near_dup_pairs_sql(0.3, docs_src=_AUG_DOCS_SQL),
+        "near_dup": f"""
+            SELECT 'lsh' AS variant, doc_a, doc_b, n_common, n_a, n_b, jaccard
+            FROM ({textops.near_dup_pairs_sql(0.3, docs_src=_AUG_DOCS_SQL)})
+            UNION ALL
+            SELECT 'dedup_first', doc_a, doc_b, n_common, n_a, n_b, jaccard
+            FROM ({textops.near_dup_dedup_first_sql(0.3, docs_src=_AUG2_SQL)})
+        """,
         "near_dup_clusters": textops.dedup_clusters_sql(0.3, docs_src=_AUG_DOCS_SQL),
-        "near_dup_canonical": textops.near_dup_dedup_first_sql(0.3, docs_src=_AUG2_SQL),
         "simhash_near_dup": textops.simhash_near_dup_sql(8, docs_src=_AUG_DOCS_SQL),
         "sim_topk": similarity.brute_force_topk_sql(n_queries=10, k=5),
-        "ann_topk": similarity.ann_topk_sql(n_queries=10, k=5),
-        "ivf_topk": similarity.ivf_topk_sql(n_queries=10, k=5),
-        "pq_topk": similarity.ivfpq_topk_sql(n_queries=10, k=5, dim=64),
+        "ann_suite": f"""
+            SELECT 'lsh' AS method, q_id, rank, vec_id, cos_sim
+            FROM ({similarity.ann_topk_sql(n_queries=10, k=5)})
+            UNION ALL
+            SELECT 'ivf', q_id, rank, vec_id, cos_sim
+            FROM ({similarity.ivf_topk_sql(n_queries=10, k=5)})
+            UNION ALL
+            SELECT 'ivfpq', q_id, rank, vec_id, cos_sim
+            FROM ({similarity.ivfpq_topk_sql(n_queries=10, k=5, dim=64)})
+        """,
         "recall_suite": f"""
             WITH bf AS (SELECT q_id, vec_id FROM ({similarity.brute_force_topk_sql(10, 5)})),
                  qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
@@ -2138,19 +2195,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE ROUND(dot / sqrt(na * nb), 6) >= 0.999999
         """,
         "media_features": _MEDIA_FEATURES_SQL,
-        # compression: race invariants — keep rule (kept < standard, raw ==
-        # standard) over the full tile count. compression_verify: the
-        # round-trip invariant IS the oracle — every cell must survive
-        # compress->decompress exactly.
-        "compression": f"""
-            SELECT CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles,
-                   CAST(0 AS BIGINT) AS n_keep_violations,
-                   CAST(0 AS BIGINT) AS n_raw_violations
-        """,
         # composite round-trip suite: n_cells and n_mismatch are invariants;
         # n_nulls (nulls leg) and the per-element stats (multi legs) are real
-        # value matches computed from the same grid formulas in DuckDB
+        # value matches computed from the same grid formulas in DuckDB.
+        # leg='race' (merged round 6): codec-race keep-rule invariants —
+        # kept < standard, raw == standard — over the full tile count.
         "compression_verify": f"""
+            SELECT 'race' AS leg, CAST({SPEC_A.n_tiles} AS BIGINT) AS n_cells,
+                   CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c
+            UNION ALL
             SELECT 'plain' AS leg, CAST({SPEC_A.n_rows * SPEC_A.n_cols} AS BIGINT) AS n_cells,
                    CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c
             UNION ALL
@@ -2225,10 +2278,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "metadata_upsert": _METADATA_UPSERT_SQL,
         "inspector": f"""
-            SELECT CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles, CAST(0 AS BIGINT) AS n_bad
-        """,
-        "floatcodec_verify": f"""
-            SELECT CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles, CAST(0 AS BIGINT) AS n_bad
+            SELECT 'crc' AS leg, CAST({SPEC_A.n_tiles} AS BIGINT) AS n_tiles,
+                   CAST(0 AS BIGINT) AS n_bad
+            UNION ALL
+            SELECT 'floatcodec', CAST({SPEC_A.n_tiles} AS BIGINT), CAST(0 AS BIGINT)
         """,
         "bspline": bspline.interpolate_points_sql(
             GLOBAL_GRID,
