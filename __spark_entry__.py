@@ -1759,7 +1759,7 @@ def _q_update_store_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "n_cells", "sum_z",
             F.lit(live).cast("long").alias("n_live_tiles"),
-            F.lit(len(stats["changed"])).cast("long").alias("n_changed"),
+            F.lit(stats["n_changed"]).cast("long").alias("n_changed"),
         ).collect()
         return spark.createDataFrame(
             out, "n_cells long, sum_z long, n_live_tiles long, n_changed long"
