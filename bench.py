@@ -455,6 +455,77 @@ def main() -> None:
         finally:
             for d in amp_dirs:
                 _sh2.rmtree(d, ignore_errors=True)
+
+        # --- temporal-join hot-key stress (round-5 verdict #3) ------------
+        # one key holding ~90% of rows, amplified events: the plain as-of's
+        # per-key window is a single-task sort on the hot key (measured
+        # 17x at 30M rows); asof_join_salted shards the carry over time
+        # buckets and must hold hot/uniform <= ~2x. interval_join's hot
+        # ratio reflects PLAN cost only (its hot OUTPUT is inherently
+        # quadratic: every purchase x every overlapping click window).
+        from gridfour_spark.asof import asof_join, asof_join_salted, interval_join
+
+        _ef = int(os.environ.get("SPARK_GRAFT_HOTKEY_FACTOR", "30"))
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        amp_ev = ev.withColumn(
+            "rep", _F.explode(_F.sequence(_F.lit(0), _F.lit(_ef - 1)))
+        ).select(
+            (_F.col("event_id") + _F.col("rep") * 10_000_000).alias("event_id"),
+            (_F.col("user_id") + _F.col("rep") * 100_000).alias("user_id"),
+            (_F.col("ts") + (_F.col("rep") * _F.expr("INTERVAL 7 MINUTE"))).alias("ts"),
+            "event_type", "value",
+        )
+        ev_uniform = amp_ev.repartition(CPUS).persist()
+        ev_uniform.count()
+        ev_hot = amp_ev.withColumn(
+            "user_id",
+            _F.when(_F.pmod(_F.xxhash64("event_id"), 10) < 9, _F.lit(0))
+            .otherwise(_F.col("user_id")),
+        ).repartition(CPUS).persist()
+        ev_hot.count()
+
+        def _full(df) -> float:
+            t0 = time.time()
+            df.agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.sum(_F.xxhash64(*[_F.col(c) for c in df.columns])).alias("h"),
+            ).collect()
+            return time.time() - t0
+
+        def _asof(fn, df):
+            l = df.filter(_F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts", "value")
+            r = df.filter(_F.col("event_type") == "click").select(
+                "user_id", "ts", "event_id", "value")
+            return fn(l, r, key="user_id", ts="ts",
+                      right_cols=["event_id", "value"], order_col="event_id")
+
+        def _iv(df):
+            p = df.filter(_F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts")
+            iv = df.filter(_F.col("event_type") == "click").select(
+                "user_id", _F.col("event_id").alias("click_id"),
+                _F.col("ts").alias("start"),
+                (_F.col("ts") + _F.expr("INTERVAL 1 HOUR")).alias("end"))
+            return interval_join(p, iv, key="user_id", ts="ts")
+
+        asof_u = min(_full(_asof(asof_join, ev_uniform)) for _ in range(2))
+        asof_h = min(_full(_asof(asof_join, ev_hot)) for _ in range(2))
+        asof_hs = min(_full(_asof(asof_join_salted, ev_hot)) for _ in range(2))
+        iv_u = min(_full(_iv(ev_uniform)) for _ in range(2))
+        iv_h = min(_full(_iv(ev_hot)) for _ in range(2))
+        ev_uniform.unpersist(); ev_hot.unpersist()
+        stress["hotkey_events"] = {
+            "factor": _ef,
+            "asof_uniform_sec": round(asof_u, 3),
+            "asof_hot_sec": round(asof_h, 3),
+            "asof_hot_salted_sec": round(asof_hs, 3),
+            "asof_hot_ratio": round(asof_h / asof_u, 2) if asof_u else None,
+            "asof_hot_ratio_salted": round(asof_hs / asof_u, 2) if asof_u else None,
+            "interval_uniform_sec": round(iv_u, 3),
+            "interval_hot_sec": round(iv_h, 3),
+            "interval_hot_ratio": round(iv_h / iv_u, 2) if iv_u else None,
+        }
         result["stress"] = stress
 
     spark.stop()  # scaling probes below run in their own subprocesses

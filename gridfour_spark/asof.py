@@ -99,6 +99,133 @@ def asof_join(
     return out.select(*sel)
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    order_col: str | None = None,
+    tolerance_us: int | None = None,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Range-salted as-of join: identical semantics to asof_join, but the
+    per-key window is sharded over TIME BUCKETS so a pathological hot key
+    (one key holding ~all rows) never becomes a single-task sort.
+
+    asof_join's Window.partitionBy(key) concentrates each key on one
+    partition — linear, but measured 13x slower than uniform keys at 30M
+    rows with a 90%-hot key (single 27M-row sort). Here:
+
+    1. both sides bucket on floor(ts / bucket_us); the carry window
+       partitions by (key, bucket), so the hot key spreads over its time
+       span;
+    2. the state crossing bucket boundaries — "last right row at or before
+       each bucket's start" — is reconstructed at BUCKET grain: one
+       max_by aggregate per (key, bucket) of the right side (map-side
+       combined), then one per-key window over those aggregates
+       (O(#buckets) rows per key, not O(#rows)) carries each bucket's
+       seed; the seed is unioned into its bucket as an ordinary
+       right-tagged row (its timestamp is strictly below the bucket's
+       in-bucket timestamps, so the unchanged ordering places it first).
+
+    Pick bucket_us so a single key's rows per bucket fit a task (the
+    default 1h matches the events tables). Result is row-identical to
+    asof_join (asserted in tests/test_asof.py)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, ts)]
+    if order_col is None:
+        order_col = right_cols[0]
+
+    lcols = left.columns
+    r_struct = F.struct(*[F.col(c) for c in [ts] + right_cols])
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType.simpleString()
+    l_type = (
+        left.select(F.struct(*[F.col(c) for c in lcols]).alias("_l"))
+        .schema["_l"].dataType.simpleString()
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    l_tag = left.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.floor(us(ts) / F.lit(bucket_us)).alias("_b"),
+        F.lit(0).alias("_side"), F.lit(None).cast("long").alias("_ord"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.floor(us(ts) / F.lit(bucket_us)).alias("_b"),
+        F.lit(1).alias("_side"), F.col(order_col).cast("long").alias("_ord"),
+        F.lit(None).cast(l_type).alias("_l"),
+        r_struct.alias("_r"),
+    )
+
+    # --- bucket-grain seed carry (rows = one per populated (key, bucket)) --
+    # last right row of each (key, bucket): greatest (ts, ord) wins — the
+    # same tie rule the in-bucket carry applies
+    r_last = r_tag.groupBy("_k", "_b").agg(
+        F.max_by(
+            F.struct(F.col("_ts"), F.col("_ord"), F.col("_r")),
+            F.struct(F.unix_micros(F.col("_ts").cast("timestamp")), F.col("_ord")),
+        ).alias("_last")
+    )
+    l_buckets = l_tag.select("_k", "_b").distinct().withColumn("_bs", F.lit(0))
+    rb = r_last.select("_k", "_b", F.lit(1).alias("_bs"), F.col("_last"))
+    lb = l_buckets.select(
+        "_k", "_b", "_bs", F.lit(None).cast(rb.schema["_last"].dataType.simpleString()).alias("_last")
+    )
+    # left markers sort BEFORE right aggregates at equal bucket, so a left
+    # bucket's carried seed sees only STRICTLY EARLIER buckets' rights
+    # (in-bucket rights are handled by the main window below)
+    wseed = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_b").asc(), F.col("_bs").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seeds = (
+        lb.unionByName(rb)
+        .withColumn("_seed", F.last("_last", ignorenulls=True).over(wseed))
+        .filter((F.col("_bs") == 0) & F.col("_seed").isNotNull())
+        .select(
+            "_k",
+            F.col("_seed._ts").alias("_ts"),
+            "_b",
+            F.lit(1).alias("_side"),
+            F.col("_seed._ord").alias("_ord"),
+            F.lit(None).cast(l_type).alias("_l"),
+            F.col("_seed._r").alias("_r"),
+        )
+    )
+
+    # --- main carry, sharded on (key, bucket) ------------------------------
+    u = l_tag.unionByName(r_tag).unionByName(seeds)
+    w = (
+        Window.partitionBy("_k", "_b")
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_ord").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 0)
+    if tolerance_us is not None:
+        out = out.withColumn(
+            "_m",
+            F.when(
+                F.col("_m").isNotNull()
+                & (
+                    (us("_ts") - F.unix_micros(F.col("_m")[ts].cast("timestamp")))
+                    <= F.lit(int(tolerance_us))
+                ),
+                F.col("_m"),
+            ),
+        )
+    sel = [F.col("_l")[c].alias(c) for c in lcols]
+    sel += [F.col("_m")[ts].alias(f"{ts}{suffix}")]
+    sel += [F.col("_m")[c].alias(f"{c}{suffix}") for c in right_cols]
+    return out.select(*sel)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

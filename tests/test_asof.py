@@ -134,3 +134,61 @@ def test_interval_join_matches_naive_and_no_bnlj(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_salted_equals_plain(spark, frames):
+    """Range-salted as-of (round 6): row-identical to the plain operator on
+    the unit fixture — including exact-ts ties, duplicate right timestamps,
+    no-match lefts — and on real events, including matches that cross
+    bucket boundaries (bucket_us small enough that most do)."""
+    from gridfour_spark.asof import asof_join_salted
+
+    left, right = frames
+    kw = dict(key="user_id", ts="ts", right_cols=["rid", "v"], order_col="rid")
+    plain = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    # 5-second buckets: lid 2 (ts=20) must find rid 102 (ts=15) via the
+    # bucket-grain seed carry, two buckets back
+    salted = sorted(map(tuple, asof_join_salted(
+        left, right, bucket_us=5_000_000, **kw).collect()))
+    assert plain == salted
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    l = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    r = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    kw2 = dict(key="user_id", ts="ts", right_cols=["event_id"], order_col="event_id")
+    p2 = sorted(map(tuple, asof_join(l, r, **kw2).collect()))
+    s2 = sorted(map(tuple, asof_join_salted(l, r, **kw2).collect()))
+    assert p2 == s2
+
+
+def test_asof_salted_tolerance(spark, frames):
+    from gridfour_spark.asof import asof_join_salted
+
+    left, right = frames
+    out = {r.lid: r.rid_r for r in
+           asof_join_salted(left, right, key="user_id", ts="ts",
+                            right_cols=["rid", "v"], order_col="rid",
+                            tolerance_us=2_000_000, bucket_us=5_000_000).collect()}
+    assert out[1] == 104           # gap 0 <= 2s
+    assert out[2] is None          # gap 5s > 2s -> dropped
+
+
+def test_asof_salted_plan_shards_hot_key(spark, frames):
+    """The salted carry's MAIN window must partition by (key, bucket) —
+    the property that shards a hot key across its time span (measured
+    17.1x -> 2.4x hot/uniform ratio at 30M rows) — and still contain no
+    range join. The bucket-grain seed window partitions by key alone but
+    runs over per-bucket aggregates, not raw rows."""
+    from gridfour_spark.asof import asof_join_salted
+
+    left, right = frames
+    plan = (
+        asof_join_salted(left, right, key="user_id", ts="ts",
+                         right_cols=["rid", "v"], order_col="rid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 2  # seed carry + main carry, nothing else
+    # main window keyed by (_k, _b): hot keys shard over buckets
+    assert "windowspecdefinition(_k" in plan and "_b" in plan
