@@ -311,20 +311,14 @@ def decode_tile(payload: bytes, nr: int, nc: int) -> np.ndarray:
 # --- encoder (write direction: the engine's export race can emit ----------
 # --- GvrsCanonicalHuffman payloads the reference decodes) -----------------
 
-def _code_lengths(counts: np.ndarray, max_len: int = 15) -> np.ndarray:
-    """Optimal length-limited code lengths (boundary package-merge) over an
-    arbitrary alphabet — the reference builds a plain Huffman tree and
-    repairs overlong codes with PackageMerge (TreeBuilder.java:171-187);
-    going straight to package-merge is lossless-optimal under the same
-    15-bit cap (LengthEncoder.MAX_STANDARD_SYMBOL)."""
+def _package_merge_lengths(counts: np.ndarray, max_len: int = 15) -> np.ndarray:
+    """Optimal length-limited code lengths (boundary package-merge) — the
+    repair path for code trees whose plain-Huffman depth exceeds the 15-bit
+    cap (LengthEncoder.MAX_STANDARD_SYMBOL), mirroring the reference's
+    PackageMerge fallback (TreeBuilder.java:173-178)."""
     counts = np.asarray(counts, dtype=np.int64)
     sym = np.flatnonzero(counts)
     out = np.zeros(counts.size, dtype=np.int64)
-    if sym.size == 0:
-        return out
-    if sym.size == 1:
-        out[sym[0]] = 1
-        return out
     if sym.size > (1 << max_len):
         raise ValueError("alphabet too large for length cap")
     leaves = sorted((int(counts[s]), int(s), [int(s)]) for s in sym)
@@ -339,6 +333,51 @@ def _code_lengths(counts: np.ndarray, max_len: int = 15) -> np.ndarray:
     for _w, _t, syms in prev[: 2 * sym.size - 2]:
         for s in syms:
             out[s] += 1
+    return out
+
+
+def _code_lengths(counts: np.ndarray, max_len: int = 15) -> np.ndarray:
+    """Per-symbol code lengths via an EXACT simulation of the reference's
+    TreeBuilder.buildTree (TreeBuilder.java:75-188): leaves sorted by
+    (count asc, symbol desc), repeated merge of the two lowest chain nodes,
+    with the merged branch re-inserted BEFORE the first node of count >=
+    branch count. Both plain Huffman and package-merge are text-optimal, so
+    any tie-break gives the same total text bits — but the code TABLE is
+    run-length encoded over the per-symbol length vector, and the table
+    cost differs between equally-optimal length assignments (measured 1
+    byte on a 120x120 noisy tile, round 6). Reproducing the reference's
+    exact depths makes the race byte-comparable per tile. Codes past the
+    15-bit cap fall back to PackageMerge, like the reference."""
+    counts = np.asarray(counts, dtype=np.int64)
+    sym = np.flatnonzero(counts)
+    out = np.zeros(counts.size, dtype=np.int64)
+    if sym.size == 0:
+        return out
+    if sym.size == 1:
+        out[sym[0]] = 1
+        return out
+    # chain nodes: (count, [(symbol, depth)...]), kept sorted per the
+    # reference's rules; leaf order (count asc, symbol desc)
+    chain = [
+        (int(counts[s]), [(int(s), 0)])
+        for s in sorted(sym, key=lambda s: (int(counts[s]), -int(s)))
+    ]
+    while len(chain) > 1:
+        left = chain.pop(0)
+        right = chain.pop(0)
+        bc = left[0] + right[0]
+        branch = (
+            bc,
+            [(s, d + 1) for s, d in left[1]] + [(s, d + 1) for s, d in right[1]],
+        )
+        i = 0
+        while i < len(chain) and chain[i][0] < bc:
+            i += 1
+        chain.insert(i, branch)
+    for s, d in chain[0][1]:
+        out[s] = d
+    if out.max() > max_len:
+        return _package_merge_lengths(counts, max_len)
     return out
 
 

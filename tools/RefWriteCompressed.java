@@ -15,7 +15,13 @@ import org.gridfour.lsop.LsCodecUtility;
 //   mode=full  : default codec set + LSOP12 -> the realistic best-of-N race
 //                (deflate / huffman / canonical / LSOP with canonical or
 //                deflate residuals), exactly what "compression on" produces
-// Usage: RefWriteCompressed <path> <canon|full>
+//   mode=noisy : DEFAULT codec registration (Huffman/Deflate/Float/
+//                CanonHuffman, GvrsFileSpecification ctor order) over a
+//                per-tile mix of noise regimes chosen so CodecCanonHuffman
+//                wins at least some tiles -> the bits/sample parity corpus
+//                the round-5 verdict asked for (engine race <= reference
+//                per tile under the reference's default codec set)
+// Usage: RefWriteCompressed <path> <canon|full|noisy>
 public class RefWriteCompressed {
   public static void main(String[] args) throws Exception {
     String path = args[0];
@@ -28,6 +34,10 @@ public class RefWriteCompressed {
       spec.addCompressionCodec("GvrsCanonicalHuffman", CodecCanonHuffman.class);
       // also pins the RasterSpaceType header byte (round-4 verdict missing #2)
       spec.setRasterSpaceType(org.gridfour.coordinates.RasterSpaceType.Point);
+    } else if (mode.equals("noisy")) {
+      // keep the DEFAULT codec registration untouched (includes
+      // CodecCanonHuffman, GvrsFileSpecification.java:229)
+      spec.setRasterSpaceType(org.gridfour.coordinates.RasterSpaceType.Area);
     } else {
       LsCodecUtility.addLsopToSpecification(spec, false);
       spec.setRasterSpaceType(org.gridfour.coordinates.RasterSpaceType.Area);
@@ -38,9 +48,26 @@ public class RefWriteCompressed {
       GvrsElement e = g.getElements().get(0);
       for (int i = 0; i < nRows; i++) {
         for (int j = 0; j < nCols; j++) {
-          int v = (int) Math.round(
-            900.0 * Math.sin(i * 0.045) * Math.cos(j * 0.05)
-            + 30.0 * Math.sin(i * 0.3)) + r.nextInt(5);
+          int v;
+          if (mode.equals("noisy")) {
+            // per-tile regimes: (0) geometric-skew noise, (1) gaussian-ish
+            // noise on a ramp, (2) smooth field + small noise — different
+            // codecs win different tiles, canonical on the skewed ones
+            int regime = ((i / 120) * 3 + (j / 120)) % 3;
+            if (regime == 0) {
+              v = (int) Math.floor(-Math.log(1.0 - r.nextDouble()) * 3.0);
+            } else if (regime == 1) {
+              v = i + (int) Math.round(
+                (r.nextInt(7) + r.nextInt(7) + r.nextInt(7)) - 9);
+            } else {
+              v = (int) Math.round(400.0 * Math.sin(i * 0.06) * Math.cos(j * 0.07))
+                + r.nextInt(3);
+            }
+          } else {
+            v = (int) Math.round(
+              900.0 * Math.sin(i * 0.045) * Math.cos(j * 0.05)
+              + 30.0 * Math.sin(i * 0.3)) + r.nextInt(5);
+          }
           e.writeValueInt(i, j, v);
         }
       }
