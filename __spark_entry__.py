@@ -670,7 +670,14 @@ def _q_hyper_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarser level reads the finer materialization, never the raw table
     (at 100 TB the raw scan happens exactly once per refresh). The
     oracle aggregates every level straight from RAW events, so the
-    reuse algebra itself is what gets value-checked."""
+    reuse algebra itself is what gets value-checked.
+
+    The DURABLE form with INCREMENTAL refresh (day-partitioned parquet
+    materialization; refresh folds only the delta's partitions, late data
+    merges via the partial-combine algebra) is
+    gridfour_spark/hypertable.py RollupStore — refresh == full recompute
+    and delta-only partition scans are pytest-asserted
+    (tests/test_hypertable.py)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     vm = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
     minute = ev.groupBy(
