@@ -1,0 +1,85 @@
+"""Plan-regression tests for the benched top-5 queries (round-5 verdict
+next-round #6): a silent Catalyst regression — a BNLJ/cartesian sneaking in,
+a row-at-a-time Python UDF, an extra shuffle — must fail the suite, not
+show up as a bench slowdown three rounds later.
+
+Assertions are structural negatives plus SHUFFLE UPPER BOUNDS (pinned at
+the plan shapes measured in round 6): improvements pass, regressions fail.
+grid_stats intentionally allows TWO BroadcastNestedLoopJoins — the final
+stats x entropy cross and the per-value-counts x total-count cross inside
+the entropy leg; each broadcasts a SINGLE-ROW aggregate, which Spark plans
+as BNLJ by construction. Those are the only sanctioned instances in any
+benched plan."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+# query -> (max_bnlj, max_exchanges, expectations)
+_PINS = {
+    "flagship": dict(bnlj=0, exchanges=5, broadcast_join=True),
+    "grid_stats": dict(bnlj=2, exchanges=7, broadcast_join=False),
+    "ocean_volume": dict(bnlj=0, exchanges=1, broadcast_join=False),
+    "bspline": dict(bnlj=0, exchanges=5, broadcast_join=False),
+    "near_dup": dict(bnlj=0, exchanges=14, broadcast_join=True),
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = E.queries()
+    out = {}
+    for name in _PINS:
+        out[name] = (
+            qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_PINS))
+def test_no_cartesian_or_rowwise_python(plans, name):
+    plan = plans[name]
+    assert "CartesianProduct" not in plan, name
+    # row-at-a-time Python UDFs are banned engine-wide; Arrow-batched
+    # kernels (ArrowEvalPython / MapInPandas / MapInArrow) are the only
+    # sanctioned Python boundary
+    assert "BatchEvalPython" not in plan, name
+
+
+@pytest.mark.parametrize("name", sorted(_PINS))
+def test_bnlj_budget(plans, name):
+    n = plans[name].count("BroadcastNestedLoopJoin")
+    assert n <= _PINS[name]["bnlj"], (name, n)
+
+
+@pytest.mark.parametrize("name", sorted(_PINS))
+def test_shuffle_budget(plans, name):
+    # counts ReusedExchange too, so this is a strict upper bound on
+    # exchange OPERATORS; a new shuffle stage always raises it
+    n = plans[name].count("Exchange")
+    assert n <= _PINS[name]["exchanges"], (name, n)
+
+
+@pytest.mark.parametrize("name", sorted(_PINS))
+def test_expected_broadcast_joins_present(plans, name):
+    if _PINS[name]["broadcast_join"]:
+        assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_grid_stats_bnlj_is_single_row_cross(spark):
+    """Every sanctioned BNLJ must broadcast an aggregate (single-row by
+    construction), never a raw relation."""
+    plan = (
+        E.queries()["grid_stats"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    idx = plan.find("BroadcastNestedLoopJoin")
+    assert idx != -1
+    # everything below the BNLJ is aggregate-shaped: the subtree contains
+    # HashAggregate nodes and no join reads a raw relation directly
+    below = plan[idx:]
+    assert "HashAggregate" in below
