@@ -324,7 +324,40 @@ def main() -> None:
         _S.ivfpq_topk(cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16,
                       rerank=8, cent=_cent_tr, codebook=_cb_tr, index=_pq_index)
     )
+    # round-6 stretch: query-only latency against the STORED index vs the
+    # ad-hoc build — pins the claim that index construction is the
+    # expensive half of IVF-PQ and probing the stored artifact is cheap
+    t0 = time.time()
+    _S.ivfpq_topk(cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16,
+                  cent=_cent_tr, codebook=_cb_tr, index=_pq_index).count()
+    ivfpq_query_only_sec = time.time() - t0
+    t0 = time.time()
+    _S.ivfpq_topk(cemb, cq, k=5, n_lists=32, nprobe=2, m=4, n_codes=16,
+                  cent=_cent_tr, codebook=_cb_tr).count()
+    ivfpq_adhoc_sec = time.time() - t0
     _pq_index.unpersist()
+
+    # round-6 stretch: kNN ring-escalation / exhaustive-fallback fractions —
+    # the observable cost knob for polar-heavy point sets (r5 stretch #8)
+    from gridfour_spark import spatial as _SP
+    from gridfour_spark import synth as _synth2
+
+    _knn_stats: dict = {}
+    _sp_pts = _synth2.with_span_geometry(_synth2.docs_spans(spark, SF_DIR)).select(
+        "doc_id", "span_offset", "lat", "lon")
+    _anch = spark.createDataFrame(
+        [(a, la, lo) for a, la, lo in entrymod._ANCHORS],
+        "anchor_id long, alat double, alon double",
+    )
+    _SP.knn_join(_sp_pts, _anch, k=3, stats_out=_knn_stats).count()
+    _n_pts = _knn_stats["points"].count()
+    knn_frac = {
+        "n_points": _n_pts,
+        "escalated_fraction": round(_knn_stats["escalated"].count() / _n_pts, 6)
+        if _n_pts else None,
+        "fallback_fraction": round(_knn_stats["fallback"].count() / _n_pts, 6)
+        if _n_pts else None,
+    }
 
     # throughput charges the flagship with the geometry materialization it
     # consumes (the cache is an amortization ACROSS queries, not a skip)
@@ -354,6 +387,9 @@ def main() -> None:
         "gvrs_write_cells_per_sec": round(n_comp_cells / gvrs_write_sec, 1),
         "gvrs_read_cells_per_sec": round(n_comp_cells / gvrs_read_sec, 1),
         "recall_at_5_clustered": recall_clustered,
+        "ivfpq_query_only_sec": round(ivfpq_query_only_sec, 3),
+        "ivfpq_adhoc_build_sec": round(ivfpq_adhoc_sec, 3),
+        "knn_fallback": knn_frac,
     }
 
     # --- sf1.0-equivalent scale stress (round-3 item 5) -------------------

@@ -195,6 +195,7 @@ def knn_join(
     lon_col: str = "lon",
     res: int | None = None,
     ring: int = 1,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """k nearest anchors per point (haversine) — EXACT, via cell-ring
     candidate generation (SURVEY §2.5's grid_disk plan; round-3 review item:
@@ -344,11 +345,19 @@ def knn_join(
         return out, failed
 
     out_cert, fb_pts = _disk_pass(points, ring)
+    if stats_out is not None:
+        # telemetry frames (round-6 stretch: observable fallback cost for
+        # polar-heavy workloads). Counting these re-runs the disk passes;
+        # bench.py reports knn_escalated/fallback fractions from them.
+        stats_out["points"] = points
+        stats_out["escalated"] = fb_pts
     if (2 * ring + 1) < n_rows or (2 * ring + 1) < n_cols:
         # ring escalation: one re-certified retry at 3x width before paying
         # the exhaustive price (only the uncertified sliver re-enters)
         out_esc, fb_pts = _disk_pass(fb_pts, 3 * ring)
         out_cert = out_cert.unionByName(out_esc)
+    if stats_out is not None:
+        stats_out["fallback"] = fb_pts
     # exhaustive re-check for the uncertified sliver: a salted replicate
     # equi-join (the skew.salted_join shape). A lit(1) key would be
     # constant-folded into a BroadcastNestedLoopJoin; a hash-of-row salt
