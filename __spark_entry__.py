@@ -573,10 +573,18 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- relational checklist (SURVEY §2.5) over the TPC-H-ish tables -------------
 
 def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S10 end-to-end: DEM -> tiled deflate GeoTIFF (COG layout) -> Spark
-    range-read scan -> aggregate; totals value-matched against the raw grid
-    in DuckDB. The written pixels are the Spark-computed DEM (cell-identical
-    to the oracle's grid, as every grid query proves)."""
+    """Format roundtrips, one leg per sink/source pair, all value-matched
+    against the same raw grid in DuckDB:
+      full/overview2 — DEM -> tiled deflate GeoTIFF (COG layout) -> Spark
+        range-read scan (S10);
+      zarr (round 6) — DEM cells -> DISTRIBUTED Zarr v2 sink (executors
+        write chunk objects, driver writes only JSON metadata) ->
+        distributed chunk-pushdown read (gridfour_spark/zarrv2.py);
+      netcdf (round 6) — DEM -> NetCDF-3 classic sink -> distributed
+        row-slab read (gridfour_spark/netcdf.py), the reference's
+        PackageData input format (demo/.../PackageData.java:196-260).
+    The written pixels are the Spark-computed DEM (cell-identical to the
+    oracle's grid, as every grid query proves)."""
     import os
     import shutil
     import tempfile
@@ -584,6 +592,8 @@ def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from gridfour_spark import geotiff
+    from gridfour_spark import netcdf as NC
+    from gridfour_spark import zarrv2
 
     spec = SPEC_A
     pdf = synth.grid_df(spark, spec, value="dem").toPandas()
@@ -608,9 +618,34 @@ def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).collect()
             ]
 
+        def agg_cells(cells, leg: str):
+            return [
+                (leg, *r)
+                for r in cells.agg(
+                    F.count("*").alias("n_cells"),
+                    F.sum(F.col("z").cast("long")).alias("sum_z"),
+                    F.min(F.col("z").cast("long")).alias("min_z"),
+                    F.max(F.col("z").cast("long")).alias("max_z"),
+                ).collect()
+            ]
+
         # level 1 = the factor-2 COG overview (floor(mean) blocks, the A5
         # downsample pyramid materialized as a chained IFD)
         out = agg_level(0, "full") + agg_level(1, "overview2")
+
+        zp = os.path.join(d, "dem.zarr")
+        zarrv2.write_zarr(
+            synth.grid_df(spark, spec, value="dem").select(
+                "row", "col", F.col("z").cast("double").alias("z")),
+            zp, shape=(spec.n_rows, spec.n_cols), chunks=(128, 128),
+            dtype="<i4", compressor={"id": "zlib", "level": 6},
+        )
+        out += agg_cells(zarrv2.zarr_cells(spark, zp), "zarr")
+
+        ncp = os.path.join(d, "dem.nc")
+        NC.write_netcdf(ncp, arr, var="z")
+        out += agg_cells(NC.netcdf_cells(spark, ncp), "netcdf")
+
         return spark.createDataFrame(
             out, "leg string, n_cells long, sum_z long, min_z long, max_z long"
         )
@@ -2368,6 +2403,16 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_grid_a('dem')})
               GROUP BY row // 2, col // 2
             )
+            UNION ALL
+            SELECT 'zarr', COUNT(*),
+                   CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),
+                   CAST(MIN(z) AS BIGINT), CAST(MAX(z) AS BIGINT)
+            FROM ({_grid_a('dem')})
+            UNION ALL
+            SELECT 'netcdf', COUNT(*),
+                   CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),
+                   CAST(MIN(z) AS BIGINT), CAST(MAX(z) AS BIGINT)
+            FROM ({_grid_a('dem')})
         """,
         "kmv_distinct": textops.kmv_distinct_sql(
             "lang", "unnest(string_split(text, ' '))",

@@ -1,0 +1,258 @@
+"""Zarr v2 source/sink (round 6): pure-numpy implementation of the public
+Zarr v2 spec — byte-level golden layout checks (no zarr lib in the
+container, so the spec text is the interop authority), distributed
+chunk-read with window pushdown, a fully distributed chunk sink, and the
+cross-format transcode matrix (Zarr <-> GVRS tiles <-> NetCDF)."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridfour_spark import zarrv2 as Z
+
+
+def _demo_grid(nrows=130, ncols=170):
+    i, j = np.indices((nrows, ncols))
+    return np.round(800.0 * np.sin(i * 0.07) * np.cos(j * 0.03)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# golden byte-level spec conformance (driver-side codec)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_bytes_match_spec_zlib(tmp_path):
+    """A chunk object must be exactly zlib(C-order raw bytes of the FULL
+    chunk shape, edge chunks padded with fill) and the .zarray JSON must
+    carry the v2 fields — asserted byte-for-byte from the spec, not via a
+    library."""
+    p = str(tmp_path / "a.zarr")
+    arr = np.arange(12, dtype="<i4").reshape(3, 4)
+    Z.write_zarr_array(p, arr, chunks=(2, 3), compressor={"id": "zlib", "level": 6},
+                       fill_value=-1)
+    meta = json.load(open(os.path.join(p, ".zarray")))
+    assert meta["zarr_format"] == 2
+    assert meta["shape"] == [3, 4] and meta["chunks"] == [2, 3]
+    assert meta["dtype"] == "<i4" and meta["order"] == "C"
+    assert meta["compressor"] == {"id": "zlib", "level": 6}
+    assert meta["fill_value"] == -1 and meta["filters"] is None
+    # chunk (0,0) covers rows 0..1, cols 0..2 fully
+    want00 = np.array([[0, 1, 2], [4, 5, 6]], dtype="<i4")
+    got = np.frombuffer(
+        zlib.decompress(open(os.path.join(p, "0.0"), "rb").read()), dtype="<i4"
+    ).reshape(2, 3)
+    assert np.array_equal(got, want00)
+    # edge chunk (1,1): row 2 only, col 3 only -> padded with fill=-1
+    got = np.frombuffer(
+        zlib.decompress(open(os.path.join(p, "1.1"), "rb").read()), dtype="<i4"
+    ).reshape(2, 3)
+    want11 = np.full((2, 3), -1, dtype="<i4")
+    want11[0, 0] = 11
+    assert np.array_equal(got, want11)
+
+
+def test_handwritten_store_reads_back(tmp_path):
+    """Interop direction 2: a store assembled BY HAND from the spec text
+    (raw JSON + zlib'd buffers, no engine writer involved) decodes through
+    the engine reader."""
+    p = tmp_path / "h.zarr"
+    p.mkdir()
+    (p / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [4, 4], "chunks": [4, 2],
+        "dtype": "<f8", "order": "F",
+        "compressor": {"id": "zlib", "level": 1},
+        "fill_value": "NaN", "filters": None,
+    }))
+    left = np.arange(8, dtype="<f8").reshape(4, 2)
+    (p / "0.0").write_bytes(zlib.compress(left.ravel(order="F").tobytes()))
+    # chunk 0.1 deliberately absent -> fill (NaN)
+    info = Z.parse_zarr_array(str(p))
+    assert info.order == "F" and np.isnan(info.fill_value)
+    out = Z.read_zarr_array(str(p))
+    assert np.array_equal(out[:, :2], left)
+    assert np.all(np.isnan(out[:, 2:]))
+
+
+@pytest.mark.parametrize("compressor", [
+    {"id": "null"}, {"id": "zlib", "level": 4}, {"id": "gzip", "level": 5},
+    {"id": "bz2", "level": 1}, {"id": "lzma"},
+])
+def test_roundtrip_all_stdlib_codecs(tmp_path, compressor):
+    p = str(tmp_path / "c.zarr")
+    g = _demo_grid()
+    Z.write_zarr_array(p, g, chunks=(64, 64), compressor=compressor)
+    assert np.array_equal(Z.read_zarr_array(p), g)
+
+
+def test_roundtrip_f_order_separator_delta_filter(tmp_path):
+    p = str(tmp_path / "f.zarr")
+    g = _demo_grid(90, 75)
+    Z.write_zarr_array(
+        p, g, chunks=(32, 32), order="F", separator="/",
+        filters=[{"id": "delta", "dtype": "<i4"}],
+        compressor={"id": "zlib", "level": 6},
+    )
+    # separator "/" nests chunk objects in per-row directories
+    assert os.path.exists(os.path.join(p, "0", "1"))
+    meta = json.load(open(os.path.join(p, ".zarray")))
+    assert meta["dimension_separator"] == "/" and meta["order"] == "F"
+    assert np.array_equal(Z.read_zarr_array(p), g)
+
+
+def test_unsupported_codec_is_honest(tmp_path):
+    p = tmp_path / "b.zarr"
+    p.mkdir()
+    (p / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [2, 2], "chunks": [2, 2], "dtype": "<i4",
+        "order": "C", "fill_value": 0, "filters": None,
+        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    }))
+    (p / "0.0").write_bytes(b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="blosc"):
+        Z.read_zarr_array(str(p))
+
+
+# ---------------------------------------------------------------------------
+# distributed source
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_cells_match_grid(spark, tmp_path):
+    p = str(tmp_path / "d.zarr")
+    g = _demo_grid()
+    Z.write_zarr_array(p, g, chunks=(48, 48))
+    cells = Z.zarr_cells(spark, p).toPandas().sort_values(["row", "col"])
+    assert len(cells) == g.size
+    got = cells["z"].to_numpy().reshape(g.shape)
+    assert np.array_equal(got, g.astype(np.float64))
+
+
+def test_window_pushdown_opens_only_covering_chunks(spark, tmp_path):
+    """Proof of pushdown: delete every chunk OUTSIDE the window after
+    writing; the windowed read must still succeed with exact values (it
+    never opens them) while those chunks now read back as fill."""
+    p = str(tmp_path / "w.zarr")
+    g = _demo_grid()
+    Z.write_zarr_array(p, g, chunks=(48, 48), fill_value=0)
+    # window rows 50..95, cols 60..140 -> chunk rows 1..1, chunk cols 1..2
+    keep = {(1, 1), (1, 2)}
+    removed = 0
+    for f in os.listdir(p):
+        if f.startswith("."):
+            continue
+        ci, cj = map(int, f.split("."))
+        if (ci, cj) not in keep:
+            os.remove(os.path.join(p, f))
+            removed += 1
+    assert removed > 0
+    w = Z.zarr_cells(spark, p, row_range=(50, 96), col_range=(60, 141))
+    pdf = w.toPandas().sort_values(["row", "col"])
+    assert len(pdf) == 46 * 81
+    want = g[50:96, 60:141].astype(float).ravel()
+    assert np.array_equal(pdf["z"].to_numpy(), want)
+
+
+def test_fill_value_semantics(spark, tmp_path):
+    """Default: fill_value is 'value of unwritten cells' (spec), so
+    equal-to-fill data passes through as values. fill_as_null=True opts in
+    to sentinel semantics; float NaN is always NULL."""
+    p = str(tmp_path / "n.zarr")
+    g = _demo_grid(40, 40).astype(np.float32)
+    g[3, 5] = -9999.0
+    Z.write_zarr_array(p, g, chunks=(32, 32), fill_value=-9999.0)
+    plain = Z.zarr_cells(spark, p)
+    assert plain.filter(F.col("z").isNull()).count() == 0
+    assert plain.filter((F.col("row") == 3) & (F.col("col") == 5)
+                        ).collect()[0]["z"] == -9999.0
+    sent = Z.zarr_cells(spark, p, fill_as_null=True)
+    nulls = sent.filter(F.col("z").isNull()).select("row", "col").collect()
+    assert {(r["row"], r["col"]) for r in nulls} == {(3, 5)}
+
+
+# ---------------------------------------------------------------------------
+# distributed sink
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_sink_bytes_identical_to_local_writer(spark, tmp_path):
+    """write_zarr (executors write chunk objects) and write_zarr_array
+    (driver) share encode_chunk — the stores must be byte-identical, chunk
+    object by chunk object, and .zarray by .zarray."""
+    g = _demo_grid()
+    pd_cells = [(int(r), int(c), float(g[r, c]))
+                for r in range(g.shape[0]) for c in range(g.shape[1])]
+    cells = spark.createDataFrame(pd_cells, "row long, col long, z double")
+    p1 = str(tmp_path / "dist.zarr")
+    p2 = str(tmp_path / "locl.zarr")
+    stats = Z.write_zarr(cells, p1, shape=g.shape, chunks=(48, 48),
+                         dtype="<i4", compressor={"id": "zlib", "level": 6})
+    Z.write_zarr_array(p2, g, chunks=(48, 48),
+                       compressor={"id": "zlib", "level": 6})
+    assert stats["n_chunks"] == 12 and stats["n_cells"] == g.size
+    assert json.load(open(os.path.join(p1, ".zarray"))) == \
+           json.load(open(os.path.join(p2, ".zarray")))
+    for f in sorted(os.listdir(p2)):
+        if f.startswith("."):
+            continue
+        b1 = open(os.path.join(p1, f), "rb").read()
+        b2 = open(os.path.join(p2, f), "rb").read()
+        assert b1 == b2, f
+    assert np.array_equal(Z.read_zarr_array(p1), g)
+
+
+def test_sparse_sink_writes_only_occupied_chunks(spark, tmp_path):
+    p = str(tmp_path / "s.zarr")
+    cells = spark.createDataFrame(
+        [(0, 0, 7.0), (1, 2, 8.0), (200, 300, 9.0)], "row long, col long, z double"
+    )
+    stats = Z.write_zarr(cells, p, shape=(256, 384), chunks=(64, 64),
+                         fill_value=-1)
+    assert stats["n_chunks"] == 2  # (0,0) holds two cells; (3,4) one
+    out = Z.read_zarr_array(p)
+    assert out[0, 0] == 7 and out[1, 2] == 8 and out[200, 300] == 9
+    assert out[5, 5] == -1 and out[100, 100] == -1  # absent chunk -> fill
+
+
+# ---------------------------------------------------------------------------
+# cross-format transcode (the PackageData pipeline, Zarr edition)
+# ---------------------------------------------------------------------------
+
+
+def test_transcode_zarr_to_gvrs_tiles_and_netcdf(spark, tmp_path):
+    """Zarr -> distributed cells -> GVRS tile store (codec race) -> cells,
+    and Zarr -> NetCDF classic — values identical end-to-end. This is the
+    reference's PackageData flagship shape (demo/.../PackageData.java)
+    with a cloud-native source."""
+    from gridfour_spark import netcdf as NC
+    from gridfour_spark import store as gstore
+    from gridfour_spark import tilecodec
+    from gridfour_spark.spec import GridSpec
+
+    g = _demo_grid(96, 128)
+    zp = str(tmp_path / "t.zarr")
+    Z.write_zarr_array(zp, g, chunks=(48, 48))
+    cells = Z.zarr_cells(spark, zp)
+
+    spec = GridSpec(n_rows=96, n_cols=128, n_rows_in_tile=32, n_cols_in_tile=32)
+    tiles = gstore.build_tiles(cells, spec)
+    packed = tilecodec.compress_tiles(tiles, spec)  # the GVRS codec race
+    back = gstore.tiles_to_cells(tilecodec.decompress_tiles(packed, spec), spec)
+    a, b = cells.alias("a"), back.alias("b")
+    diff = (
+        a.join(b, ["row", "col"], "full")
+        .filter(~F.col("a.z").eqNullSafe(F.col("b.z")))
+        .count()
+    )
+    assert diff == 0
+
+    ncp = str(tmp_path / "t.nc")
+    NC.write_netcdf(ncp, g.astype(np.float64), var="z")
+    nc_cells = NC.netcdf_cells(spark, ncp)
+    agg = lambda df: df.agg(F.count("*"), F.sum("z"), F.min("z"), F.max("z")).collect()[0]
+    assert list(agg(cells)) == list(agg(nc_cells))
