@@ -24,6 +24,18 @@ independently addressable with no shared directory to page.
   driver writes only the JSON metadata. Unlike the GVRS single-file
   packaging contract (a declared driver-streamed assembly), this sink
   parallelizes to cluster width — the shape a 100 TB export needs.
+- ``update_zarr`` — DISTRIBUTED chunk upsert: deltas group by chunk id and
+  each executor task read-modify-writes only its own chunk object. Cost is
+  O(touched chunks); untouched chunks are never opened. Contrast with the
+  GVRS single-file update (record-manager compaction): Zarr's
+  one-object-per-chunk layout makes update embarrassingly parallel, which
+  is exactly why object stores favor it.
+- ``write_zarr_pyramid`` — multiscale overview pyramid (the A5 downsample /
+  COG-overview analytics as a STORED artifact): level 0 plus factor-2
+  mean-pooled levels, each written with the distributed sink and each
+  level's input read back from the level below (the sink is the source —
+  no lineage recompute), plus a ``.zgroup`` + consolidated multiscale
+  attrs in the OME-NGFF style.
 - ``write_zarr_array`` / ``read_zarr_array`` — driver-side whole-array
   convenience for tests and golden vectors, sharing the same chunk codec.
 
@@ -510,3 +522,130 @@ def write_zarr(
     return {"n_chunks": row["n_chunks"] or 0,
             "n_cells": row["n_cells"] or 0,
             "n_bytes": row["n_bytes"] or 0}
+
+
+def update_zarr(deltas, path: str) -> dict:
+    """Distributed chunk upsert: ``deltas`` (row, col, z) group by chunk id
+    and EACH EXECUTOR TASK read-modify-writes only its own chunk object
+    (absent chunk -> start from fill). Untouched chunks are never opened,
+    so the cost is O(touched chunks) with zero driver state beyond the
+    .zarray JSON — the property the GVRS single-file update
+    (gvrsfile.py update_gvrs, record-manager compaction per
+    core/.../gvrs/RecordManager.java) has to work for, Zarr gets
+    structurally from one-object-per-chunk. ``os.replace`` keeps each
+    object atomic under task retries (same input -> same bytes, so a retry
+    rewrites identically). Returns {'n_chunks', 'n_cells', 'n_bytes'}."""
+    from pyspark.sql import functions as F
+
+    info = parse_zarr_array(path)
+    if len(info.shape) != 2:
+        raise ValueError("update_zarr is 2-D")
+    ch, cw = info.chunks
+
+    keyed = deltas.select(
+        (F.col("row") / ch).cast("long").alias("ci"),
+        (F.col("col") / cw).cast("long").alias("cj"),
+        "row", "col", "z",
+    )
+
+    def emit(key, pdf):
+        import pandas as pd
+
+        ci, cj = int(key[0]), int(key[1])
+        p = _chunk_path(info, ci, cj)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                block = decode_chunk(f.read(), info).copy()
+        else:
+            block = _fill_array(info)
+        lr = pdf["row"].to_numpy() - ci * ch
+        lc = pdf["col"].to_numpy() - cj * cw
+        z = pdf["z"].to_numpy()
+        if info.dtype.kind in "iu":
+            z = np.rint(np.nan_to_num(z, nan=float(info.fill_value or 0)))
+        block[lr, lc] = z.astype(info.dtype)
+        data = encode_chunk(block, info)
+        _atomic_write(p, data)
+        return pd.DataFrame(
+            {"ci": [ci], "cj": [cj], "n_cells": [len(pdf)], "n_bytes": [len(data)]}
+        )
+
+    out = keyed.groupBy("ci", "cj").applyInPandas(
+        emit, "ci long, cj long, n_cells long, n_bytes long"
+    )
+    row = out.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_cells").alias("n_cells"),
+        F.sum("n_bytes").alias("n_bytes"),
+    ).collect()[0]
+    return {"n_chunks": row["n_chunks"] or 0,
+            "n_cells": row["n_cells"] or 0,
+            "n_bytes": row["n_bytes"] or 0}
+
+
+# ---------------------------------------------------------------------------
+# multiscale pyramid (stored A5 / COG-overview artifact)
+# ---------------------------------------------------------------------------
+
+
+def write_zarr_pyramid(
+    cells,
+    path: str,
+    shape: tuple,
+    n_levels: int,
+    chunks: tuple = (128, 128),
+    compressor: dict | None = None,
+    fill_value=0,
+) -> list:
+    """Multiscale mean pyramid as a Zarr GROUP: ``path/0`` is the full-res
+    array (float64), ``path/l`` is a factor-2 mean-pool of ``path/(l-1)``
+    (edge blocks average their real cells only — same semantics as
+    raster_ops.downsample / the reference's ExampleDownsample.java:164-205
+    and the GeoTIFF COG overview chain). Each level is written with the
+    DISTRIBUTED sink and each level's input is ``zarr_cells`` of the level
+    below — the store itself is the stage boundary, so level l+1 reads 1/4
+    the bytes of level l and nothing recomputes from the source lineage.
+    The group carries OME-NGFF-style multiscale attrs in ``.zattrs``.
+    Returns the per-level stats list."""
+    from pyspark.sql import functions as F
+
+    if n_levels < 1:
+        raise ValueError("n_levels >= 1")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": ZARR_FORMAT}, f)
+
+    stats = []
+    cur, cur_shape = cells.select("row", "col", F.col("z").cast("double").alias("z")), tuple(shape)
+    spark = cells.sparkSession
+    datasets = []
+    for lvl in range(n_levels):
+        lp = os.path.join(path, str(lvl))
+        stats.append(
+            write_zarr(cur, lp, shape=cur_shape, chunks=chunks, dtype="<f8",
+                       compressor=compressor, fill_value=fill_value)
+        )
+        datasets.append({"path": str(lvl),
+                         "coordinateTransformations": [
+                             {"type": "scale", "scale": [float(2 ** lvl)] * 2}]})
+        if lvl + 1 == n_levels:
+            break
+        prev = zarr_cells(spark, lp)
+        cur = (
+            prev.groupBy(
+                F.expr("CAST(row div 2 AS BIGINT)").alias("row"),
+                F.expr("CAST(col div 2 AS BIGINT)").alias("col"),
+            )
+            .agg(F.avg("z").alias("z"))
+        )
+        cur_shape = (-(-cur_shape[0] // 2), -(-cur_shape[1] // 2))
+
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(
+            {"multiscales": [{"version": "0.4", "name": os.path.basename(path),
+                              "axes": [{"name": "row", "type": "space"},
+                                       {"name": "col", "type": "space"}],
+                              "datasets": datasets, "type": "mean"}]},
+            f, indent=1, sort_keys=True,
+        )
+    return stats

@@ -219,6 +219,82 @@ def test_sparse_sink_writes_only_occupied_chunks(spark, tmp_path):
     assert out[5, 5] == -1 and out[100, 100] == -1  # absent chunk -> fill
 
 
+def test_distributed_update_touches_only_delta_chunks(spark, tmp_path):
+    """update_zarr read-modify-writes ONLY the chunks holding deltas:
+    untouched chunk objects must be byte-identical afterwards (they are
+    never opened, let alone rewritten), and the updated store must equal
+    the numpy-updated array exactly."""
+    p = str(tmp_path / "u.zarr")
+    g = _demo_grid()  # 130 x 170, chunks (48,48) -> 3 x 4 grid
+    Z.write_zarr_array(p, g, chunks=(48, 48))
+    before = {
+        f: open(os.path.join(p, f), "rb").read()
+        for f in os.listdir(p) if not f.startswith(".")
+    }
+    deltas = [(0, 0, 111.0), (1, 1, 222.0), (100, 160, 333.0)]
+    stats = Z.update_zarr(
+        spark.createDataFrame(deltas, "row long, col long, z double"), p
+    )
+    # (0,0) holds two deltas; (2,3) one -> exactly 2 chunks rewritten
+    assert stats["n_chunks"] == 2 and stats["n_cells"] == 3
+    want = g.copy()
+    for r, c, z in deltas:
+        want[r, c] = int(z)
+    assert np.array_equal(Z.read_zarr_array(p), want)
+    after = {
+        f: open(os.path.join(p, f), "rb").read()
+        for f in os.listdir(p) if not f.startswith(".")
+    }
+    changed = {f for f in before if before[f] != after[f]}
+    assert changed == {"0.0", "2.3"}
+
+
+def test_update_into_absent_chunk_starts_from_fill(spark, tmp_path):
+    p = str(tmp_path / "ua.zarr")
+    cells = spark.createDataFrame([(0, 0, 1.0)], "row long, col long, z double")
+    Z.write_zarr(cells, p, shape=(128, 128), chunks=(64, 64), fill_value=-7)
+    # chunk (1,1) was never written; an upsert there must seed it with fill
+    Z.update_zarr(
+        spark.createDataFrame([(100, 100, 5.0)], "row long, col long, z double"), p
+    )
+    out = Z.read_zarr_array(p)
+    assert out[0, 0] == 1 and out[100, 100] == 5
+    assert out[100, 101] == -7 and out[64, 64] == -7
+
+
+def _mean_pool(a: np.ndarray) -> np.ndarray:
+    """Factor-2 mean over REAL cells only (edge blocks average what exists),
+    the raster_ops.downsample / ExampleDownsample.java:164-205 semantics."""
+    nr, nc = -(-a.shape[0] // 2), -(-a.shape[1] // 2)
+    out = np.empty((nr, nc), dtype=np.float64)
+    for i in range(nr):
+        for j in range(nc):
+            out[i, j] = a[2 * i : 2 * i + 2, 2 * j : 2 * j + 2].mean()
+    return out
+
+
+def test_pyramid_levels_match_numpy_mean_pool(spark, tmp_path):
+    p = str(tmp_path / "pyr.zarr")
+    g = _demo_grid(130, 170).astype(np.float64)
+    pd_cells = [(int(r), int(c), float(g[r, c]))
+                for r in range(g.shape[0]) for c in range(g.shape[1])]
+    cells = spark.createDataFrame(pd_cells, "row long, col long, z double")
+    stats = Z.write_zarr_pyramid(cells, p, shape=g.shape, n_levels=3,
+                                 chunks=(64, 64))
+    assert len(stats) == 3
+    meta = json.load(open(os.path.join(p, ".zattrs")))
+    ds = meta["multiscales"][0]["datasets"]
+    assert [d["path"] for d in ds] == ["0", "1", "2"]
+    assert ds[2]["coordinateTransformations"][0]["scale"] == [4.0, 4.0]
+    assert json.load(open(os.path.join(p, ".zgroup"))) == {"zarr_format": 2}
+    want = g
+    for lvl in range(3):
+        got = Z.read_zarr_array(os.path.join(p, str(lvl)))
+        assert got.shape == want.shape, lvl
+        assert np.allclose(got, want, rtol=0, atol=1e-9), lvl
+        want = _mean_pool(want)
+
+
 # ---------------------------------------------------------------------------
 # cross-format transcode (the PackageData pipeline, Zarr edition)
 # ---------------------------------------------------------------------------
