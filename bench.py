@@ -239,6 +239,31 @@ def main() -> None:
     gvrs_read_sec = time.time() - t0
     _sh.rmtree(_gd, ignore_errors=True)
 
+    # Zarr v2 object-store path (round 6): FULLY distributed chunk write
+    # (executors encode + write their own chunk objects; driver writes only
+    # JSON) then the chunk-pushdown distributed read — same global DEM, so
+    # directly comparable to the GVRS single-file numbers above. The write
+    # gap vs GVRS is the point: the GVRS sink funnels through the declared
+    # driver-streamed single-file assembly, the Zarr sink parallelizes to
+    # cluster width.
+    from gridfour_spark import synth as _sy
+    from gridfour_spark import zarrv2 as _zr
+
+    _zd = _tf.mkdtemp(prefix="bench_zarr_")
+    _zp = os.path.join(_zd, "bench.zarr")
+    _zcells = _sy.grid_df(spark, _GG0, value="dem")
+    t0 = time.time()
+    _zr.write_zarr(
+        _zcells, _zp, shape=(_GG0.n_rows, _GG0.n_cols),
+        chunks=(_GG0.n_rows_in_tile, _GG0.n_cols_in_tile), dtype="<i4",
+        compressor={"id": "zlib", "level": 6},
+    )
+    zarr_write_sec = time.time() - t0
+    t0 = time.time()
+    _zr.zarr_cells(spark, _zp).agg({"z": "sum"}).collect()
+    zarr_read_sec = time.time() - t0
+    _sh.rmtree(_zd, ignore_errors=True)
+
     # B-spline interpolation throughput: N synthetic points sampled against
     # the (persisted) global DEM tile store — comparable to the reference's
     # InterpolatorBSpline 33-50M interp/s single-thread in-memory figure
@@ -386,6 +411,8 @@ def main() -> None:
         "decompress_vs_compress": round(decompress_sec / compress_sec, 3),
         "gvrs_write_cells_per_sec": round(n_comp_cells / gvrs_write_sec, 1),
         "gvrs_read_cells_per_sec": round(n_comp_cells / gvrs_read_sec, 1),
+        "zarr_write_cells_per_sec": round(n_comp_cells / zarr_write_sec, 1),
+        "zarr_read_cells_per_sec": round(n_comp_cells / zarr_read_sec, 1),
         "recall_at_5_clustered": recall_clustered,
         "ivfpq_query_only_sec": round(ivfpq_query_only_sec, 3),
         "ivfpq_adhoc_build_sec": round(ivfpq_adhoc_sec, 3),
