@@ -221,6 +221,28 @@ def _staged_delta(spark: SparkSession, base: str, spec: GridSpec):
     )
 
 
+def compact_stream_deltas_zarr(
+    spark: SparkSession,
+    base: str,
+    zarr_path: str,
+    spec: GridSpec = GLOBAL_GRID,
+) -> dict:
+    """compact_stream_deltas for a Zarr v2 object store — the cloud-native
+    third compaction target. The staged-delta scan and newest-batch-wins
+    resolution are shared (_staged_delta); the merge runs through
+    zarrv2.update_zarr: each touched chunk object is read-modify-written by
+    the executor task that owns it, untouched chunks are never opened, and
+    the driver holds only the .zarray JSON. In-place is the native mode —
+    one object per chunk makes the per-chunk atomic replace the unit of
+    commit, so there is no single-file assembly step at all (contrast the
+    GVRS compactors above, whose record-manager merge mirrors
+    core/src/main/java/org/gridfour/gvrs/RecordManager.java)."""
+    from gridfour_spark import zarrv2 as Z
+
+    delta = _staged_delta(spark, base, spec)
+    return Z.update_zarr(delta, zarr_path)
+
+
 def compact_stream_deltas_sharded(
     spark: SparkSession,
     base: str,

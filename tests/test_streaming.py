@@ -388,3 +388,69 @@ def test_stream_deltas_compact_into_sharded_store(spark):
         np.testing.assert_array_equal(g1, exp)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_deltas_compact_into_zarr_store(spark):
+    """Round-6: the staged-delta compactor's third target is a Zarr v2
+    object store (compact_stream_deltas_zarr -> update_zarr, in-place).
+    Oracle: the final array must equal base grid + newest-batch-wins
+    overlay, and chunk objects no delta touched must be byte-identical
+    to the originally written objects (never opened, never rewritten)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from gridfour_spark import streaming as S
+    from gridfour_spark import zarrv2 as Z
+    from gridfour_spark.spec import GridSpec
+
+    spec = GridSpec(n_rows=60, n_cols=80, n_rows_in_tile=25, n_cols_in_tile=30,
+                    x0=0.5, y0=0.5, cell_size_x=1.0, cell_size_y=1.0)
+    base = tempfile.mkdtemp(prefix="stream_zcompact_")
+    try:
+        grid = np.floor(100 * np.add.outer(np.arange(60) * 0.1, np.arange(80) * 0.2))
+        cells = spark.createDataFrame(
+            [(int(r), int(c), float(grid[r, c])) for r in range(60) for c in range(80)],
+            "row int, col int, z double",
+        )
+        zp = os.path.join(base, "store.zarr")
+        Z.write_zarr(cells, zp, shape=(60, 80), chunks=(25, 30), dtype="<f8",
+                     compressor={"id": "zlib", "level": 6}, fill_value="NaN")
+
+        # staged deltas, layout identical to stream_to_store: batch_0
+        # writes (5,5)=111, batch_2 overwrites it and touches chunk (1,1)
+        for bi, rows in [(0, [(0, 0, 5, 5, 111.0)]),
+                         (2, [(0, 0, 5, 5, 222.0), (1, 1, 30, 40, -7.0)])]:
+            pdf = []
+            for trow, tcol, r, c, z in rows:
+                arr = [None] * (25 * 30)
+                arr[(r - trow * 25) * 30 + (c - tcol * 30)] = z
+                pdf.append((trow * 3 + tcol, trow, tcol, arr))
+            df = spark.createDataFrame(
+                pdf, "tile_index long, tile_row int, tile_col int, cells array<double>"
+            )
+            df.write.mode("overwrite").parquet(
+                os.path.join(base, f"stage=batch_{bi}", "bucket=0"))
+
+        before = {
+            p: open(p, "rb").read()
+            for p in glob.glob(os.path.join(zp, "[0-9]*.[0-9]*"))
+        }
+        assert len(before) == 9   # 3x3 chunk grid, fully occupied
+
+        stats = S.compact_stream_deltas_zarr(spark, base, zp, spec=spec)
+        assert stats["n_chunks"] == 2 and stats["n_cells"] == 2
+
+        exp = grid.copy(); exp[5, 5] = 222.0; exp[30, 40] = -7.0
+        np.testing.assert_array_equal(Z.read_zarr_array(zp), exp)
+
+        # untouched chunk objects byte-identical (O(touched) update cost)
+        touched = {os.path.join(zp, "0.0"), os.path.join(zp, "1.1")}
+        for p, buf in before.items():
+            if p not in touched:
+                assert open(p, "rb").read() == buf, p
+            else:
+                assert open(p, "rb").read() != buf, p
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
