@@ -649,3 +649,111 @@ def write_zarr_pyramid(
             f, indent=1, sort_keys=True,
         )
     return stats
+
+
+def pyramid_levels(path: str) -> list[str]:
+    """Level paths of a multiscale group, in fine-to-coarse order, from the
+    OME-NGFF-style ``.zattrs`` the pyramid sink writes."""
+    with open(os.path.join(path, ".zattrs")) as f:
+        ms = json.load(f)["multiscales"][0]
+    return [os.path.join(path, d["path"]) for d in ms["datasets"]]
+
+
+def update_zarr_pyramid(deltas, path: str) -> list[dict]:
+    """Incremental multiscale refresh: apply ``deltas`` (row, col, z) to
+    level 0 via update_zarr, then propagate UP the pyramid recomputing only
+    the coarse chunks whose footprint a delta touched — the raster sibling
+    of the hypertable's incremental continuous-aggregate refresh
+    (hypertable.RollupStore.refresh). Per touched coarse chunk, one
+    executor task reads the <=4 finer chunk objects under it (post-update),
+    NaN-aware factor-2 mean-pools them, and atomically replaces the coarse
+    object; untouched chunks at every level are never opened, so the total
+    cost is O(touched level-0 chunks), shrinking 4x per level. Driver state
+    is the JSON metadata only — touched-chunk sets stay DataFrames.
+
+    Equality with a full rebuild is exact for integer-valued data (the sums
+    are exact); otherwise agreement is to float addition-order, since the
+    full build's F.avg may sum the 2x2 block in a different order.
+
+    Levels must share one chunk shape (write_zarr_pyramid guarantees it),
+    so a coarse chunk's footprint is exactly the 2x2 finer chunks at
+    (2ci..2ci+1, 2cj..2cj+1). Returns per-level stats like the builder."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    levels = pyramid_levels(path)
+    stats = [update_zarr(deltas, levels[0])]
+
+    for lvl in range(1, len(levels)):
+        coarse_p, fine_p = levels[lvl], levels[lvl - 1]
+        info = parse_zarr_array(coarse_p)
+        ch, cw = info.chunks
+        f_div = 1 << lvl
+        touched = deltas.select(
+            F.expr(f"CAST(row div {f_div} AS BIGINT) div {ch}").alias("ci"),
+            F.expr(f"CAST(col div {f_div} AS BIGINT) div {cw}").alias("cj"),
+        ).distinct()
+
+        def _make_emit(_coarse, _fine):
+            def emit(key, pdf):
+                return _refresh_coarse_chunk(key, pdf, _coarse, _fine)
+            return emit
+
+        out = touched.groupBy("ci", "cj").applyInPandas(
+            _make_emit(coarse_p, fine_p),
+            "ci long, cj long, n_cells long, n_bytes long",
+        )
+        row = out.agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_cells").alias("n_cells"),
+            F.sum("n_bytes").alias("n_bytes"),
+        ).collect()[0]
+        stats.append({"n_chunks": row["n_chunks"] or 0,
+                      "n_cells": row["n_cells"] or 0,
+                      "n_bytes": row["n_bytes"] or 0})
+    return stats
+
+
+def _refresh_coarse_chunk(key, pdf, _coarse: str, _fine: str):
+    """Executor kernel for update_zarr_pyramid: recompute ONE coarse chunk
+    from the <=4 finer chunk objects under its footprint."""
+    import pandas as pd
+
+    ci, cj = int(key[0]), int(key[1])
+    cinf = parse_zarr_array(_coarse)
+    finf = parse_zarr_array(_fine)
+    hh, ww = cinf.chunks
+    # assemble the 2x2 finer-chunk footprint, out-of-shape -> NaN
+    fine = np.full((2 * hh, 2 * ww), np.nan)
+    for di in range(2):
+        for dj in range(2):
+            fi, fj = 2 * ci + di, 2 * cj + dj
+            if fi * hh >= finf.shape[0] or fj * ww >= finf.shape[1]:
+                continue
+            p = _chunk_path(finf, fi, fj)
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    blk = decode_chunk(f.read(), finf).astype(np.float64)
+            else:
+                blk = _fill_array(finf).astype(np.float64)
+            # cells past the array shape are chunk padding, not data
+            vr = min(finf.shape[0] - fi * hh, hh)
+            vc = min(finf.shape[1] - fj * ww, ww)
+            blk[vr:, :] = np.nan
+            blk[:, vc:] = np.nan
+            fine[di * hh:(di + 1) * hh, dj * ww:(dj + 1) * ww] = blk
+    q = fine.reshape(hh, 2, ww, 2)
+    fin = np.isfinite(q)
+    cnt = fin.sum(axis=(1, 3))
+    s = np.where(fin, q, 0.0).sum(axis=(1, 3))
+    pooled = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+    block = _fill_array(cinf).astype(np.float64)
+    vr = min(cinf.shape[0] - ci * hh, hh)
+    vc = min(cinf.shape[1] - cj * ww, ww)
+    block[:vr, :vc] = pooled[:vr, :vc]
+    data = encode_chunk(block.astype(cinf.dtype), cinf)
+    _atomic_write(_chunk_path(cinf, ci, cj), data)
+    return pd.DataFrame(
+        {"ci": [ci], "cj": [cj], "n_cells": [int(vr * vc)],
+         "n_bytes": [len(data)]}
+    )

@@ -295,6 +295,55 @@ def test_pyramid_levels_match_numpy_mean_pool(spark, tmp_path):
         want = _mean_pool(want)
 
 
+def test_incremental_pyramid_refresh_equals_full_rebuild(spark, tmp_path):
+    """update_zarr_pyramid == full rebuild at EVERY level after a point
+    update (integer-valued data, so the mean sums are exact and equality is
+    exact), and chunks no delta footprint touches are byte-identical at
+    every level — the O(touched) property, 4x shrinking per level."""
+    import glob
+
+    p = str(tmp_path / "pyr.zarr")
+    g = _demo_grid(130, 170).astype(np.float64)
+    cells = spark.createDataFrame(
+        [(int(r), int(c), float(g[r, c]))
+         for r in range(g.shape[0]) for c in range(g.shape[1])],
+        "row long, col long, z double",
+    )
+    Z.write_zarr_pyramid(cells, p, shape=g.shape, n_levels=3, chunks=(64, 64))
+
+    before = {
+        q: open(q, "rb").read()
+        for lvl in range(3)
+        for q in glob.glob(os.path.join(p, str(lvl), "[0-9]*.[0-9]*"))
+    }
+
+    # two deltas in level-0 chunk (0,0) and one in (1,2): footprints at
+    # level 1 -> chunks (0,0),(0,1); at level 2 -> chunk (0,0)
+    edits = [(3, 5, 4000.0), (10, 11, -2500.0), (100, 160, 777.0)]
+    deltas = spark.createDataFrame(edits, "row long, col long, z double")
+    stats = Z.update_zarr_pyramid(deltas, p)
+    assert [s["n_chunks"] for s in stats] == [2, 2, 1]
+
+    g2 = g.copy()
+    for r, c, z in edits:
+        g2[r, c] = z
+    want = g2
+    for lvl in range(3):
+        got = Z.read_zarr_array(os.path.join(p, str(lvl)))
+        np.testing.assert_array_equal(got, want), lvl
+        want = _mean_pool(want)
+
+    touched = {os.path.join(p, "0", "0.0"), os.path.join(p, "0", "1.2"),
+               os.path.join(p, "1", "0.0"), os.path.join(p, "1", "0.1"),
+               os.path.join(p, "2", "0.0")}
+    for q, buf in before.items():
+        now = open(q, "rb").read()
+        if q in touched:
+            assert now != buf, q
+        else:
+            assert now == buf, q
+
+
 # ---------------------------------------------------------------------------
 # cross-format transcode (the PackageData pipeline, Zarr edition)
 # ---------------------------------------------------------------------------
