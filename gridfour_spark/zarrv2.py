@@ -659,6 +659,23 @@ def pyramid_levels(path: str) -> list[str]:
     return [os.path.join(path, d["path"]) for d in ms["datasets"]]
 
 
+def pyramid_cells(
+    spark,
+    path: str,
+    level: int = 0,
+    row_range: tuple[int, int] | None = None,
+    col_range: tuple[int, int] | None = None,
+):
+    """Distributed cell view of ONE pyramid level (the Zarr twin of
+    geotiff.read_geotiff_cells(level=...)); ranges are in THIS level's
+    coordinates and push down to the level's chunk grid."""
+    levels = pyramid_levels(path)
+    if not 0 <= level < len(levels):
+        raise ValueError(f"level {level} outside 0..{len(levels) - 1}")
+    return zarr_cells(spark, levels[level],
+                      row_range=row_range, col_range=col_range)
+
+
 def update_zarr_pyramid(deltas, path: str) -> list[dict]:
     """Incremental multiscale refresh: apply ``deltas`` (row, col, z) to
     level 0 via update_zarr, then propagate UP the pyramid recomputing only

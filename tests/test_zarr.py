@@ -343,6 +343,17 @@ def test_incremental_pyramid_refresh_equals_full_rebuild(spark, tmp_path):
         else:
             assert now == buf, q
 
+    # level-selected cell view (the read_geotiff_cells(level=) twin),
+    # window in LEVEL coordinates
+    lv1 = Z.pyramid_cells(spark, p, level=1, row_range=(0, 2), col_range=(0, 2))
+    got = {(r.row, r.col): r.z for r in lv1.collect()}
+    want1 = _mean_pool(g2)
+    assert len(got) == 4
+    for (r, c), z in got.items():
+        assert z == want1[r, c], (r, c)
+    with pytest.raises(ValueError):
+        Z.pyramid_cells(spark, p, level=3)
+
 
 # ---------------------------------------------------------------------------
 # cross-format transcode (the PackageData pipeline, Zarr edition)
