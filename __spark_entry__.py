@@ -580,6 +580,8 @@ def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       zarr (round 6) — DEM cells -> DISTRIBUTED Zarr v2 sink (executors
         write chunk objects, driver writes only JSON metadata) ->
         distributed chunk-pushdown read (gridfour_spark/zarrv2.py);
+      zarr3 (round 6) — the Zarr v3 twin: zarr.json metadata, c/-keyed
+        chunks, gzip codec chain, same distributed kernels;
       netcdf (round 6) — DEM -> NetCDF-3 classic sink -> distributed
         row-slab read (gridfour_spark/netcdf.py), the reference's
         PackageData input format (demo/.../PackageData.java:196-260).
@@ -641,6 +643,17 @@ def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dtype="<i4", compressor={"id": "zlib", "level": 6},
         )
         out += agg_cells(zarrv2.zarr_cells(spark, zp), "zarr")
+
+        # v3 twin: zarr.json metadata, c/-keyed chunks, gzip codec chain —
+        # same distributed sink/read kernels through the shared ZarrInfo
+        z3 = os.path.join(d, "dem3.zarr")
+        zarrv2.write_zarr(
+            synth.grid_df(spark, spec, value="dem").select(
+                "row", "col", F.col("z").cast("double").alias("z")),
+            z3, shape=(spec.n_rows, spec.n_cols), chunks=(128, 128),
+            dtype="<i4", zarr_format=3,
+        )
+        out += agg_cells(zarrv2.zarr_cells(spark, z3), "zarr3")
 
         ncp = os.path.join(d, "dem.nc")
         NC.write_netcdf(ncp, arr, var="z")
@@ -2405,6 +2418,11 @@ def oracle_sql() -> dict[str, str]:
             )
             UNION ALL
             SELECT 'zarr', COUNT(*),
+                   CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),
+                   CAST(MIN(z) AS BIGINT), CAST(MAX(z) AS BIGINT)
+            FROM ({_grid_a('dem')})
+            UNION ALL
+            SELECT 'zarr3', COUNT(*),
                    CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),
                    CAST(MIN(z) AS BIGINT), CAST(MAX(z) AS BIGINT)
             FROM ({_grid_a('dem')})
