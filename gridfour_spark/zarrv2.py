@@ -781,6 +781,7 @@ def write_zarr_pyramid(
     chunks: tuple = (128, 128),
     compressor: dict | None = None,
     fill_value=0,
+    zarr_format: int = 2,
 ) -> list:
     """Multiscale mean pyramid as a Zarr GROUP: ``path/0`` is the full-res
     array (float64), ``path/l`` is a factor-2 mean-pool of ``path/(l-1)``
@@ -790,15 +791,20 @@ def write_zarr_pyramid(
     DISTRIBUTED sink and each level's input is ``zarr_cells`` of the level
     below — the store itself is the stage boundary, so level l+1 reads 1/4
     the bytes of level l and nothing recomputes from the source lineage.
-    The group carries OME-NGFF-style multiscale attrs in ``.zattrs``.
-    Returns the per-level stats list."""
+    The group carries OME-NGFF-style multiscale attrs — in ``.zattrs``
+    beside a ``.zgroup`` for v2, or in the group-node ``zarr.json``
+    ``attributes`` for ``zarr_format=3``. Returns the per-level stats
+    list."""
     from pyspark.sql import functions as F
 
     if n_levels < 1:
         raise ValueError("n_levels >= 1")
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, ".zgroup"), "w") as f:
-        json.dump({"zarr_format": ZARR_FORMAT}, f)
+    if zarr_format == 2:
+        with open(os.path.join(path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": ZARR_FORMAT}, f)
 
     stats = []
     cur, cur_shape = cells.select("row", "col", F.col("z").cast("double").alias("z")), tuple(shape)
@@ -808,7 +814,8 @@ def write_zarr_pyramid(
         lp = os.path.join(path, str(lvl))
         stats.append(
             write_zarr(cur, lp, shape=cur_shape, chunks=chunks, dtype="<f8",
-                       compressor=compressor, fill_value=fill_value)
+                       compressor=compressor, fill_value=fill_value,
+                       zarr_format=zarr_format)
         )
         datasets.append({"path": str(lvl),
                          "coordinateTransformations": [
@@ -825,22 +832,36 @@ def write_zarr_pyramid(
         )
         cur_shape = (-(-cur_shape[0] // 2), -(-cur_shape[1] // 2))
 
-    with open(os.path.join(path, ".zattrs"), "w") as f:
-        json.dump(
-            {"multiscales": [{"version": "0.4", "name": os.path.basename(path),
-                              "axes": [{"name": "row", "type": "space"},
-                                       {"name": "col", "type": "space"}],
-                              "datasets": datasets, "type": "mean"}]},
-            f, indent=1, sort_keys=True,
-        )
+    ms_attrs = {"multiscales": [{"version": "0.4",
+                                 "name": os.path.basename(path),
+                                 "axes": [{"name": "row", "type": "space"},
+                                          {"name": "col", "type": "space"}],
+                                 "datasets": datasets, "type": "mean"}]}
+    if zarr_format == 3:
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group",
+                       "attributes": ms_attrs}, f, indent=1, sort_keys=True)
+    else:
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump(ms_attrs, f, indent=1, sort_keys=True)
     return stats
 
 
 def pyramid_levels(path: str) -> list[str]:
     """Level paths of a multiscale group, in fine-to-coarse order, from the
-    OME-NGFF-style ``.zattrs`` the pyramid sink writes."""
-    with open(os.path.join(path, ".zattrs")) as f:
-        ms = json.load(f)["multiscales"][0]
+    OME-NGFF-style multiscale attrs (v2 ``.zattrs`` or the v3 group-node
+    ``zarr.json``)."""
+    za = os.path.join(path, ".zattrs")
+    if os.path.exists(za):
+        with open(za) as f:
+            attrs = json.load(f)
+    else:
+        with open(os.path.join(path, "zarr.json")) as f:
+            gmeta = json.load(f)
+        if gmeta.get("zarr_format") != 3 or gmeta.get("node_type") != "group":
+            raise ValueError(f"{path}: not a Zarr group")
+        attrs = gmeta.get("attributes", {})
+    ms = attrs["multiscales"][0]
     return [os.path.join(path, d["path"]) for d in ms["datasets"]]
 
 

@@ -523,3 +523,40 @@ def test_v3_writer_guards(tmp_path):
                            np.zeros((2, 2), dtype="<i4"),
                            chunks=(2, 2), zarr_format=3, fill_value=0,
                            compressor=[{"id": "zstd"}])
+
+
+def test_v3_pyramid_group_and_incremental_refresh(spark, tmp_path):
+    """zarr_format=3 pyramid: group-node zarr.json carries the multiscale
+    attrs, every level is a v3 array, values match the numpy pool, and the
+    incremental refresh runs format-agnostically on it."""
+    p = str(tmp_path / "pyr3.zarr")
+    g = _demo_grid(70, 90).astype(np.float64)
+    cells = spark.createDataFrame(
+        [(int(r), int(c), float(g[r, c]))
+         for r in range(70) for c in range(90)],
+        "row long, col long, z double",
+    )
+    Z.write_zarr_pyramid(cells, p, shape=g.shape, n_levels=2, chunks=(64, 64),
+                         zarr_format=3)
+    gmeta = json.load(open(os.path.join(p, "zarr.json")))
+    assert gmeta["zarr_format"] == 3 and gmeta["node_type"] == "group"
+    assert [d["path"] for d in
+            gmeta["attributes"]["multiscales"][0]["datasets"]] == ["0", "1"]
+    assert not os.path.exists(os.path.join(p, ".zgroup"))
+    for lvl in ("0", "1"):
+        assert json.load(open(os.path.join(p, lvl, "zarr.json")))["node_type"] == "array"
+    np.testing.assert_array_equal(Z.read_zarr_array(os.path.join(p, "0")), g)
+    np.testing.assert_array_equal(Z.read_zarr_array(os.path.join(p, "1")),
+                                  _mean_pool(g))
+
+    deltas = spark.createDataFrame([(2, 3, 5000.0)], "row long, col long, z double")
+    stats = Z.update_zarr_pyramid(deltas, p)
+    assert [s["n_chunks"] for s in stats] == [1, 1]
+    g2 = g.copy(); g2[2, 3] = 5000.0
+    np.testing.assert_array_equal(Z.read_zarr_array(os.path.join(p, "0")), g2)
+    np.testing.assert_array_equal(Z.read_zarr_array(os.path.join(p, "1")),
+                                  _mean_pool(g2))
+    # level-selected view resolves through the v3 group metadata
+    got = Z.pyramid_cells(spark, p, level=1, row_range=(1, 2),
+                          col_range=(1, 2)).collect()
+    assert got[0].z == _mean_pool(g2)[1, 1]
