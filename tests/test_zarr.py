@@ -560,3 +560,128 @@ def test_v3_pyramid_group_and_incremental_refresh(spark, tmp_path):
     got = Z.pyramid_cells(spark, p, level=1, row_range=(1, 2),
                           col_range=(1, 2)).collect()
     assert got[0].z == _mean_pool(g2)[1, 1]
+
+
+def test_v3_sharding_golden_layout(tmp_path):
+    """sharding_indexed golden check: the shard object is inner-chunk
+    payloads (C-order inner grid) + a uint64-LE (offset,nbytes) index
+    (+ crc32c) at the end; all-fill inner chunks are omitted with the
+    2^64-1 sentinel — the GVRS skip-all-fill tile rule (T7), v3 edition."""
+    import gzip as _gz
+    import struct as _st
+
+    from gridfour_spark.floatcodec import crc32c
+
+    p = str(tmp_path / "sh.zarr")
+    arr = np.full((4, 4), 7, dtype="<i4")
+    arr[0, 0] = 1
+    arr[2, 3] = 9   # inner grid 2x2 of 2x2 blocks; block (1,0) stays fill=7
+    arr[2, 0] = 7
+    arr[3, :2] = 7
+    Z.write_zarr_array(
+        p, arr, chunks=(4, 4), zarr_format=3, fill_value=7,
+        compressor={"id": "shard", "inner_chunks": (2, 2),
+                    "codecs": [{"id": "gzip", "level": 6}]})
+
+    meta = json.load(open(os.path.join(p, "zarr.json")))
+    [codec] = meta["codecs"]
+    assert codec["name"] == "sharding_indexed"
+    cfg = codec["configuration"]
+    assert cfg["chunk_shape"] == [2, 2]
+    assert cfg["codecs"][0]["name"] == "bytes"
+    assert cfg["codecs"][1]["name"] == "gzip"
+    assert cfg["index_codecs"] == [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "crc32c"}]
+    assert cfg["index_location"] == "end"
+
+    buf = open(os.path.join(p, "c", "0", "0"), "rb").read()
+    idx_raw = buf[-(16 * 4 + 4):]
+    assert _st.unpack("<I", idx_raw[-4:])[0] == crc32c(idx_raw[:-4])
+    pairs = np.frombuffer(idx_raw[:-4], dtype="<u8").reshape(4, 2)
+    # inner block (1,0) (flat index 2) is all-fill -> sentinel
+    assert pairs[2, 0] == 0xFFFFFFFFFFFFFFFF
+    # decode inner block (0,0) by hand
+    off, nb = int(pairs[0, 0]), int(pairs[0, 1])
+    got = np.frombuffer(_gz.decompress(buf[off:off + nb]),
+                        dtype="<i4").reshape(2, 2)
+    np.testing.assert_array_equal(got, arr[:2, :2])
+    np.testing.assert_array_equal(Z.read_zarr_array(p), arr)
+
+
+def test_v3_sharding_distributed_roundtrip_and_update(spark, tmp_path):
+    """The distributed kernels treat a shard as their chunk unit: sink,
+    pushdown read, and per-shard upsert all work unchanged, and the store
+    holds one object per 64x64 shard (16 inner 16x16 chunks inside)."""
+    g = _demo_grid(100, 130)
+    cells = spark.createDataFrame(
+        [(int(r), int(c), float(g[r, c]))
+         for r in range(100) for c in range(130)],
+        "row long, col long, z double",
+    )
+    p = str(tmp_path / "shd.zarr")
+    st = Z.write_zarr(cells, p, shape=(100, 130), chunks=(64, 64),
+                      dtype="<i4", zarr_format=3,
+                      compressor={"id": "shard", "inner_chunks": (16, 16)})
+    assert st["n_chunks"] == 6   # 2x3 shard grid
+    a = {(r.row, r.col): r.z for r in Z.zarr_cells(spark, p).collect()}
+    assert len(a) == 100 * 130
+    assert all(a[(r, c)] == float(g[r, c])
+               for r in range(0, 100, 7) for c in range(0, 130, 11))
+
+    before = open(os.path.join(p, "c", "0", "0"), "rb").read()
+    other = open(os.path.join(p, "c", "1", "1"), "rb").read()
+    deltas = spark.createDataFrame([(5, 6, -1234.0)],
+                                   "row long, col long, z double")
+    assert Z.update_zarr(deltas, p)["n_chunks"] == 1
+    assert open(os.path.join(p, "c", "0", "0"), "rb").read() != before
+    assert open(os.path.join(p, "c", "1", "1"), "rb").read() == other
+    got = Z.zarr_cells(spark, p, row_range=(5, 6), col_range=(6, 7)).collect()
+    assert got[0].z == -1234.0
+
+
+def test_v3_sharding_handwritten_and_index_corruption(tmp_path):
+    """Spec-as-authority: a shard assembled by hand (raw inner chunks, no
+    compression, crc32c'd end index) decodes; corrupting the index raises."""
+    import struct as _st
+
+    from gridfour_spark.floatcodec import crc32c
+
+    p = tmp_path / "hsh.zarr"
+    p.mkdir()
+    (p / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2, 4],
+        "data_type": "int32",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2, 4]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": -1,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [2, 2],
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}}],
+            "index_codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "crc32c"}],
+            "index_location": "end"}}],
+    }))
+    left = np.array([[1, 2], [3, 4]], dtype="<i4")
+    payload = left.tobytes()
+    idx = _st.pack("<QQ", 0, len(payload)) + _st.pack(
+        "<QQ", 0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+    idx += _st.pack("<I", crc32c(idx))
+    shard_path = p / "c" / "0" / "0"
+    shard_path.parent.mkdir(parents=True)
+    shard_path.write_bytes(payload + idx)
+
+    got = Z.read_zarr_array(str(p))
+    want = np.full((2, 4), -1, dtype="<i4")
+    want[:, :2] = left
+    np.testing.assert_array_equal(got, want)
+
+    buf = bytearray(shard_path.read_bytes())
+    buf[-6] ^= 0xFF   # flip a byte inside the index
+    shard_path.write_bytes(bytes(buf))
+    with pytest.raises(ValueError, match="crc32c"):
+        Z.read_zarr_array(str(p))
