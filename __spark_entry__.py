@@ -644,14 +644,17 @@ def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out += agg_cells(zarrv2.zarr_cells(spark, zp), "zarr")
 
-        # v3 twin: zarr.json metadata, c/-keyed chunks, gzip codec chain —
-        # same distributed sink/read kernels through the shared ZarrInfo
+        # v3 twin: zarr.json metadata, c/-keyed SHARD objects (16 inner
+        # 32x32 chunks behind a crc32c'd uint64 index per 128x128 shard) —
+        # same distributed sink/read kernels through the shared ZarrInfo,
+        # so one leg hash-checks the v3 metadata path AND sharding_indexed
         z3 = os.path.join(d, "dem3.zarr")
         zarrv2.write_zarr(
             synth.grid_df(spark, spec, value="dem").select(
                 "row", "col", F.col("z").cast("double").alias("z")),
             z3, shape=(spec.n_rows, spec.n_cols), chunks=(128, 128),
             dtype="<i4", zarr_format=3,
+            compressor={"id": "shard", "inner_chunks": (32, 32)},
         )
         out += agg_cells(zarrv2.zarr_cells(spark, z3), "zarr3")
 
