@@ -264,6 +264,28 @@ def main() -> None:
     zarr_read_sec = time.time() - t0
     _sh.rmtree(_zd, ignore_errors=True)
 
+    # v3 sharding_indexed variant: 4x4 shards (16 inner tile-sized chunks
+    # behind a crc32c'd uint64 index per shard object) — 16x fewer objects,
+    # the trade an object store's request-rate limits buy at 10^8+ chunks;
+    # the delta vs the one-object-per-chunk numbers above is the measured
+    # cost of losing per-chunk addressability
+    _zd = _tf.mkdtemp(prefix="bench_zarr3_")
+    _z3 = os.path.join(_zd, "bench3.zarr")
+    t0 = time.time()
+    _zr.write_zarr(
+        _zcells, _z3, shape=(_GG0.n_rows, _GG0.n_cols),
+        chunks=(4 * _GG0.n_rows_in_tile, 4 * _GG0.n_cols_in_tile),
+        dtype="<i4", zarr_format=3,
+        compressor={"id": "shard",
+                    "inner_chunks": (_GG0.n_rows_in_tile, _GG0.n_cols_in_tile),
+                    "codecs": [{"id": "gzip", "level": 6}]},
+    )
+    zarr_shard_write_sec = time.time() - t0
+    t0 = time.time()
+    _zr.zarr_cells(spark, _z3).agg({"z": "sum"}).collect()
+    zarr_shard_read_sec = time.time() - t0
+    _sh.rmtree(_zd, ignore_errors=True)
+
     # B-spline interpolation throughput: N synthetic points sampled against
     # the (persisted) global DEM tile store — comparable to the reference's
     # InterpolatorBSpline 33-50M interp/s single-thread in-memory figure
@@ -413,6 +435,10 @@ def main() -> None:
         "gvrs_read_cells_per_sec": round(n_comp_cells / gvrs_read_sec, 1),
         "zarr_write_cells_per_sec": round(n_comp_cells / zarr_write_sec, 1),
         "zarr_read_cells_per_sec": round(n_comp_cells / zarr_read_sec, 1),
+        "zarr_shard_write_cells_per_sec": round(
+            n_comp_cells / zarr_shard_write_sec, 1),
+        "zarr_shard_read_cells_per_sec": round(
+            n_comp_cells / zarr_shard_read_sec, 1),
         "recall_at_5_clustered": recall_clustered,
         "ivfpq_query_only_sec": round(ivfpq_query_only_sec, 3),
         "ivfpq_adhoc_build_sec": round(ivfpq_adhoc_sec, 3),
