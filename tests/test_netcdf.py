@@ -90,6 +90,44 @@ def test_dataframe_sink_roundtrip(spark, tmp_path):
     assert got[(5, 3)] == 53.0 and len(got) == 24
 
 
+def test_dataframe_sink_no_per_cell_rows(spark, tmp_path, monkeypatch):
+    """The DataFrame sink must assemble the grid via one Arrow toPandas +
+    vectorized scatter (r6 verdict #1: the old path streamed per-cell Rows
+    through toLocalIterator and ran two full scans for the dims).
+    toLocalIterator is poisoned to prove the Row path is gone, and the
+    dims agg is counted to prove it is one scan, not two."""
+    g = np.arange(60, dtype=np.float64).reshape(6, 10)
+    cells = [
+        (r, c, None if (r, c) == (2, 3) else float(g[r, c]))
+        for r in range(6)
+        for c in range(10)
+    ]
+    df = spark.createDataFrame(cells, "row long, col long, z double")
+    cls = type(df)  # the CONCRETE DataFrame class (pyspark 4 splits classic/base)
+
+    def _no_rows(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("write_netcdf must not stream per-cell Rows")
+
+    monkeypatch.setattr(cls, "toLocalIterator", _no_rows)
+    n_collects = {"n": 0}
+    orig_collect = cls.collect
+
+    def _counted(self):
+        n_collects["n"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(cls, "collect", _counted)
+    p = str(tmp_path / "arrow.nc")
+    NC.write_netcdf(p, df, var="z", nc_type=6, fill_value=-9999.0)
+    assert n_collects["n"] == 1  # single two-column dims agg
+
+    monkeypatch.undo()
+    back = NC.netcdf_cells(spark, p)
+    got = {(r["row"], r["col"]): r["z"] for r in back.collect()}
+    assert got[(2, 3)] is None  # NULL cell -> _FillValue -> NULL on read
+    assert got[(5, 9)] == 59.0 and len(got) == 60
+
+
 def test_packagedata_pipeline_netcdf_to_gvrs(spark, tmp_path):
     """The reference's flagship job end-to-end (PackageData.java:196-260,
     468-539): NetCDF elevation grid -> tile build -> codec race -> GVRS
