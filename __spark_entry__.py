@@ -481,6 +481,12 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal media columns with REAL decode (round 7): each media span
+    becomes an actual PNG payload (pngcodec encode, rotating scanline
+    filters), and the features are computed from the DECODED pixels
+    (CRC-verified chunk walk + zlib inflate + unfiltering) — the oracle
+    recomputes them analytically from the closed-form pixel rule, verifying
+    the whole encode->decode chain."""
     spans = synth.docs_spans(spark, sf_dir)
     media = similarity.synth_media(spans)
     feats = similarity.decode_media(media)
@@ -490,26 +496,43 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Spark side ENCODES each media span as a real PNG (pixel(y,x) =
+# (seed + 31y + 7x) mod 256 with md5-derived seed/dims, rotating scanline
+# filters) and DECODES it back (pngcodec: CRC walk + inflate + unfilter)
+# before computing features.  DuckDB cannot read PNG, but the pixel rule is
+# closed-form on md5 hex — so the oracle recomputes the same features
+# analytically, which verifies the whole encode->decode chain end-to-end.
 _MEDIA_FEATURES_SQL = f"""
 WITH media AS (
-  SELECT doc_id, span_offset, media_ref, md5(media_ref) AS hx
+  SELECT doc_id, span_offset, md5(media_ref) AS hx
   FROM ({synth.DOCS_SPANS_DUCKDB}) WHERE kind = 'media'
 ),
-bytes AS (
-  SELECT doc_id, span_offset, hx, unnest(generate_series(0, 15)) AS i FROM media
+dims AS (
+  SELECT doc_id, span_offset,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS seed,
+         ((strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 24 + 8 AS width,
+         ((strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)) % 24 + 8 AS height
+  FROM media
 ),
-vals AS (
-  SELECT doc_id, span_offset, hx,
-         (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS bv
-  FROM bytes
+rows_y AS (
+  SELECT doc_id, span_offset, seed, width, height,
+         unnest(generate_series(0, height - 1)) AS y
+  FROM dims
+),
+px AS (
+  SELECT doc_id, span_offset, width, height,
+         (seed + 31 * y + 7 * unnest(generate_series(0, width - 1))) % 256 AS v
+  FROM rows_y
 )
 SELECT doc_id, span_offset,
-       CAST(ascii(substr(hx, 1, 1)) % 64 + 8 AS INTEGER) AS width,
-       CAST(ascii(substr(hx, 2, 1)) % 64 + 8 AS INTEGER) AS height,
-       ROUND(AVG(CAST(bv AS DOUBLE)), 6) AS mean_byte,
-       CAST(MAX(bv) AS INTEGER) AS max_byte
-FROM vals GROUP BY 1, 2, hx
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_byte,
+       CAST(MAX(v) AS INTEGER) AS max_byte
+FROM px GROUP BY 1, 2, 3, 4
 """
 
 

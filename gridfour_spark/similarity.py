@@ -803,30 +803,68 @@ MEDIA_SCHEMA = "doc_id bigint, span_offset int, media_ref string, payload binary
 
 
 def synth_media(spans: DataFrame) -> DataFrame:
-    """Deterministic fake binary payloads for media spans: payload =
-    unhex(md5(ref) repeated), metadata derived from the ref hash. Stands in
-    for opaque image/audio bytes with typed metadata."""
+    """Deterministic REAL-PNG payloads for media spans (round 7).
+
+    Each media_ref's md5 seeds a greyscale gradient image
+    ``pixel(y, x) = (seed + 31*y + 7*x) mod 256`` with dims
+    ``(seed_b % 24 + 8) x (seed_c % 24 + 8)``, encoded as an actual PNG
+    (gridfour_spark.pngcodec: zlib deflate + rotating scanline filters, so
+    every filter type 0..4 appears in the corpus).  The pixel rule is
+    closed-form on md5 hex, which is what lets the DuckDB oracle verify
+    features DECODED from the bytes without being able to read PNG itself.
+    Executors encode their own partitions' images inside Arrow batches —
+    no driver funnel, no per-row Python outside the codec kernel."""
     m = spans.filter(F.col("kind") == "media").select("doc_id", "span_offset", "media_ref")
-    h = F.md5(F.to_binary("media_ref", F.lit("utf-8")))
-    m = m.withColumn("payload", F.to_binary(F.concat(h, h, h, h), F.lit("hex")))
-    width = (F.ascii(F.substring(h, 1, 1)) % 64 + 8).cast("int")
-    height = (F.ascii(F.substring(h, 2, 1)) % 64 + 8).cast("int")
-    meta = F.struct(
-        F.lit("image/fake").alias("kind"),
-        width.alias("width"),
-        height.alias("height"),
-        F.length("payload").cast("int").alias("n_bytes"),
+
+    out_schema = (
+        "doc_id bigint, span_offset int, media_ref string, payload binary, "
+        "media_meta struct<kind:string, width:int, height:int, n_bytes:int>"
     )
-    return m.withColumn("media_meta", meta)
+
+    def kernel(batches):
+        import hashlib
+
+        from gridfour_spark import pngcodec
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for ref in pdf["media_ref"]:
+                hx = hashlib.md5(ref.encode("utf-8")).hexdigest()
+                seed = int(hx[0:2], 16)
+                w = int(hx[2:4], 16) % 24 + 8
+                h = int(hx[4:6], 16) % 24 + 8
+                yy, xx = np.indices((h, w))
+                img = ((seed + 31 * yy + 7 * xx) % 256).astype(np.uint8)
+                png = pngcodec.encode_png(img, filters=(np.arange(h) + seed) % 5)
+                payloads.append(png)
+                metas.append(
+                    {"kind": "image/png", "width": w, "height": h, "n_bytes": len(png)}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "span_offset": pdf["span_offset"],
+                    "media_ref": pdf["media_ref"],
+                    "payload": payloads,
+                    "media_meta": metas,
+                }
+            )
+
+    return m.mapInPandas(kernel, out_schema)
 
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode / feature-extract over binary media columns via mapInPandas.
 
-    Real codecs (PIL/ffmpeg) are NOT in this container: any non-fake kind
-    raises NotImplementedError (clearly-marked stub). The fake format decodes
-    deterministically to (mean_byte, max_byte) 'features'. Batch shape,
-    schema, and partitioning are the real production plumbing.
+    Round 7: image/png payloads go through a REAL decode
+    (gridfour_spark.pngcodec — chunk walk + CRC-32 + zlib inflate +
+    scanline unfiltering) and the features (width/height from the decoded
+    IHDR, mean/max over decoded pixels) come from the bytes, not the
+    metadata.  A width/height disagreement between decoded IHDR and the
+    typed media_meta fails loudly.  Non-image kinds (audio/video) still
+    raise NotImplementedError — those codecs are genuinely not in this
+    container.  Batch shape, schema, and partitioning are the production
+    plumbing: executors decode their own partitions inside Arrow batches.
     """
     out_schema = (
         "doc_id bigint, span_offset int, media_ref string, kind string, "
@@ -834,38 +872,38 @@ def decode_media(media: DataFrame) -> DataFrame:
     )
 
     def kernel(batches):
+        from gridfour_spark import pngcodec
+
         for pdf in batches:
             # one unpack of the meta structs (no per-field .map lambdas)
             meta = pd.DataFrame(pdf["media_meta"].tolist())
-            bad = meta["kind"][meta["kind"] != "image/fake"]
+            bad = meta["kind"][meta["kind"] != "image/png"]
             if len(bad):
                 raise NotImplementedError(
-                    f"real media decode ({bad.iloc[0]}) requires codec libs not present in this container"
+                    f"media decode for {bad.iloc[0]!r} requires codec libs not present in this container"
                 )
-            # vectorized feature pass: concatenate all payloads into one
-            # uint8 buffer and segment-reduce by payload offsets — no
-            # per-row Python (the zip-loop this replaces)
-            lens = np.fromiter((len(b) for b in pdf["payload"]), dtype=np.int64, count=len(pdf))
-            if len(lens) and int(lens.min()) == 0:
-                # reduceat on an empty segment would silently return the
-                # NEXT payload's first byte; fail loudly like the old
-                # per-row loop did on an empty array
-                raise ValueError("empty media payload")
-            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            sums = np.add.reduceat(buf.astype(np.int64), starts) if len(buf) else np.zeros(0)
-            maxs = np.maximum.reduceat(buf, starts) if len(buf) else np.zeros(0, np.uint8)
+            widths, heights, means, maxs = [], [], [], []
+            for payload, mw, mh in zip(pdf["payload"], meta["width"], meta["height"]):
+                img = pngcodec.decode_png(bytes(payload))
+                h, w = img.shape[:2]
+                if (w, h) != (int(mw), int(mh)):
+                    raise ValueError(
+                        f"decoded dims {(w, h)} disagree with media_meta {(int(mw), int(mh))}"
+                    )
+                widths.append(w)
+                heights.append(h)
+                means.append(float(img.sum(dtype=np.int64)) / img.size)
+                maxs.append(int(img.max()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "span_offset": pdf["span_offset"],
                     "media_ref": pdf["media_ref"],
                     "kind": meta["kind"],
-                    "width": meta["width"],
-                    "height": meta["height"],
-                    "mean_byte": sums / lens,
-                    "max_byte": maxs.astype(np.int32),
+                    "width": np.asarray(widths, dtype=np.int32),
+                    "height": np.asarray(heights, dtype=np.int32),
+                    "mean_byte": np.asarray(means, dtype=np.float64),
+                    "max_byte": np.asarray(maxs, dtype=np.int32),
                 }
             )
 
