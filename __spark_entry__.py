@@ -303,13 +303,25 @@ FROM documents
 """
 
 
+_BPE_MERGES = 16  # learned-BPE rounds for the driver leg (same in the oracle)
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex + subword estimate),
-    quality ratios, AND the corpus-unigram log-probability quality score
-    (one frequency agg -> broadcast join -> per-doc aggregate)."""
+    quality ratios, the corpus-unigram log-probability quality score
+    (one frequency agg -> broadcast join -> per-doc aggregate), AND — round
+    7 — per-doc token counts under a LEARNED BPE tokenizer trained
+    distributed on this same corpus (textops.bpe_train: one corpus-scale
+    word-type agg, then 16 driver-coordinated merge rounds over the
+    executor-resident type table; the DuckDB oracle unrolls the identical
+    training loop into a materialized-CTE chain, so merge selection,
+    tie-breaking, and leftmost-greedy application are all hash-verified)."""
     docs = _docs(spark, sf_dir)
-    return textops.token_stats(docs).join(
-        textops.corpus_word_logprob(docs), on="doc_id"
+    _, bpe_state = textops.bpe_train(docs, n_merges=_BPE_MERGES)
+    return (
+        textops.token_stats(docs)
+        .join(textops.corpus_word_logprob(docs), on="doc_id")
+        .join(textops.bpe_doc_token_counts(docs, bpe_state), on="doc_id")
     )
 
 
@@ -2172,8 +2184,10 @@ def oracle_sql() -> dict[str, str]:
             FROM sea
         """,
         "token_stats": (
-            f"SELECT t.*, l.mean_logprob, l.min_logprob FROM ({textops.TOKEN_STATS_SQL}) t "
-            f"JOIN ({textops.CORPUS_LOGPROB_SQL}) l USING (doc_id)"
+            f"SELECT t.*, l.mean_logprob, l.min_logprob, b.n_bpe_learned "
+            f"FROM ({textops.TOKEN_STATS_SQL}) t "
+            f"JOIN ({textops.CORPUS_LOGPROB_SQL}) l USING (doc_id) "
+            f"JOIN ({textops.bpe_doc_counts_sql(_BPE_MERGES)}) b USING (doc_id)"
         ),
         "lang_id": textops.LANG_ID_SQL,
         "fingerprint": textops.FINGERPRINT_SQL,

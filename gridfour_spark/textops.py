@@ -755,3 +755,212 @@ SELECT g AS {group_col}, COUNT(*) AS n_kept, MAX(h) AS kth_hash,
             END AS BIGINT) AS est_distinct
 FROM kept GROUP BY g
 """
+
+
+# --------------------------------------------------------------------------
+# learned tokenizer: distributed BPE training (round 7)
+# --------------------------------------------------------------------------
+#
+# Classic byte-pair-encoding training (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units") re-expressed Spark-first:
+#
+#   1. ONE corpus-scale aggregation builds the word-TYPE table (word, count)
+#      — the only pass that ever touches the documents table.  At 10^12
+#      docs this is a map-side-combined groupBy; `min_count` trims the
+#      Zipf tail so the type table stays executor-resident (~10^7-10^8
+#      types even at web scale).
+#   2. Each of the `n_merges` rounds aggregates adjacent-pair counts over
+#      the TYPE table (weighted by word count), picks the argmax pair
+#      (1-row collect — driver-coordinated merge selection, the same shape
+#      as IVF's Lloyd iterations), and applies the merge to every type.
+#   3. The learned merge table (n_merges rows) broadcasts; per-doc token
+#      counts are a broadcast join of doc words against the final
+#      tokenized types — no Python in any hot path.
+#
+# Merge application uses the delimited-string form '<h><e><l><l><o>' and
+# ONE string replace per round: replace('<a><b>' -> '<ab>') is exactly
+# leftmost-greedy non-overlapping merging (scan resumes AFTER each
+# replacement, so 'aaa' + (a,a) -> ('aa','a'), per the reference
+# algorithm), and it is the SAME primitive in Spark, DuckDB, and Python —
+# which is what lets bpe_oracle_sql() unroll the full training loop into a
+# CTE chain the driver's DuckDB gate can run, and lets the pytest scalar
+# reference be a 20-line pure-Python loop.  Merges are ranked by
+# (count DESC, pair_a ASC, pair_b ASC) so ties are deterministic across
+# engines and cluster sizes.  Scope: merges are learned over lowercase
+# alphabetic word types ('[a-z]+' runs — the letter-run branch of the
+# BPE-ish pre-tokenizer above); no end-of-word marker.
+
+_BPE_WORD_RE = "[a-z]+"
+
+
+def _bpe_seq_col():
+    """word -> '<c1><c2>...<cn>' delimited symbol string."""
+    chars = F.regexp_extract_all(F.col("word"), F.lit("[a-z]"), F.lit(0))
+    return F.concat(F.lit("<"), F.array_join(chars, "><"), F.lit(">"))
+
+
+def bpe_word_types(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """(word, cnt, seq): the type table BPE training iterates over."""
+    w = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_WORD_RE), F.lit(0))
+        ).alias("word")
+    )
+    wt = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    if min_count > 1:
+        wt = wt.filter(F.col("cnt") >= min_count)
+    return wt.withColumn("seq", _bpe_seq_col())
+
+
+def _bpe_pair_counts(st: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over the type table, weighted by cnt.
+    Counts every adjacent position (overlapping included), as the
+    reference get_stats does."""
+    pairs = F.arrays_zip(
+        F.expr("slice(split(substring(seq, 2, length(seq) - 2), '><'), 1, "
+               "size(split(substring(seq, 2, length(seq) - 2), '><')) - 1)"),
+        F.expr("slice(split(substring(seq, 2, length(seq) - 2), '><'), 2, "
+               "size(split(substring(seq, 2, length(seq) - 2), '><')) - 1)"),
+    )
+    p = st.select(F.col("cnt"), F.explode(pairs).alias("p"))
+    return p.groupBy(
+        F.col("p.0").alias("a"), F.col("p.1").alias("b")
+    ).agg(F.sum("cnt").alias("n"))
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 16, min_count: int = 1
+) -> tuple[list, DataFrame]:
+    """Train BPE merges on the corpus.
+
+    Returns (merges, final_state): merges = [(rank, a, b, count)...] and
+    the final type table (word, cnt, seq) with all merges applied.  The
+    per-round lineage is truncated with localCheckpoint (same bounded-
+    lineage technique as near_dup_clusters' pointer doubling) so the plan
+    never stacks n_merges replace expressions."""
+    st = bpe_word_types(docs, min_count=min_count).localCheckpoint(eager=True)
+    merges = []
+    for rank in range(n_merges):
+        best = (
+            _bpe_pair_counts(st)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((rank, a, b, n))
+        st = st.withColumn(
+            "seq", F.replace(F.col("seq"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+        ).localCheckpoint(eager=True)
+    return merges, st
+
+
+def bpe_doc_token_counts(docs: DataFrame, final_state: DataFrame) -> DataFrame:
+    """Per-doc learned-BPE token count: explode doc words, broadcast-join
+    the tokenized type table, sum token counts.  Docs whose text has no
+    '[a-z]+' run (or only sub-min_count types) count 0 via the left join."""
+    ntok = final_state.select(
+        "word",
+        F.size(F.expr("split(substring(seq, 2, length(seq) - 2), '><')")).alias("ntok"),
+    )
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_WORD_RE), F.lit(0))
+        ).alias("word"),
+    )
+    per_doc = (
+        dw.join(F.broadcast(ntok), on="word")
+        .groupBy("doc_id")
+        .agg(F.sum("ntok").alias("n_bpe_learned"))
+    )
+    return docs.select("doc_id").join(per_doc, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("n_bpe_learned", F.lit(0)).cast("long").alias("n_bpe_learned")
+    )
+
+
+def bpe_tokenize_words(words: DataFrame, merges: list, word_col: str = "word") -> DataFrame:
+    """Tokenize arbitrary (possibly unseen) words with a learned merge
+    table: the ranked replace chain applied as n_merges chained JVM string
+    replaces — no Python.  Adds 'bpe_tokens' array<string>."""
+    chars = F.regexp_extract_all(F.col(word_col), F.lit("[a-z]"), F.lit(0))
+    seq = F.concat(F.lit("<"), F.array_join(chars, "><"), F.lit(">"))
+    for _, a, b, _n in merges:
+        seq = F.replace(seq, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    df = words.withColumn("_seq", seq)
+    return df.withColumn(
+        "bpe_tokens",
+        F.expr("split(substring(_seq, 2, length(_seq) - 2), '><')"),
+    ).drop("_seq")
+
+
+def bpe_oracle_sql(n_merges: int = 16, src: str = "documents", min_count: int = 1) -> str:
+    """DuckDB twin of the ENTIRE training loop + per-doc counts: the
+    n_merges rounds unrolled into a CTE chain (pair-count aggregate,
+    deterministic argmax, string-replace merge application — the same
+    three steps, same tie-break, same replace semantics as bpe_train)."""
+    mc = f"HAVING COUNT(*) >= {min_count}" if min_count > 1 else ""
+    ctes = [
+        f"""wt AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}')) AS word FROM {src}
+  ) GROUP BY word {mc}
+)""",
+        """st0 AS MATERIALIZED (
+  SELECT word, cnt,
+         '<' || array_to_string(regexp_extract_all(word, '[a-z]'), '><') || '>' AS seq
+  FROM wt
+)""",
+    ]
+    for k in range(n_merges):
+        ctes.append(f"""pr{k} AS MATERIALIZED (
+  SELECT l[i] AS a, l[i + 1] AS b, SUM(cnt) AS n FROM (
+    SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i FROM (
+      SELECT cnt, string_split(substr(seq, 2, length(seq) - 2), '><') AS l FROM st{k}
+    )
+  ) GROUP BY 1, 2
+)""")
+        ctes.append(f"""best{k} AS MATERIALIZED (
+  SELECT a, b, n FROM pr{k} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+)""")
+        ctes.append(f"""st{k + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(seq,
+                 coalesce((SELECT '<' || a || '><' || b || '>' FROM best{k}), chr(1)),
+                 coalesce((SELECT '<' || a || b || '>' FROM best{k}), '')) AS seq
+  FROM st{k}
+)""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def bpe_doc_counts_sql(n_merges: int = 16, src: str = "documents", min_count: int = 1) -> str:
+    """Per-doc learned-token counts on DuckDB (joins the unrolled-training
+    final state)."""
+    return f"""{bpe_oracle_sql(n_merges, src, min_count)},
+final_len AS (
+  SELECT word, len(string_split(substr(seq, 2, length(seq) - 2), '><')) AS ntok
+  FROM st{n_merges}
+),
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}')) AS word
+  FROM {src}
+),
+per_doc AS (
+  SELECT doc_id, SUM(ntok) AS n FROM dw JOIN final_len USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(per_doc.n, 0) AS BIGINT) AS n_bpe_learned
+FROM (SELECT doc_id FROM {src}) d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+def bpe_merges_sql(n_merges: int = 16, src: str = "documents", min_count: int = 1) -> str:
+    """The learned merge table itself on DuckDB (rank, pair_a, pair_b,
+    pair_count) — lets the driver hash-compare the MERGES, not just the
+    counts they induce."""
+    sels = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS pair_a, b AS pair_b, CAST(n AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(n_merges)
+    )
+    return f"{bpe_oracle_sql(n_merges, src, min_count)}\n{sels}"
