@@ -552,7 +552,12 @@ def main() -> None:
         # buckets and must hold hot/uniform <= ~2x. interval_join's hot
         # ratio reflects PLAN cost only (its hot OUTPUT is inherently
         # quadratic: every purchase x every overlapping click window).
-        from gridfour_spark.asof import asof_join, asof_join_salted, interval_join
+        from gridfour_spark.asof import (
+            asof_join,
+            asof_join_salted,
+            interval_agg_join,
+            interval_join,
+        )
 
         _ef = int(os.environ.get("SPARK_GRAFT_HOTKEY_FACTOR", "30"))
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -598,11 +603,28 @@ def main() -> None:
                 (_F.col("ts") + _F.expr("INTERVAL 1 HOUR")).alias("end"))
             return interval_join(p, iv, key="user_id", ts="ts")
 
+        # aggregate-pushdown variant (round 7): per-window count/sum from
+        # bucket partials + edge filters — the consumer shape where the
+        # quadratic pair OUTPUT was the only reason interval_hot_ratio sat
+        # at ~3.7x. bucket = window/8 (1h windows).
+        def _iv_agg(df):
+            p = df.filter(_F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts", "value")
+            iv = df.filter(_F.col("event_type") == "click").select(
+                "user_id", _F.col("event_id").alias("click_id"),
+                _F.col("ts").alias("start"),
+                (_F.col("ts") + _F.expr("INTERVAL 1 HOUR")).alias("end"))
+            return interval_agg_join(
+                p, iv, key="user_id", ts="ts", value="value",
+                bucket_us=450_000_000)
+
         asof_u = min(_full(_asof(asof_join, ev_uniform)) for _ in range(2))
         asof_h = min(_full(_asof(asof_join, ev_hot)) for _ in range(2))
         asof_hs = min(_full(_asof(asof_join_salted, ev_hot)) for _ in range(2))
         iv_u = min(_full(_iv(ev_uniform)) for _ in range(2))
         iv_h = min(_full(_iv(ev_hot)) for _ in range(2))
+        iva_u = min(_full(_iv_agg(ev_uniform)) for _ in range(2))
+        iva_h = min(_full(_iv_agg(ev_hot)) for _ in range(2))
         ev_uniform.unpersist(); ev_hot.unpersist()
         stress["hotkey_events"] = {
             "factor": _ef,
@@ -614,6 +636,9 @@ def main() -> None:
             "interval_uniform_sec": round(iv_u, 3),
             "interval_hot_sec": round(iv_h, 3),
             "interval_hot_ratio": round(iv_h / iv_u, 2) if iv_u else None,
+            "interval_agg_uniform_sec": round(iva_u, 3),
+            "interval_agg_hot_sec": round(iva_h, 3),
+            "interval_hot_agg_ratio": round(iva_h / iva_u, 2) if iva_u else None,
         }
         result["stress"] = stress
 

@@ -192,3 +192,101 @@ def test_asof_salted_plan_shards_hot_key(spark, frames):
     assert plan.count("Window") == 2  # seed carry + main carry, nothing else
     # main window keyed by (_k, _b): hot keys shard over buckets
     assert "windowspecdefinition(_k" in plan and "_b" in plan
+
+
+def test_interval_agg_join_matches_pairs_and_duckdb(spark):
+    """Aggregate-pushdown interval join (round 7): per-window counts/sums
+    computed from bucket partials + edge filters must equal the pair join
+    + GROUP BY exactly — including bucket-aligned windows, sub-bucket
+    windows, multi-bucket interiors, and zero-match windows — and match
+    the DuckDB BETWEEN-join oracle."""
+    import duckdb
+
+    from gridfour_spark.asof import interval_agg_join, interval_join
+
+    # bucket_us = 1000s; windows engineered around the bucket geometry
+    BUS = 1_000_000_000
+    pts = [
+        (i, 1, _ts(float(t)), float(v))
+        for i, (t, v) in enumerate(
+            [(0, 1), (500, 2), (999, 3), (1000, 4), (1500, 5), (2500, 6),
+             (3500, 7), (4000, 8), (4999, 9), (5000, 10)]
+        )
+    ] + [(100, 2, _ts(250.0), 11.0), (101, 3, _ts(9999.0), 12.0)]
+    points = spark.createDataFrame(
+        pts, "pid long, user_id long, ts timestamp, value double")
+    ivs = [
+        (10, 1, 0.0, 5000.0),      # 5 buckets: 3 interior + 2 edges
+        (11, 1, 0.0, 1000.0),      # exactly one bucket, aligned
+        (12, 1, 250.0, 750.0),     # sub-bucket (b0 == b1)
+        (13, 1, 999.0, 4001.0),    # unaligned, interior present
+        (14, 1, 6000.0, 7000.0),   # zero matches
+        (15, 2, 0.0, 500.0),       # other key
+        (16, 9, 0.0, 9000.0),      # key with no points at all
+    ]
+    intervals = spark.createDataFrame(
+        [(i, u, _ts(s), _ts(e)) for i, u, s, e in ivs],
+        "iid long, user_id long, start timestamp, end timestamp",
+    )
+    out = interval_agg_join(
+        points, intervals, key="user_id", ts="ts", value="value", bucket_us=BUS
+    ).collect()
+    got = {r["iid"]: (r["n_points"], r["sum_value"]) for r in out}
+    assert len(out) == len(ivs)  # every interval exactly once
+
+    # oracle 1: the pair join aggregated
+    pair = (
+        interval_join(points, intervals, key="user_id", ts="ts")
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {r["iid"]: (r["n"], r["s"]) for r in pair}
+    for iid, *_ in ivs:
+        w = want.get(iid, (0, None))
+        assert got[iid] == w, (iid, got[iid], w)
+
+    # oracle 2: DuckDB BETWEEN join (plans as IEJoin)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i},{u},{(t - _ts(0.0)).total_seconds()},{v})" for i, u, t, v in pts
+        )
+        + ") v(pid, user_id, ts, value)"
+    )
+    con.execute(
+        "CREATE TABLE iv AS SELECT * FROM (VALUES "
+        + ",".join(f"({i},{u},{s},{e})" for i, u, s, e in ivs)
+        + ") v(iid, user_id, s, e)"
+    )
+    duck = dict(
+        (iid, (n, s))
+        for iid, n, s in con.execute(
+            "SELECT iid, COUNT(p.pid), SUM(p.value) FROM iv "
+            "LEFT JOIN p ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts < iv.e "
+            "GROUP BY iid"
+        ).fetchall()
+    )
+    for iid, *_ in ivs:
+        assert got[iid] == duck[iid], (iid, got[iid], duck[iid])
+
+
+def test_interval_agg_join_no_pair_blowup_plan(spark):
+    """The agg-pushdown plan must contain no BNLJ/cartesian and must read
+    interior buckets from the PARTIAL aggregate (two groupBys feeding the
+    final combine), not from raw points."""
+    from gridfour_spark.asof import interval_agg_join
+
+    points = spark.createDataFrame(
+        [(i, 1, _ts(float(i * 10)), 1.0) for i in range(100)],
+        "pid long, user_id long, ts timestamp, value double",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 1, _ts(0.0), _ts(900.0))],
+        "iid long, user_id long, start timestamp, end timestamp",
+    )
+    out = interval_agg_join(points, intervals, value="value", bucket_us=100_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
