@@ -685,3 +685,157 @@ def test_v3_sharding_handwritten_and_index_corruption(tmp_path):
     shard_path.write_bytes(bytes(buf))
     with pytest.raises(ValueError, match="crc32c"):
         Z.read_zarr_array(str(p))
+
+
+def test_v3_shard_partial_read_bounded_bytes(spark, tmp_path):
+    """Partial-shard reads (round 7): a window read probes the crc32c'd
+    index and range-reads ONLY the touched inner chunks — bytes_read is
+    bounded by index + touched-chunk bytes (mirroring the paged GVRS
+    directory proof), values identical to the whole-shard decode."""
+    g = _demo_grid(128, 128)
+    cells = spark.createDataFrame(
+        [(int(r), int(c), float(g[r, c]))
+         for r in range(128) for c in range(128)],
+        "row long, col long, z double",
+    )
+    p = str(tmp_path / "pshd.zarr")
+    Z.write_zarr(cells, p, shape=(128, 128), chunks=(128, 128),
+                 dtype="<i4", zarr_format=3,
+                 compressor={"id": "shard", "inner_chunks": (16, 16),
+                             "codecs": [{"id": "gzip", "level": 6}]})
+    info = Z.parse_zarr_array(p)
+    shard_file = os.path.join(p, "c", "0", "0")
+    shard_bytes = os.path.getsize(shard_file)
+    idx_len = 16 * 64 + 4  # 8x8 inner grid, crc32c'd
+
+    # one inner chunk's window: index + exactly 1 inner chunk
+    win, nread = Z.read_shard_window(shard_file, info, 20, 28, 36, 44)
+    np.testing.assert_array_equal(win, g[20:28, 36:44])
+    # the whole shard is 64 compressed inner chunks; reading 1 must cost
+    # about 1/64 of the payload + the index
+    payload = shard_bytes - idx_len
+    assert nread <= idx_len + payload // 32, (nread, shard_bytes)
+
+    # 2x2 inner chunks straddling boundaries
+    win, nread = Z.read_shard_window(shard_file, info, 10, 30, 10, 30)
+    np.testing.assert_array_equal(win, g[10:30, 10:30])
+    assert nread <= idx_len + payload // 8
+
+    # the distributed window read goes through the same partial path and
+    # matches the full-scan values
+    got = {(r.row, r.col): r.z
+           for r in Z.zarr_cells(spark, p, row_range=(20, 28),
+                                 col_range=(36, 44)).collect()}
+    assert got == {(r, c): float(g[r, c])
+                   for r in range(20, 28) for c in range(36, 44)}
+
+    # index CRC tamper is caught by the PARTIAL path too
+    buf = bytearray(open(shard_file, "rb").read())
+    buf[-6] ^= 0xFF  # inside the index body
+    open(shard_file, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="crc32c"):
+        Z.read_shard_window(shard_file, info, 0, 8, 0, 8)
+
+
+def test_v3_shard_partial_read_sparse_inner_chunks(spark, tmp_path):
+    """Absent inner chunks (sentinel 2^64-1) inside the window surface as
+    fill without any extra bytes read beyond the index."""
+    cells = spark.createDataFrame(
+        [(0, 0, 7.0), (100, 100, 9.0)], "row long, col long, z double")
+    p = str(tmp_path / "sparse.zarr")
+    Z.write_zarr(cells, p, shape=(128, 128), chunks=(128, 128),
+                 dtype="<i4", fill_value=-5, zarr_format=3,
+                 compressor={"id": "shard", "inner_chunks": (16, 16)})
+    info = Z.parse_zarr_array(p)
+    shard_file = os.path.join(p, "c", "0", "0")
+    idx_len = 16 * 64 + 4
+    # window over an entirely-absent inner chunk: index bytes only
+    win, nread = Z.read_shard_window(shard_file, info, 32, 48, 32, 48)
+    assert nread == idx_len
+    assert (win == -5).all()
+    # window over the occupied corner
+    win, nread = Z.read_shard_window(shard_file, info, 0, 4, 0, 4)
+    assert win[0, 0] == 7 and (win.ravel()[1:] == -5).all()
+
+
+def test_v3_transpose_handwritten_store(spark, tmp_path):
+    """Golden transpose-codec read (round 7, r6 stretch #9): a v3 store
+    assembled BY HAND with codecs [transpose(order=[1,0]), bytes, gzip] —
+    chunk payloads are the transposed array serialized C-order — must
+    decode to the original orientation, through both the local helper and
+    the distributed cell view."""
+    import gzip as _gz
+
+    p = tmp_path / "tr.zarr"
+    p.mkdir()
+    (p / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [4, 6],
+        "data_type": "int32",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [4, 6]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": [1, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "gzip", "configuration": {"level": 6}},
+        ],
+    }))
+    g = np.arange(24, dtype="<i4").reshape(4, 6)
+    (p / "c").mkdir(); (p / "c" / "0").mkdir()
+    # hand-serialize: transpose to (6, 4), C-order bytes, gzip
+    (p / "c" / "0" / "0").write_bytes(
+        _gz.compress(np.ascontiguousarray(g.T).tobytes(), 6))
+    info = Z.parse_zarr_array(str(p))
+    assert info.transpose == (1, 0)
+    np.testing.assert_array_equal(Z.read_zarr_array(str(p)), g)
+    got = {(r.row, r.col): r.z for r in Z.zarr_cells(spark, str(p)).collect()}
+    assert got[(2, 5)] == float(g[2, 5]) and len(got) == 24
+
+    # encode side: decode_chunk(encode_chunk(x)) is identity AND the
+    # encoded bytes equal the hand-written golden object
+    enc = Z.encode_chunk(g, info)
+    np.testing.assert_array_equal(Z.decode_chunk(enc, info), g)
+    assert _gz.decompress(enc) == _gz.decompress((p / "c" / "0" / "0").read_bytes())
+
+
+def test_v3_transpose_inside_shard(tmp_path):
+    """transpose as the shard's INNER codec chain round-trips through the
+    sharding_indexed encode/decode (writer emits it, parser recovers it)."""
+    from gridfour_spark.zarrv2 import ZarrInfo, _write_meta_v3
+
+    p = tmp_path / "trs.zarr"
+    p.mkdir()
+    info = ZarrInfo(
+        path=str(p), shape=(8, 8), chunks=(8, 8), dtype=np.dtype("<i4"),
+        order="C", fill_value=0,
+        compressor={"id": "shard", "inner_chunks": (4, 4),
+                    "codecs": [{"id": "gzip", "level": 6}],
+                    "transpose": (1, 0)},
+        filters=None, separator="/", zarr_format=3, key_prefix="c",
+    )
+    _write_meta_v3(str(p), info)
+    back = Z.parse_zarr_array(str(p))
+    assert back.compressor["transpose"] == (1, 0)
+    g = (np.arange(64, dtype="<i4") * 3 % 17).reshape(8, 8)
+    enc = Z.encode_chunk(g, back)
+    np.testing.assert_array_equal(Z.decode_chunk(enc, back), g)
+
+
+def test_v3_transpose_rejected_after_bytes(tmp_path):
+    p = tmp_path / "bad.zarr"
+    p.mkdir()
+    (p / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2, 2],
+        "data_type": "int32",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2, 2]}},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "transpose", "configuration": {"order": [1, 0]}},
+        ],
+    }))
+    with pytest.raises(ValueError, match="precede"):
+        Z.parse_zarr_array(str(p))
