@@ -188,19 +188,40 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
         elif f == 2:
             rec = line + prev
         elif f in (3, 4):
-            rec = line
-            pv = prev.reshape(w, ch).astype(np.int16)
-            rc = rec.reshape(w, ch)
-            left = np.zeros(ch, dtype=np.uint8)
-            upleft = np.zeros(ch, dtype=np.uint8)
-            for x in range(w):
+            # left-pixel recurrence is inherently sequential, but each
+            # CHANNEL is independent — run it as per-channel scalar-int
+            # loops (plain Python ints beat per-pixel numpy allocs ~10x)
+            la = line.reshape(w, ch)
+            pva = prev.reshape(w, ch)
+            rc = np.empty((w, ch), dtype=np.uint8)
+            for c in range(ch):
+                fl = la[:, c].tolist()
+                up_l = pva[:, c].tolist()
+                left_v = 0
+                upleft_v = 0
+                out_c = [0] * w
                 if f == 3:
-                    pred = ((left.astype(np.int16) + pv[x]) // 2).astype(np.uint8)
+                    for x in range(w):
+                        left_v = (fl[x] + ((left_v + up_l[x]) >> 1)) & 255
+                        out_c[x] = left_v
                 else:
-                    pred = _paeth(left, pv[x].astype(np.uint8), upleft)
-                rc[x] = rc[x] + pred
-                left = rc[x]
-                upleft = pv[x].astype(np.uint8)
+                    for x in range(w):
+                        bb = up_l[x]
+                        p = left_v + bb - upleft_v
+                        pa = p - left_v if p >= left_v else left_v - p
+                        pb = p - bb if p >= bb else bb - p
+                        pc = p - upleft_v if p >= upleft_v else upleft_v - p
+                        if pa <= pb and pa <= pc:
+                            pred = left_v
+                        elif pb <= pc:
+                            pred = bb
+                        else:
+                            pred = upleft_v
+                        left_v = (fl[x] + pred) & 255
+                        out_c[x] = left_v
+                        upleft_v = bb
+                rc[:, c] = out_c
+            rec = rc.reshape(stride)
         else:
             raise ValueError(f"bad filter type {f} on row {y}")
         out[y] = rec

@@ -183,3 +183,26 @@ def test_knn_ring_escalation_certifies_sparse_points(spark):
     got = spatial.knn_join(pdf, adf, k=3, res=5, ring=1).collect()
     got_set = {(r.pt_id, r.rank, r.anchor_id, r.dist_km) for r in got}
     assert got_set == _brute(points, anchors, 3)
+
+
+def test_knn_polar_concentrated_anchors_telemetry(spark):
+    """Round 7 (r6 verdict #5): a polar-concentrated anchor set at forced
+    high res drives NONZERO escalation/fallback telemetry — the regime the
+    sf0.1 bench never reaches — and the answers must still equal brute
+    force (the fallback is exact by construction)."""
+    # anchors crowded above 80N; points spread globally
+    anchors = [(i, 80.5 + (i * 7 % 19) * 0.45, -170.0 + i * 8.5) for i in range(40)]
+    points = _points(200)
+    pdf = spark.createDataFrame(points, "pt_id int, lat double, lon double")
+    adf = spark.createDataFrame(anchors, "anchor_id int, alat double, alon double")
+    stats: dict = {}
+    got = spatial.knn_join(pdf, adf, k=3, res=5, ring=1, stats_out=stats).collect()
+    got_set = {(r.pt_id, r.rank, r.anchor_id, r.dist_km) for r in got}
+    assert got_set == _brute(points, anchors, 3)
+    n = stats["points"].count()
+    esc = stats["escalated"].count() / n
+    fb = stats["fallback"].count() / n
+    # most non-polar points fail the ring-1 certificate (no anchors in
+    # their disk) and escalate; far-south points even fail the 3x ring
+    assert esc > 0.5, esc
+    assert fb > 0.0, fb
