@@ -534,10 +534,18 @@ rows_y AS (
          unnest(generate_series(0, height - 1)) AS y
   FROM dims
 ),
-px AS (
-  SELECT doc_id, span_offset, width, height,
-         (seed + 31 * y + 7 * unnest(generate_series(0, width - 1))) % 256 AS v
+rows_yx AS (
+  SELECT doc_id, span_offset, seed, width, height, y,
+         unnest(generate_series(0, width - 1)) AS x
   FROM rows_y
+),
+px AS (
+  -- seed % 4 == 0 -> RGB (3 channels, +97 per channel), else greyscale
+  SELECT doc_id, span_offset, width, height,
+         (seed + 31 * y + 7 * x
+          + 97 * unnest(generate_series(0, CASE WHEN seed % 4 = 0 THEN 2 ELSE 0 END))
+         ) % 256 AS v
+  FROM rows_yx
 )
 SELECT doc_id, span_offset,
        CAST(width AS INTEGER) AS width,

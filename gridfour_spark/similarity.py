@@ -805,15 +805,18 @@ MEDIA_SCHEMA = "doc_id bigint, span_offset int, media_ref string, payload binary
 def synth_media(spans: DataFrame) -> DataFrame:
     """Deterministic REAL-PNG payloads for media spans (round 7).
 
-    Each media_ref's md5 seeds a greyscale gradient image
-    ``pixel(y, x) = (seed + 31*y + 7*x) mod 256`` with dims
+    Each media_ref's md5 seeds a gradient image
+    ``pixel(y, x, c) = (seed + 31*y + 7*x + 97*c) mod 256`` with dims
     ``(seed_b % 24 + 8) x (seed_c % 24 + 8)``, encoded as an actual PNG
     (gridfour_spark.pngcodec: zlib deflate + rotating scanline filters, so
-    every filter type 0..4 appears in the corpus).  The pixel rule is
-    closed-form on md5 hex, which is what lets the DuckDB oracle verify
-    features DECODED from the bytes without being able to read PNG itself.
-    Executors encode their own partitions' images inside Arrow batches —
-    no driver funnel, no per-row Python outside the codec kernel."""
+    every filter type 0..4 appears in the corpus).  Images whose seed is
+    divisible by 4 are RGB (3 channels), the rest greyscale — so the
+    corpus exercises BOTH color types through the real decoder.  The pixel
+    rule is closed-form on md5 hex, which is what lets the DuckDB oracle
+    verify features DECODED from the bytes without being able to read PNG
+    itself.  Executors encode their own partitions' images inside Arrow
+    batches — no driver funnel, no per-row Python outside the codec
+    kernel."""
     m = spans.filter(F.col("kind") == "media").select("doc_id", "span_offset", "media_ref")
 
     out_schema = (
@@ -834,7 +837,13 @@ def synth_media(spans: DataFrame) -> DataFrame:
                 w = int(hx[2:4], 16) % 24 + 8
                 h = int(hx[4:6], 16) % 24 + 8
                 yy, xx = np.indices((h, w))
-                img = ((seed + 31 * yy + 7 * xx) % 256).astype(np.uint8)
+                base = seed + 31 * yy + 7 * xx
+                if seed % 4 == 0:  # RGB: channel offset 97c
+                    img = (
+                        (base[:, :, None] + 97 * np.arange(3)) % 256
+                    ).astype(np.uint8)
+                else:
+                    img = (base % 256).astype(np.uint8)
                 png = pngcodec.encode_png(img, filters=(np.arange(h) + seed) % 5)
                 payloads.append(png)
                 metas.append(

@@ -26,6 +26,12 @@ _PINS = {
     "ocean_volume": dict(bnlj=0, exchanges=1, broadcast_join=False),
     "bspline": dict(bnlj=0, exchanges=5, broadcast_join=False),
     "near_dup": dict(bnlj=0, exchanges=14, broadcast_join=True),
+    # round 7: the real-PNG decode chain is pure mapInPandas — zero
+    # shuffles end to end; token_stats gained the learned-BPE broadcast
+    # join (its one BNLJ is the sanctioned single-row corpus-total cross
+    # inside corpus_word_logprob)
+    "media_features": dict(bnlj=0, exchanges=0, broadcast_join=False),
+    "token_stats": dict(bnlj=1, exchanges=10, broadcast_join=True),
 }
 
 

@@ -83,17 +83,25 @@ def test_media_features_from_decoded_bytes(spark):
     media = similarity.synth_media(spans)
     rows = similarity.decode_media(media).collect()
     assert len(rows) == 40
+    seen_rgb = seen_grey = 0
     for r in rows:
         hx = hashlib.md5(r["media_ref"].encode()).hexdigest()
         seed = int(hx[0:2], 16)
         w = int(hx[2:4], 16) % 24 + 8
         h = int(hx[4:6], 16) % 24 + 8
         yy, xx = np.indices((h, w))
-        img = (seed + 31 * yy + 7 * xx) % 256
+        base = seed + 31 * yy + 7 * xx
+        if seed % 4 == 0:  # RGB images in the corpus
+            img = (base[:, :, None] + 97 * np.arange(3)) % 256
+            seen_rgb += 1
+        else:
+            img = base % 256
+            seen_grey += 1
         assert (r["width"], r["height"]) == (w, h)
         assert r["max_byte"] == int(img.max())
         assert abs(r["mean_byte"] - img.mean()) < 1e-9
         assert r["kind"] == "image/png"
+    assert seen_rgb > 0 and seen_grey > 0  # both color types exercised
 
 
 def test_media_payload_is_real_png(spark):
