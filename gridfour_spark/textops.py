@@ -881,19 +881,64 @@ def bpe_doc_token_counts(docs: DataFrame, final_state: DataFrame) -> DataFrame:
     )
 
 
-def bpe_tokenize_words(words: DataFrame, merges: list, word_col: str = "word") -> DataFrame:
+# above this many merges the chained-replace EXPRESSION tree risks the
+# 64KB whole-stage-codegen ceiling (the Catalyst landmine the repo pins
+# elsewhere); the Arrow kernel takes over there
+_BPE_EXPR_MAX_MERGES = 48
+
+
+def bpe_tokenize_words(
+    words: DataFrame, merges: list, word_col: str = "word", arrow: bool | None = None
+) -> DataFrame:
     """Tokenize arbitrary (possibly unseen) words with a learned merge
-    table: the ranked replace chain applied as n_merges chained JVM string
-    replaces — no Python.  Adds 'bpe_tokens' array<string>."""
-    chars = F.regexp_extract_all(F.col(word_col), F.lit("[a-z]"), F.lit(0))
-    seq = F.concat(F.lit("<"), F.array_join(chars, "><"), F.lit(">"))
-    for _, a, b, _n in merges:
-        seq = F.replace(seq, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
-    df = words.withColumn("_seq", seq)
-    return df.withColumn(
-        "bpe_tokens",
-        F.expr("split(substring(_seq, 2, length(_seq) - 2), '><')"),
-    ).drop("_seq")
+    table.  Adds 'bpe_tokens' array<string>.
+
+    Two result-identical engines: small merge tables apply the ranked
+    replace chain as chained JVM string replaces (zero Python); past
+    ``_BPE_EXPR_MAX_MERGES`` rules (a real tokenizer has thousands) the
+    chain would blow the codegen ceiling, so an Arrow-batched mapInPandas
+    kernel applies the broadcast merge list with a per-batch word-type
+    cache (Zipf makes the cache hit rate ~1) — same leftmost-greedy
+    replace semantics, chosen automatically unless ``arrow`` forces it."""
+    if arrow is None:
+        arrow = len(merges) > _BPE_EXPR_MAX_MERGES
+    if not arrow:
+        chars = F.regexp_extract_all(F.col(word_col), F.lit("[a-z]"), F.lit(0))
+        seq = F.concat(F.lit("<"), F.array_join(chars, "><"), F.lit(">"))
+        for _, a, b, _n in merges:
+            seq = F.replace(seq, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+        df = words.withColumn("_seq", seq)
+        return df.withColumn(
+            "bpe_tokens",
+            F.expr("split(substring(_seq, 2, length(_seq) - 2), '><')"),
+        ).drop("_seq")
+
+    import re as _re
+
+    rules = [(f"<{a}><{b}>", f"<{a}{b}>") for _, a, b, _n in merges]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in words.schema.fields
+    ) + ", bpe_tokens array<string>"
+
+    def kernel(batches):
+        cache: dict[str, list] = {}
+
+        def tok(w):
+            got = cache.get(w)
+            if got is None:
+                seq = "<" + "><".join(_re.findall("[a-z]", w)) + ">"
+                for pat, rep in rules:
+                    seq = seq.replace(pat, rep)
+                got = seq[1:-1].split("><") if len(seq) > 2 else []
+                cache[w] = got
+            return got
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["bpe_tokens"] = [tok(w) for w in pdf[word_col]]
+            yield pdf
+
+    return words.mapInPandas(kernel, out_schema)
 
 
 def bpe_oracle_sql(n_merges: int = 16, src: str = "documents", min_count: int = 1) -> str:

@@ -144,3 +144,31 @@ def test_duckdb_twin_matches(spark):
     got = {r["doc_id"]: r["n_bpe_learned"] for r in T.bpe_doc_token_counts(df, st).collect()}
     dc = dict(con.execute(T.bpe_doc_counts_sql(10)).fetchall())
     assert got == dc
+
+
+def test_tokenize_arrow_engine_identical(spark):
+    """The Arrow kernel (used past _BPE_EXPR_MAX_MERGES rules, where the
+    chained-replace expression would hit the codegen ceiling) must produce
+    IDENTICAL tokens to the JVM replace chain."""
+    merges, _ = T.bpe_train(_df(spark), n_merges=12)
+    wdf = spark.createDataFrame(
+        [(w,) for w in ["thematic", "catsat", "qqq", "aaaaab", "x"]], "word string"
+    )
+    jvm = {r["word"]: list(r["bpe_tokens"])
+           for r in T.bpe_tokenize_words(wdf, merges, arrow=False).collect()}
+    arrow = {r["word"]: list(r["bpe_tokens"])
+             for r in T.bpe_tokenize_words(wdf, merges, arrow=True).collect()}
+    assert jvm == arrow
+
+
+def test_tokenize_auto_switch_threshold(spark):
+    """> _BPE_EXPR_MAX_MERGES rules auto-routes to the Arrow kernel (plan
+    shows MapInPandas, not a replace chain)."""
+    big = [(i, "q", "q", 1) for i in range(T._BPE_EXPR_MAX_MERGES + 1)]
+    wdf = spark.createDataFrame([("qq",)], "word string")
+    df = T.bpe_tokenize_words(wdf, big)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    small = [(0, "q", "q", 1)]
+    plan2 = T.bpe_tokenize_words(wdf, small)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan2
