@@ -654,9 +654,16 @@ def main() -> None:
 
                 fx, n_fx, s_fx, c_fx = _nd(_T.N_MINHASH, 2)
                 cl, n_cl, s_cl, c_cl = _nd(k_cal, b_cal)
-                identical = (
-                    fx.exceptAll(cl).count() == 0 and cl.exceptAll(fx).count() == 0
-                )
+                # LSH is probabilistic: every verified pair is a TRUE
+                # positive (exact Jaccard downstream), so the honest
+                # comparison is set difference, not a bare equality — pairs
+                # only the calibrated profile finds are RECALL the fixed
+                # small-SF profile missed (its miss_prob is uncontrolled at
+                # this corpus size; that is precisely why lsh_params
+                # exists). Pairs only the FIXED profile finds would be a
+                # calibration bug.
+                missed_by_fixed = cl.exceptAll(fx).count()
+                missed_by_cal = fx.exceptAll(cl).count()
                 fx.unpersist(); cl.unpersist()
                 stress["near_dup_calibrated"] = {
                     "n_docs": int(n_amp),
@@ -666,7 +673,9 @@ def main() -> None:
                     "calibrated_profile": {"k": int(k_cal), "bands": int(b_cal),
                                            "sec": s_cl, "n_candidates": int(c_cl),
                                            "n_pairs": int(n_cl)},
-                    "result_identical": bool(identical),
+                    "pairs_missed_by_fixed_profile": int(missed_by_fixed),
+                    "pairs_missed_by_calibrated": int(missed_by_cal),
+                    "calibrated_superset_of_fixed": bool(missed_by_cal == 0),
                 }
         finally:
             for d in amp_dirs:
