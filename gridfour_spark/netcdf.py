@@ -279,8 +279,12 @@ def write_netcdf(
     attrs: dict | None = None,
     var_attrs: dict | None = None,
     fill_value=None,
+    version: int = 1,
 ) -> None:
-    """Classic-format (CDF-1) sink for one 2-D variable.
+    """Classic-format sink for one 2-D variable — CDF-1 by default,
+    ``version=2`` writes the 64-bit-offset (CDF-2) form whose u64 begin
+    field addresses data areas past 2 GiB (what a real 100-TB DEM export
+    needs; the source already reads both).
 
     ``grid`` is a numpy array, or a Spark DataFrame of (row, col, z) cells
     (assembled on the driver via ONE Arrow ``toPandas`` transfer and a
@@ -324,7 +328,9 @@ def write_netcdf(
     data = g.astype(dt).tobytes()
     vsize = (len(data) + 3) & ~3
 
-    head = b"CDF\x01" + struct.pack(">I", 0)  # numrecs = 0 (no record dim)
+    if version not in (1, 2):
+        raise ValueError(f"classic versions are 1 (CDF-1) and 2 (CDF-2), got {version}")
+    head = b"CDF" + bytes([version]) + struct.pack(">I", 0)  # numrecs = 0
     head += struct.pack(">II", _NC_DIMENSION, 2)
     head += _w_name(dim_names[0]) + struct.pack(">I", nrows)
     head += _w_name(dim_names[1]) + struct.pack(">I", ncols)
@@ -332,9 +338,12 @@ def write_netcdf(
     var_block = _w_name(var) + struct.pack(">III", 2, 0, 1) + _w_atts(va)
     var_block += struct.pack(">II", nc_type, vsize)
     # begin = header bytes before the data area: head + var-list tag/count
-    # (8) + this var's block + its own 4-byte (CDF-1) begin field
-    begin = len(head) + 8 + len(var_block) + 4
-    head += struct.pack(">II", _NC_VARIABLE, 1) + var_block + struct.pack(">I", begin)
+    # (8) + this var's block + its own begin field (u32 in CDF-1, u64 in
+    # CDF-2 — the 64-bit-offset form's only layout difference)
+    begin_len = 8 if version == 2 else 4
+    begin = len(head) + 8 + len(var_block) + begin_len
+    head += struct.pack(">II", _NC_VARIABLE, 1) + var_block
+    head += struct.pack(">Q" if version == 2 else ">I", begin)
     with open(path, "wb") as f:
         f.write(head)
         f.write(_pad4(data))
