@@ -153,3 +153,36 @@ def test_reference_canonical_tile_round_trip(nr, nc, seed):
     r = CH.encode_tile_packing(v, nr, nc)
     got = CH.decode_tile(r["payload"], nr, nc)
     np.testing.assert_array_equal(got, v)
+
+
+# --- PNG codec (round 7) ---------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+)
+@settings(**_SETTINGS)
+def test_png_round_trip(h, w, ch, seed, filt):
+    from gridfour_spark import pngcodec as P
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got = P.decode_png(P.encode_png(a, filters=filt))
+    np.testing.assert_array_equal(got, a)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(**_SETTINGS)
+def test_png_per_row_filter_vectors(seed):
+    """Random per-row filter assignments (the corpus uses rotating ones)."""
+    from gridfour_spark import pngcodec as P
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 32)), int(rng.integers(1, 32))
+    a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    filters = rng.integers(0, 5, size=h)
+    np.testing.assert_array_equal(P.decode_png(P.encode_png(a, filters=filters)), a)
