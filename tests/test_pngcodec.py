@@ -134,3 +134,58 @@ def test_decode_media_rejects_non_image(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec libs"):
         similarity.decode_media(media).collect()
+
+
+def test_media_to_gvrs_pipeline(spark, tmp_path):
+    """Interleaved-payload pipeline end-to-end: a media span's PNG payload
+    decodes to pixels, the pixels become a (row, col, z) cell frame, the
+    cells build a tile store, the store exports to a binary GVRS file, and
+    the read-back grid equals the original image — the PackageData shape
+    with a multimodal column as the raster source."""
+    import hashlib
+
+    from gridfour_spark import gvrsfile as G
+    from gridfour_spark import similarity
+    from gridfour_spark import store as S
+    from gridfour_spark.spec import GridSpec
+
+    spans = spark.createDataFrame(
+        [(1, 0, "media", "media://img/pipeline")],
+        "doc_id long, span_offset int, kind string, media_ref string",
+    )
+    media = similarity.synth_media(spans)
+
+    # distributed decode -> cell frame (one mapInPandas, no driver pixels)
+    def to_cells(batches):
+        for pdf in batches:
+            for payload in pdf["payload"]:
+                img = P.decode_png(bytes(payload))
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                rr, cc = np.indices(img.shape)
+                yield pd.DataFrame(
+                    {"row": rr.ravel(), "col": cc.ravel(),
+                     "z": img.ravel().astype(np.float64)}
+                )
+
+    import pandas as pd
+
+    cells = media.mapInPandas(to_cells, "row long, col long, z double")
+    hx = hashlib.md5(b"media://img/pipeline").hexdigest()
+    w = int(hx[2:4], 16) % 24 + 8
+    h = int(hx[4:6], 16) % 24 + 8
+    spec = GridSpec(n_rows=h, n_cols=w, n_rows_in_tile=8, n_cols_in_tile=8)
+    tiles = S.build_tiles(cells, spec, value_col="z")
+    e = G.default_element("z", "int")
+    path = str(tmp_path / "media.gvrs")
+    G.write_gvrs(path, spec, e, G.gvrs_export_blocks(tiles, spec, e, compress=True),
+                 compressed=True)
+
+    back = {(r.row, r.col): r.z for r in G.gvrs_cells(spark, path).collect()}
+    seed = int(hx[0:2], 16)
+    yy, xx = np.indices((h, w))
+    want = (seed + 31 * yy + 7 * xx) % 256
+    assert len(back) == h * w
+    for r in range(0, h, 3):
+        for c in range(0, w, 3):
+            assert back[(r, c)] == float(want[r, c]), (r, c)
