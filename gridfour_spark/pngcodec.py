@@ -15,8 +15,10 @@ here the interchange format is real PNG so the decode stage exercises a
 genuine codec chain and the encode side doubles as a self-verifying
 round-trip oracle for tests.
 
-Scope (honest): 8-bit greyscale (color type 0), RGB (2) and RGBA (6),
-non-interlaced.  Palette / 16-bit / Adam7 raise ``NotImplementedError``.
+Scope (honest): 8- and 16-bit greyscale (color type 0), RGB (2) and RGBA
+(6), non-interlaced — 16-bit is the form that round-trips elevation tiles
+losslessly.  Palette / sub-byte depths / Adam7 raise
+``NotImplementedError``.
 
 Scale note: executors decode whole images inside Arrow batches
 (similarity.decode_media loops per image within a mapInPandas kernel,
@@ -52,15 +54,21 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def encode_png(arr: np.ndarray, filters=None) -> bytes:
-    """Encode a uint8 array as a non-interlaced 8-bit PNG.
+    """Encode a uint8 (8-bit) or uint16 (16-bit) array as a non-interlaced
+    PNG.
 
-    ``arr``: (H, W) greyscale, or (H, W, 3|4) RGB(A).
+    ``arr``: (H, W) greyscale, or (H, W, 3|4) RGB(A); dtype uint8 -> bit
+    depth 8, uint16 -> depth 16 (big-endian samples per spec — the form
+    that round-trips 16-bit elevation tiles losslessly).
     ``filters``: per-row filter types (int or sequence of H ints 0..4);
     default rotates ``row % 5`` so every filter type appears — the decoder
     exercise the synthetic corpus wants.  Filtering is the direct
-    (recurrence-free) direction, fully vectorized.
+    (recurrence-free) direction, fully vectorized; per the spec it
+    operates on BYTES with a bpp-byte left offset regardless of depth.
     """
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = np.ascontiguousarray(a, dtype=np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         color, ch = 0, 1
         a = a[:, :, None]
@@ -69,6 +77,7 @@ def encode_png(arr: np.ndarray, filters=None) -> bytes:
     else:
         raise ValueError(f"unsupported array shape {arr.shape}")
     h, w = a.shape[:2]
+    bpp = ch * (depth // 8)
     if filters is None:
         frow = np.arange(h) % 5
     elif np.isscalar(filters):
@@ -77,13 +86,16 @@ def encode_png(arr: np.ndarray, filters=None) -> bytes:
         frow = np.asarray(filters, dtype=np.int64)
         if frow.shape != (h,):
             raise ValueError("filters must be scalar or length-H")
-    flat = a.reshape(h, w * ch)
+    if depth == 16:
+        flat = a.astype(">u2").view(np.uint8).reshape(h, w * bpp)
+    else:
+        flat = a.reshape(h, w * bpp)
     left = np.zeros_like(flat)
-    left[:, ch:] = flat[:, :-ch]
+    left[:, bpp:] = flat[:, :-bpp]
     up = np.zeros_like(flat)
     up[1:] = flat[:-1]
     upleft = np.zeros_like(flat)
-    upleft[1:, ch:] = flat[:-1, :-ch]
+    upleft[1:, bpp:] = flat[:-1, :-bpp]
     out = bytearray()
     for y in range(h):
         f = int(frow[y])
@@ -104,7 +116,7 @@ def encode_png(arr: np.ndarray, filters=None) -> bytes:
             raise ValueError(f"bad filter type {f}")
         out.append(f)
         out += line.astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -160,15 +172,16 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in _CHANNELS:
+    if depth not in (8, 16) or color not in _CHANNELS:
         raise NotImplementedError(
-            f"only 8-bit grey/RGB/RGBA supported (depth={depth} color={color})"
+            f"only 8/16-bit grey/RGB/RGBA supported (depth={depth} color={color})"
         )
     if interlace:
         raise NotImplementedError("Adam7 interlace not supported")
     ch = _CHANNELS[color]
+    bpp = ch * (depth // 8)
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -181,20 +194,20 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
         if f == 0:
             rec = line
         elif f == 1:
-            # per-channel cumulative sum; uint8 wraparound == mod 256
+            # per-byte-lane cumulative sum; uint8 wraparound == mod 256
             rec = np.cumsum(
-                line.reshape(w, ch), axis=0, dtype=np.uint64
+                line.reshape(w, bpp), axis=0, dtype=np.uint64
             ).astype(np.uint8).reshape(stride)
         elif f == 2:
             rec = line + prev
         elif f in (3, 4):
             # left-pixel recurrence is inherently sequential, but each
-            # CHANNEL is independent — run it as per-channel scalar-int
+            # BYTE LANE is independent — run it as per-lane scalar-int
             # loops (plain Python ints beat per-pixel numpy allocs ~10x)
-            la = line.reshape(w, ch)
-            pva = prev.reshape(w, ch)
-            rc = np.empty((w, ch), dtype=np.uint8)
-            for c in range(ch):
+            la = line.reshape(w, bpp)
+            pva = prev.reshape(w, bpp)
+            rc = np.empty((w, bpp), dtype=np.uint8)
+            for c in range(bpp):
                 fl = la[:, c].tolist()
                 up_l = pva[:, c].tolist()
                 left_v = 0
@@ -226,4 +239,7 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
             raise ValueError(f"bad filter type {f} on row {y}")
         out[y] = rec
         prev = out[y]
+    if depth == 16:
+        px = out.reshape(h * stride).view(">u2").astype(np.uint16)
+        return px.reshape(h, w) if ch == 1 else px.reshape(h, w, ch)
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)

@@ -186,3 +186,21 @@ def test_png_per_row_filter_vectors(seed):
     a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
     filters = rng.integers(0, 5, size=h)
     np.testing.assert_array_equal(P.decode_png(P.encode_png(a, filters=filters)), a)
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_png16_round_trip(h, w, ch, seed):
+    from gridfour_spark import pngcodec as P
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    a = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    got = P.decode_png(P.encode_png(a, filters=int(rng.integers(0, 5))))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, a)

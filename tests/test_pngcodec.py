@@ -60,12 +60,37 @@ def test_crc_tamper_detected():
 def test_unsupported_honestly_rejected():
     a = np.zeros((2, 2), dtype=np.uint8)
     data = bytearray(P.encode_png(a))
-    data[24] = 16  # bit depth 16
-    # re-CRC the IHDR so the depth check (not CRC) fires
+    data[25] = 3  # color type 3 (palette) — honestly out of scope
+    # re-CRC the IHDR so the color-type check (not CRC) fires
     body = bytes(data[12:16]) + bytes(data[16:29])
     data[29:33] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
     with pytest.raises(NotImplementedError):
         P.decode_png(bytes(data))
+
+
+def test_16bit_roundtrip_all_filters():
+    """Depth-16 (big-endian samples, byte-lane filtering with bpp=2/6/8):
+    the lossless elevation-tile form."""
+    rng = _rng()
+    for shape in [(9, 13), (1, 1), (21, 5, 3), (6, 7, 4)]:
+        a = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        for filt in [None, 0, 1, 2, 3, 4]:
+            d = P.decode_png(P.encode_png(a, filters=filt))
+            assert d.dtype == np.uint16
+            np.testing.assert_array_equal(d, a)
+    info = P.png_info(P.encode_png(np.zeros((2, 3), dtype=np.uint16)))
+    assert info["bit_depth"] == 16
+
+
+def test_16bit_elevation_tile_roundtrip():
+    """A signed int16 elevation tile round-trips via the uint16 bias
+    (+32768) — DEM-through-PNG lossless."""
+    i, j = np.indices((32, 32))
+    dem = (1000 * np.sin(i * 0.2) * np.cos(j * 0.3)).astype(np.int16)
+    biased = (dem.astype(np.int32) + 32768).astype(np.uint16)
+    back = P.decode_png(P.encode_png(biased))
+    restored = (back.astype(np.int32) - 32768).astype(np.int16)
+    np.testing.assert_array_equal(restored, dem)
 
 
 def test_media_features_from_decoded_bytes(spark):
