@@ -326,7 +326,15 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.lang_id(_docs(spark, sf_dir))
+    """Language ID, heuristic AND learned (round 7): the marker-word
+    argmax heuristic joined with a distributed multinomial Naive Bayes
+    classifier over char trigrams (one-pass closed-form training — two
+    map-side-combined count aggregations, a broadcast |V|x|langs| smoothed
+    log-prob grid, per-doc ln-sum argmax). The oracle replays the entire
+    train+score pipeline in SQL, so the LEARNED model's predictions are
+    hash-verified, not just its plumbing."""
+    docs = _docs(spark, sf_dir)
+    return textops.lang_id(docs).join(textops.nb_train_score(docs), on="doc_id")
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2197,7 +2205,11 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN ({textops.CORPUS_LOGPROB_SQL}) l USING (doc_id) "
             f"JOIN ({textops.bpe_doc_counts_sql(_BPE_MERGES)}) b USING (doc_id)"
         ),
-        "lang_id": textops.LANG_ID_SQL,
+        "lang_id": (
+            f"SELECT h.*, n.nb_pred, n.nb_best_score "
+            f"FROM ({textops.LANG_ID_SQL}) h JOIN ({textops.nb_oracle_sql()}) n "
+            f"USING (doc_id)"
+        ),
         "fingerprint": textops.FINGERPRINT_SQL,
         "exact_dedup": f"""
             SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id

@@ -1009,3 +1009,131 @@ def bpe_merges_sql(n_merges: int = 16, src: str = "documents", min_count: int = 
         for k in range(n_merges)
     )
     return f"{bpe_oracle_sql(n_merges, src, min_count)}\n{sels}"
+
+
+
+
+# --------------------------------------------------------------------------
+# learned language classifier (round 7): distributed multinomial Naive
+# Bayes over character trigrams
+# --------------------------------------------------------------------------
+#
+# The learned rung above the marker-word lang_id heuristic — the classic
+# pre-neural language-identification model (char-n-gram multinomial NB
+# with add-1 smoothing), trained DISTRIBUTED in one pass:
+#
+#   - gram extraction is a JVM transform/explode (no Python);
+#   - training = two map-side-combined aggregations (per-(lang, gram)
+#     counts and per-lang totals) — the only corpus-scale reductions;
+#   - the smoothed log-probability grid is |V| x |langs| rows (tiny even
+#     for web-scale char-gram vocabularies) and BROADCASTS back for
+#     scoring: one broadcast join + one per-doc aggregate + an argmax
+#     window.  At 10^12 docs nothing shuffles except the two count aggs.
+#
+# Determinism across engines: scores are ln-sums rounded to 6 decimals
+# (the same discipline corpus_word_logprob has kept hash-green for six
+# rounds); the argmax tie-breaks on (score DESC, lang ASC) after
+# rounding, and class priors are all distinct here, so the DuckDB twin
+# reproduces predictions exactly.  Closed-form training — no iterative
+# float recurrence — is what makes a LEARNED model driver-gate-checkable.
+
+NB_GRAM = 3
+
+
+def _nb_grams_col(n: int = NB_GRAM):
+    t = F.lower(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substr(t, i, F.lit(n)))
+
+
+def nb_train_score(docs: DataFrame, n: int = NB_GRAM) -> DataFrame:
+    """Train multinomial NB on the corpus's own lang labels and score
+    every doc: (doc_id, nb_pred, nb_best_score).
+
+    Self-scoring on the training corpus is the driver-gate shape; for a
+    train/apply split, persist the grid this builds and reuse the scoring
+    join."""
+    dg = docs.select("doc_id", "lang", F.explode(_nb_grams_col(n)).alias("g"))
+    gram_counts = dg.groupBy("lang", "g").agg(F.count("*").alias("ng"))
+    class_tot = dg.groupBy("lang").agg(
+        F.count("*").alias("nc"), F.count_distinct("doc_id").alias("ndoc")
+    )
+    vocab = dg.select("g").distinct()
+    # V and N are single-row aggregates (broadcast crosses, sanctioned)
+    v_n = vocab.agg(F.count("*").alias("V")).crossJoin(
+        docs.agg(F.count("*").alias("N"))
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(class_tot))
+        .join(gram_counts, on=["lang", "g"], how="left")
+        .crossJoin(F.broadcast(v_n))
+        .select(
+            "lang", "g",
+            F.log(
+                (F.coalesce("ng", F.lit(0)) + 1).cast("double")
+                / (F.col("nc") + F.col("V"))
+            ).alias("logp"),
+        )
+    )
+    priors = class_tot.crossJoin(F.broadcast(v_n)).select(
+        "lang", F.log(F.col("ndoc").cast("double") / F.col("N")).alias("prior")
+    )
+    scores = (
+        docs.select("doc_id", F.explode(_nb_grams_col(n)).alias("g"))
+        .join(F.broadcast(grid), on="g")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("logp").alias("s"))
+        .join(F.broadcast(priors), on="lang")
+        .select("doc_id", "lang", F.round(F.col("s") + F.col("prior"), 6).alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("lang"))
+    return (
+        scores.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("nb_pred"),
+            F.col("s").alias("nb_best_score"),
+        )
+    )
+
+
+def nb_oracle_sql(n: int = NB_GRAM, src: str = "documents") -> str:
+    """DuckDB twin: identical gram extraction, smoothing grid, priors, and
+    rounded-argmax selection."""
+    grams = (
+        f"list_transform(generate_series(1, greatest(length(lower(text)) - {n - 1}, 1)), "
+        f"i -> substr(lower(text), i, {n}))"
+    )
+    return f"""
+WITH dg AS MATERIALIZED (
+  SELECT doc_id, lang, unnest({grams}) AS g FROM {src}
+),
+gram_counts AS (SELECT lang, g, COUNT(*) AS ng FROM dg GROUP BY lang, g),
+class_tot AS (
+  SELECT lang, COUNT(*) AS nc, COUNT(DISTINCT doc_id) AS ndoc FROM dg GROUP BY lang
+),
+vocab AS (SELECT DISTINCT g FROM dg),
+vn AS (SELECT (SELECT COUNT(*) FROM vocab) AS V, (SELECT COUNT(*) FROM {src}) AS N),
+grid AS MATERIALIZED (
+  SELECT ct.lang, v.g,
+         ln(CAST(coalesce(ng, 0) + 1 AS DOUBLE) / (ct.nc + vn.V)) AS logp
+  FROM vocab v CROSS JOIN class_tot ct CROSS JOIN vn
+  LEFT JOIN gram_counts gc ON gc.lang = ct.lang AND gc.g = v.g
+),
+priors AS (
+  SELECT lang, ln(CAST(ndoc AS DOUBLE) / vn.N) AS prior FROM class_tot CROSS JOIN vn
+),
+scores AS (
+  SELECT doc_id, lang, ROUND(SUM(logp) + ANY_VALUE(prior), 6) AS s
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM {src}) d
+  JOIN grid USING (g) JOIN priors USING (lang)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang AS nb_pred, s AS nb_best_score
+FROM (
+  SELECT doc_id, lang, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rk
+  FROM scores
+) WHERE rk = 1
+"""

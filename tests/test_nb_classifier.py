@@ -1,0 +1,111 @@
+"""Learned language classifier (round 7): distributed multinomial Naive
+Bayes over char trigrams must reproduce a pure-Python scalar reference
+exactly (counts, smoothing, priors, rounded-argmax), beat the majority
+class on the synthetic corpus, and be invariant to input partitioning."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import pytest
+
+from gridfour_spark import textops as T
+
+CORPUS = [
+    (0, "en", "the cat sat on the mat"),
+    (1, "en", "a hat that fits the cat"),
+    (2, "fr", "le chat est sur le tapis"),
+    (3, "fr", "le chapeau du chat"),
+    (4, "de", "die katze sitzt auf der matte"),
+    (5, "de", "der hut der katze"),
+    (6, "en", "the cats eat hats"),
+    (7, "es", "el gato esta en la alfombra"),
+    (8, "es", "el sombrero del gato"),
+    (9, "en", "aa"),  # shorter than one trigram -> whole-text gram
+]
+
+
+def scalar_nb(rows, n=3):
+    def grams(t):
+        t = t.lower()
+        return [t[i:i + n] for i in range(len(t) - (n - 1))] if len(t) >= n else [t]
+
+    langs = sorted({l for _, l, _ in rows})
+    cnt = {l: collections.Counter() for l in langs}
+    nc = {l: 0 for l in langs}
+    ndoc = collections.Counter()
+    for _, l, t in rows:
+        gs = grams(t)
+        cnt[l].update(gs)
+        nc[l] += len(gs)
+        ndoc[l] += 1
+    V = len(set().union(*cnt.values()))
+    N = len(rows)
+    out = {}
+    for d, _, t in rows:
+        scored = []
+        for l in langs:
+            s = math.log(ndoc[l] / N) + sum(
+                math.log((cnt[l][g] + 1) / (nc[l] + V)) for g in grams(t)
+            )
+            scored.append((round(s, 6), l))
+        # argmax after rounding, tie-break lang ASC — the engine's rule
+        best = min(scored, key=lambda sl: (-sl[0], sl[1]))
+        out[d] = (best[1], best[0])
+    return out
+
+
+def _df(spark, rows=CORPUS):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_matches_scalar_reference(spark):
+    got = {
+        r["doc_id"]: (r["nb_pred"], r["nb_best_score"])
+        for r in T.nb_train_score(_df(spark)).collect()
+    }
+    want = scalar_nb(CORPUS)
+    assert got == want
+
+
+def test_beats_majority_on_real_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: r["nb_pred"] for r in T.nb_train_score(docs).collect()}
+    lab = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    acc = sum(1 for d in lab if got[d] == lab[d]) / len(lab)
+    counts = collections.Counter(lab.values())
+    majority = max(counts.values()) / len(lab)
+    assert acc > majority + 0.10, (acc, majority)
+
+
+def test_partitioning_invariance(spark):
+    a = {r["doc_id"]: (r["nb_pred"], r["nb_best_score"])
+         for r in T.nb_train_score(_df(spark).repartition(16)).collect()}
+    b = {r["doc_id"]: (r["nb_pred"], r["nb_best_score"])
+         for r in T.nb_train_score(_df(spark).coalesce(1)).collect()}
+    assert a == b
+
+
+def test_duckdb_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({d}, '{l}', '{t}')" for d, l, t in CORPUS)
+        + ") v(doc_id, lang, text)"
+    )
+    duck = {r[0]: (r[1], r[2]) for r in con.execute(T.nb_oracle_sql()).fetchall()}
+    got = {
+        r["doc_id"]: (r["nb_pred"], r["nb_best_score"])
+        for r in T.nb_train_score(_df(spark)).collect()
+    }
+    assert got == duck
+
+
+def test_plan_broadcasts_grid_no_python(spark):
+    df = T.nb_train_score(_df(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the grid/prior joins broadcast
