@@ -1046,13 +1046,10 @@ def _nb_grams_col(n: int = NB_GRAM):
     return F.transform(idx, lambda i: F.substr(t, i, F.lit(n)))
 
 
-def nb_train_score(docs: DataFrame, n: int = NB_GRAM) -> DataFrame:
-    """Train multinomial NB on the corpus's own lang labels and score
-    every doc: (doc_id, nb_pred, nb_best_score).
-
-    Self-scoring on the training corpus is the driver-gate shape; for a
-    train/apply split, persist the grid this builds and reuse the scoring
-    join."""
+def nb_train(docs: DataFrame, n: int = NB_GRAM) -> tuple:
+    """Train multinomial NB on the corpus's lang labels: returns
+    (grid, priors) — the smoothed log-prob grid (lang, g, logp), |V| x
+    |langs| rows, and the log-prior table. Both broadcast at scoring."""
     dg = docs.select("doc_id", "lang", F.explode(_nb_grams_col(n)).alias("g"))
     gram_counts = dg.groupBy("lang", "g").agg(F.count("*").alias("ng"))
     class_tot = dg.groupBy("lang").agg(
@@ -1078,6 +1075,14 @@ def nb_train_score(docs: DataFrame, n: int = NB_GRAM) -> DataFrame:
     priors = class_tot.crossJoin(F.broadcast(v_n)).select(
         "lang", F.log(F.col("ndoc").cast("double") / F.col("N")).alias("prior")
     )
+    return grid, priors
+
+
+def nb_score(docs: DataFrame, grid: DataFrame, priors: DataFrame, n: int = NB_GRAM) -> DataFrame:
+    """Score docs (possibly UNSEEN — a held-out split or new data) against
+    a trained (grid, priors): (doc_id, nb_pred, nb_best_score). Grams not
+    in the training vocabulary contribute 0 (dropped by the inner join) —
+    the pragmatic unseen-gram rule, consistent across engines."""
     scores = (
         docs.select("doc_id", F.explode(_nb_grams_col(n)).alias("g"))
         .join(F.broadcast(grid), on="g")
@@ -1096,6 +1101,13 @@ def nb_train_score(docs: DataFrame, n: int = NB_GRAM) -> DataFrame:
             F.col("s").alias("nb_best_score"),
         )
     )
+
+
+def nb_train_score(docs: DataFrame, n: int = NB_GRAM) -> DataFrame:
+    """Train on the corpus and score every doc (the driver-gate shape:
+    self-scoring on the training corpus)."""
+    grid, priors = nb_train(docs, n)
+    return nb_score(docs, grid, priors, n)
 
 
 def nb_oracle_sql(n: int = NB_GRAM, src: str = "documents") -> str:

@@ -109,3 +109,60 @@ def test_plan_broadcasts_grid_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the grid/prior joins broadcast
+
+
+def _signal_corpus(n=200):
+    """Deterministic corpus with GENUINE lang signal: each doc mixes a
+    shared pool with lang-specific function words."""
+    pools = {
+        "en": ["the", "and", "with", "that", "house"],
+        "fr": ["le", "et", "avec", "que", "maison"],
+        "de": ["der", "und", "mit", "dass", "haus"],
+        "es": ["el", "y", "con", "que", "casa"],
+    }
+    shared = ["data", "table", "row", "cloud", "engine", "query"]
+    langs = sorted(pools)
+    rows = []
+    for i in range(n):
+        # (i % 8) // 2 keeps every class present in BOTH halves of an
+        # even/odd doc_id split
+        lang = langs[(i % 8) // 2]
+        words = []
+        for j in range(30):
+            k = (i * 31 + j * 7) % 11
+            words.append(
+                pools[lang][k % 5] if k < 5 else shared[(i + j) % len(shared)]
+            )
+        rows.append((i, lang, " ".join(words)))
+    return rows
+
+
+def test_held_out_generalization_on_signal_corpus(spark):
+    """Train on even doc_ids of a corpus with REAL lang signal, score the
+    unseen odd half: held-out accuracy must be near-perfect — the model
+    learns language structure, not doc identities."""
+    rows = _signal_corpus()
+    docs = _df(spark, rows)
+    grid, priors = T.nb_train(docs.where("doc_id % 2 = 0"))
+    test = docs.where("doc_id % 2 = 1")
+    got = {r["doc_id"]: r["nb_pred"] for r in T.nb_score(test, grid, priors).collect()}
+    lab = {d: l for d, l, _ in rows if d % 2 == 1}
+    acc = sum(1 for d in lab if got.get(d) == lab[d]) / len(lab)
+    assert acc > 0.9, acc
+
+
+def test_held_out_no_hallucinated_signal(spark):
+    """The driver's synthetic documents table assigns lang INDEPENDENT of
+    text (all langs draw from one 31-word pool), so a correct classifier
+    must NOT appear to generalize: held-out accuracy stays at the
+    independence baseline (sum of pred x true class frequencies, ~0.24
+    here), never near the train-set fit. This pins the honesty of the
+    train-accuracy number as fitting capacity, not signal."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grid, priors = T.nb_train(docs.where("doc_id % 2 = 0"))
+    test = docs.where("doc_id % 2 = 1")
+    got = {r["doc_id"]: r["nb_pred"] for r in T.nb_score(test, grid, priors).collect()}
+    lab = {r["doc_id"]: r["lang"] for r in test.select("doc_id", "lang").collect()}
+    acc = sum(1 for d in lab if got.get(d) == lab[d]) / len(lab)
+    majority = max(collections.Counter(lab.values()).values()) / len(lab)
+    assert acc < majority + 0.05, (acc, majority)
