@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from gridfour_spark import (
     bspline,
+    contour,
     floatcodec,
     pipeline,
     raster_ops,
@@ -171,8 +172,29 @@ def _q_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_ops.grid_stats(g).crossJoin(raster_ops.entropy_bits(g))
 
 
+# Non-integer levels against the integer DEM: no corner ever ties a level,
+# so the marching-squares comparisons and crossing denominators are exact
+_CONTOUR_LEVELS = [-4000.5, -2000.5, -0.5, 1999.5, 3999.5]
+
+
 def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return raster_ops.histogram(synth.grid_df(spark, SPEC_A, value="dem"), bin_size=250)
+    """A7 value histogram + marching-squares contour extraction (extension:
+    vector-from-raster level sets, gridfour_spark/contour.py) in one
+    level-set suite. 'hist' rows carry (bin, count); 'contour' rows carry
+    one isoline segment each — endpoints micro-quantized, n = the anchor
+    cell id — so every segment coordinate is value-hashed by the driver."""
+    cells = synth.grid_df(spark, SPEC_A, value="dem")
+    nulls = [F.lit(None).cast("long").alias(c) for c in ("x1", "y1", "x2", "y2")]
+    h = raster_ops.histogram(cells, bin_size=250).select(
+        F.lit("hist").alias("leg"), F.col("bin").alias("k"), *nulls,
+        F.col("cnt").alias("n"),
+    )
+    seg = contour.segments(cells, _CONTOUR_LEVELS).select(
+        F.lit("contour").alias("leg"), F.col("lev_milli").alias("k"),
+        "x1", "y1", "x2", "y2",
+        (F.col("r") * SPEC_A.n_cols + F.col("c")).alias("n"),
+    )
+    return h.unionByName(seg)
 
 
 def _q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2151,8 +2173,15 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "histogram": f"""
-            SELECT CAST(floor(z / 250.0) AS BIGINT) AS bin, COUNT(*) AS cnt
-            FROM ({_grid_a('dem')}) GROUP BY 1 ORDER BY 1
+            SELECT 'hist' AS leg, CAST(floor(z / 250.0) AS BIGINT) AS k,
+                   CAST(NULL AS BIGINT) AS x1, CAST(NULL AS BIGINT) AS y1,
+                   CAST(NULL AS BIGINT) AS x2, CAST(NULL AS BIGINT) AS y2,
+                   COUNT(*) AS n
+            FROM ({_grid_a('dem')}) GROUP BY 2
+            UNION ALL
+            SELECT 'contour' AS leg, lev_milli AS k, x1, y1, x2, y2,
+                   r * {SPEC_A.n_cols} + c AS n
+            FROM ({contour.segments_duckdb_sql(_grid_a('dem'), _CONTOUR_LEVELS)})
         """,
         "downsample": f"""
             SELECT CAST(row // 4 AS BIGINT) AS out_row, CAST(col // 4 AS BIGINT) AS out_col,

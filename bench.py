@@ -826,6 +826,7 @@ def main() -> None:
         # many minutes; the shared box's ceiling drifts between windows) —
         # both raw values are reported, their mean contextualizes efficiency
         scaling["hw_ceiling_2_to_8"] = _hw_ceiling()
+        runs: list[tuple[int, float]] = []  # (cores, sec) in launch order
         for cores in (2, 8, 2, 8, 2, 8):
             _wait_quiet()
             # pin the N-core probe to N CPUs: an unpinned local[N] JVM still
@@ -841,6 +842,7 @@ def main() -> None:
                 )
                 line = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")][-1]
                 res = json.loads(line)
+                runs.append((cores, res["sec"]))
                 key = f"local[{cores}]"
                 if key not in scaling or res["sec"] < scaling[key]["sec"]:
                     scaling[key] = res
@@ -857,6 +859,19 @@ def main() -> None:
             if ceils:
                 ceil = sum(ceils) / len(ceils)
                 scaling["efficiency_vs_hw_ceiling"] = round(min(speedup / 4.0 / ceil, 1.0), 3)
+        # min-per-size mixes windows: a co-tenant burst that hits only the
+        # 8-core probes makes the engine look sub-linear when the box, not
+        # the plan, changed between probes. Each ADJACENT (2,8) launch pair
+        # shares one ~2-minute window, so the per-pair ratio is the
+        # same-window signal; report every pair and the best one.
+        pair_effs = [
+            round(runs[i][1] / runs[i + 1][1] / 4.0, 3)
+            for i in range(0, len(runs) - 1, 2)
+            if runs[i][0] == 2 and runs[i + 1][0] == 8
+        ]
+        if pair_effs:
+            scaling["efficiency_per_pair"] = pair_effs
+            scaling["efficiency_best_pair"] = max(pair_effs)
         result["scaling"] = scaling
 
     # The driver's artifact keeps only the LAST ~2000 chars of stdout; in
@@ -886,6 +901,8 @@ def main() -> None:
             for k in (
                 "speedup_n_to_4n",
                 "efficiency",
+                "efficiency_best_pair",
+                "efficiency_per_pair",
                 "efficiency_vs_hw_ceiling",
                 "hw_ceiling_2_to_8",
                 "hw_ceiling_2_to_8_post",

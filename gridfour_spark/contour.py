@@ -1,0 +1,242 @@
+"""Marching-squares contour extraction over a distributed grid.
+
+An EXTENSION beyond the reference's core inventory (the reference renders
+shaded relief but leaves isoline extraction to its sibling project; the
+closest in-repo analogs are the per-cell stencil analytics of
+demo/.../ExtractData.java:366-392 and the palette level bands of
+ColorPaletteTable). Level-set extraction is the canonical "vector from
+raster" operator a geospatial engine needs, and — unlike iterative tracing
+algorithms — the marching-squares cell rule is CLOSED-FORM per 2x2 stencil,
+which makes it embarrassingly parallel AND expressible identically in
+Spark and an ANSI-SQL oracle.
+
+Scale shape (the 100 TB argument):
+  * stencil assembly is ONE equi-shuffle: every cell explodes into the <=4
+    stencils it participates in (a fixed 4x map fan-out, map-side
+    combinable), then one groupBy(anchor) reassembles the 2x2 corners.
+    No self-joins, no windows over two orderings, no halo collects.
+  * the per-(stencil, level) rule is pure JVM column arithmetic — whole-
+    stage codegen, no Python in the path.
+  * output is linear in contour length (sparse: only cells the isoline
+    crosses emit rows), so the shuffle-out is tiny relative to the scan.
+
+Determinism contract: levels are chosen NON-INTEGER against the integer
+grid (no corner can ever sit exactly on a level), so the > comparison has
+no tie cases and every crossing denominator (zb - za) is a nonzero integer
+difference. All arithmetic is IEEE-double with identical expression text
+in both engines; emitted coordinates are quantized with floor(x * 1e6).
+Saddle cells (cases 5 / 10) disambiguate with the standard center-average
+rule — also closed-form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# corner bit layout: 1 = z00 (top-left, r,c), 2 = z01 (top-right, r,c+1),
+# 4 = z11 (bottom-right, r+1,c+1), 8 = z10 (bottom-left, r+1,c)
+# edges: T between 00-01, R between 01-11, B between 10-11, L between 00-10
+_CASE_SEGS: dict[int, list[tuple[str, str]]] = {
+    1: [("L", "T")],
+    2: [("T", "R")],
+    3: [("L", "R")],
+    4: [("R", "B")],
+    6: [("T", "B")],
+    7: [("L", "B")],
+    8: [("B", "L")],
+    9: [("T", "B")],
+    11: [("R", "B")],
+    12: [("L", "R")],
+    13: [("T", "R")],
+    14: [("L", "T")],
+}
+# saddles: center average > level picks the diagonal-connected variant
+_SADDLE = {
+    5: {True: [("T", "R"), ("B", "L")], False: [("L", "T"), ("R", "B")]},
+    10: {True: [("L", "T"), ("R", "B")], False: [("T", "R"), ("B", "L")]},
+}
+
+
+def stencil_2x2(cells: DataFrame) -> DataFrame:
+    """(row, col, z) cells -> (r, c, z00, z01, z10, z11) 2x2 stencils.
+
+    One equi-shuffle: each cell fans out to the (up to) four stencil
+    anchors it is a corner of, then a single groupBy reassembles them.
+    Interior-only anchors (all four corners present) survive the HAVING.
+    """
+    z = F.col("z").cast("double")
+    fan = cells.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("row").alias("r"), F.col("col").alias("c"), F.lit(0).alias("pos"), z.alias("zz")),
+                F.struct(F.col("row").alias("r"), (F.col("col") - 1).alias("c"), F.lit(1).alias("pos"), z.alias("zz")),
+                F.struct((F.col("row") - 1).alias("r"), F.col("col").alias("c"), F.lit(2).alias("pos"), z.alias("zz")),
+                F.struct((F.col("row") - 1).alias("r"), (F.col("col") - 1).alias("c"), F.lit(3).alias("pos"), z.alias("zz")),
+            )
+        ).alias("s")
+    ).select("s.*").filter((F.col("r") >= 0) & (F.col("c") >= 0))
+    g = fan.groupBy("r", "c").agg(
+        F.max(F.when(F.col("pos") == 0, F.col("zz"))).alias("z00"),
+        F.max(F.when(F.col("pos") == 1, F.col("zz"))).alias("z01"),
+        F.max(F.when(F.col("pos") == 2, F.col("zz"))).alias("z10"),
+        F.max(F.when(F.col("pos") == 3, F.col("zz"))).alias("z11"),
+        F.count("*").alias("_nc"),
+    )
+    return g.filter(F.col("_nc") == 4).drop("_nc")
+
+
+def _edge_point_sql(edge: str) -> tuple[str, str]:
+    """(x, y) SQL for the level crossing on an edge of the unit stencil at
+    anchor (r, c), in grid coordinates. Columns z00..z11 are DOUBLE, lev is
+    the level DOUBLE; denominators are nonzero by the non-integer-level
+    contract."""
+    r = "CAST(r AS DOUBLE)"
+    c = "CAST(c AS DOUBLE)"
+    if edge == "T":
+        return f"({c} + (lev - z00) / (z01 - z00))", r
+    if edge == "B":
+        return f"({c} + (lev - z10) / (z11 - z10))", f"({r} + 1.0)"
+    if edge == "L":
+        return c, f"({r} + (lev - z00) / (z10 - z00))"
+    if edge == "R":
+        return f"({c} + 1.0)", f"({r} + (lev - z01) / (z11 - z01))"
+    raise ValueError(edge)
+
+
+def _seg_struct_sql(a: str, b: str) -> str:
+    x1, y1 = _edge_point_sql(a)
+    x2, y2 = _edge_point_sql(b)
+    q = "CAST(floor({v} * 1e6) AS BIGINT)"
+    return (
+        "named_struct("
+        f"'x1', {q.format(v=x1)}, 'y1', {q.format(v=y1)}, "
+        f"'x2', {q.format(v=x2)}, 'y2', {q.format(v=y2)})"
+    )
+
+
+def case_idx_sql() -> str:
+    """Marching-squares case index 0..15 from the corner comparisons."""
+    return (
+        "(CASE WHEN z00 > lev THEN 1 ELSE 0 END"
+        " + CASE WHEN z01 > lev THEN 2 ELSE 0 END"
+        " + CASE WHEN z11 > lev THEN 4 ELSE 0 END"
+        " + CASE WHEN z10 > lev THEN 8 ELSE 0 END)"
+    )
+
+
+def seg_array_sql() -> str:
+    """array<struct<x1,y1,x2,y2>> of 0/1/2 segments for one (stencil, lev)
+    row. Identical text runs under Spark `F.expr` and is transcribed into
+    the DuckDB oracle by `segments_duckdb_sql` (DuckDB spells named_struct
+    as struct_pack — the arithmetic inside is character-identical)."""
+    center = "((z00 + z01 + z10 + z11) / 4.0)"
+    whens = []
+    for idx, segs in _CASE_SEGS.items():
+        arr = ", ".join(_seg_struct_sql(a, b) for a, b in segs)
+        whens.append(f"WHEN {idx} THEN array({arr})")
+    for idx, variants in _SADDLE.items():
+        hi = ", ".join(_seg_struct_sql(a, b) for a, b in variants[True])
+        lo = ", ".join(_seg_struct_sql(a, b) for a, b in variants[False])
+        whens.append(
+            f"WHEN {idx} THEN CASE WHEN {center} > lev"
+            f" THEN array({hi}) ELSE array({lo}) END"
+        )
+    return f"CASE {case_idx_sql()} {' '.join(whens)} END"
+
+
+def segments(cells: DataFrame, levels: list[float]) -> DataFrame:
+    """Contour segments of `cells` (row, col, z) at each level.
+
+    Returns (lev_milli long, r, c, x1, y1, x2, y2) — one row per segment,
+    endpoint coordinates quantized to micro-cells (floor(x * 1e6)), level
+    tagged as floor(lev * 1000). Plan: narrow 4x fan-out -> one shuffle
+    (stencil) -> explode over the level list -> pure-JVM case arithmetic ->
+    explode of the 0/1/2-segment array. Sparse output: non-crossing
+    (stencil, level) pairs emit nothing.
+    """
+    st = stencil_2x2(cells)
+    lev_arr = F.array(*[F.lit(float(v)) for v in levels])
+    out = (
+        st.withColumn("lev", F.explode(lev_arr))
+        .withColumn("segs", F.expr(seg_array_sql()))
+        .filter(F.col("segs").isNotNull())
+        .withColumn("seg", F.explode("segs"))
+    )
+    return out.select(
+        F.floor(F.col("lev") * 1000.0).cast("long").alias("lev_milli"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.col("seg.x1").alias("x1"),
+        F.col("seg.y1").alias("y1"),
+        F.col("seg.x2").alias("x2"),
+        F.col("seg.y2").alias("y2"),
+    )
+
+
+def segments_duckdb_sql(grid_sql: str, levels: list[float]) -> str:
+    """DuckDB twin of `segments` over the same (row, col, z) grid SQL.
+
+    The oracle assembles the 2x2 stencil with three self-joins (fine at
+    oracle scale) and evaluates the CHARACTER-IDENTICAL crossing
+    arithmetic; Spark's named_struct/array cases are transcribed to a
+    UNION ALL over the two segment slots."""
+    center = "((z00 + z01 + z10 + z11) / 4.0)"
+    q = "CAST(floor({v} * 1e6) AS BIGINT)"
+
+    def seg_cols(a: str, b: str) -> str:
+        x1, y1 = _edge_point_sql(a)
+        x2, y2 = _edge_point_sql(b)
+        return (
+            f"{q.format(v=x1)} AS x1, {q.format(v=y1)} AS y1, "
+            f"{q.format(v=x2)} AS x2, {q.format(v=y2)} AS y2"
+        )
+
+    # slot 1 = first segment of any crossing case; slot 2 = saddle second
+    def slot_case(slot: int) -> str:
+        whens = []
+        for idx, segs in _CASE_SEGS.items():
+            if slot == 1:
+                a, b = segs[0]
+                whens.append(f"WHEN {idx} THEN struct_pack({_pack(a, b)})")
+        for idx, variants in _SADDLE.items():
+            hi = variants[True][slot - 1]
+            lo = variants[False][slot - 1]
+            whens.append(
+                f"WHEN {idx} THEN CASE WHEN {center} > lev"
+                f" THEN struct_pack({_pack(*hi)})"
+                f" ELSE struct_pack({_pack(*lo)}) END"
+            )
+        return f"CASE {case_idx_sql()} {' '.join(whens)} END"
+
+    def _pack(a: str, b: str) -> str:
+        x1, y1 = _edge_point_sql(a)
+        x2, y2 = _edge_point_sql(b)
+        return (
+            f"x1 := {q.format(v=x1)}, y1 := {q.format(v=y1)}, "
+            f"x2 := {q.format(v=x2)}, y2 := {q.format(v=y2)}"
+        )
+
+    lev_values = ", ".join(f"({float(v)!r})" for v in levels)
+    stencil = f"""
+        SELECT a.row AS r, a.col AS c,
+               CAST(a.z AS DOUBLE) AS z00, CAST(b.z AS DOUBLE) AS z01,
+               CAST(d.z AS DOUBLE) AS z10, CAST(e.z AS DOUBLE) AS z11
+        FROM ({grid_sql}) a
+        JOIN ({grid_sql}) b ON b.row = a.row AND b.col = a.col + 1
+        JOIN ({grid_sql}) d ON d.row = a.row + 1 AND d.col = a.col
+        JOIN ({grid_sql}) e ON e.row = a.row + 1 AND e.col = a.col + 1
+    """
+    base = f"""
+        SELECT s.*, lv.lev FROM ({stencil}) s
+        CROSS JOIN (SELECT * FROM (VALUES {lev_values}) AS t(lev)) lv
+    """
+    out = []
+    for slot in (1, 2):
+        out.append(f"""
+            SELECT CAST(floor(lev * 1000.0) AS BIGINT) AS lev_milli,
+                   CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+                   seg.x1 AS x1, seg.y1 AS y1, seg.x2 AS x2, seg.y2 AS y2
+            FROM (SELECT *, {slot_case(slot)} AS seg FROM ({base}))
+            WHERE seg IS NOT NULL
+        """)
+    return " UNION ALL ".join(out)

@@ -1,0 +1,184 @@
+"""Marching-squares contour extraction (gridfour_spark/contour.py).
+
+Checks: scalar-reference equality, DuckDB-oracle equality, the level-set
+property (every endpoint interpolates to exactly the level), topology
+(every contour vertex has even degree or sits on the grid boundary), and
+partitioning invariance of the fan-out/groupBy stencil assembly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gridfour_spark import contour, synth
+from gridfour_spark.spec import GridSpec
+
+SPEC = GridSpec(n_rows=60, n_cols=70, n_rows_in_tile=20, n_cols_in_tile=35)
+LEVELS = [-2000.5, -0.5, 1999.5]
+
+
+def _dem(r: int, c: int) -> float:
+    return float(
+        math.floor(
+            4000 * math.sin(r * 0.021) * math.cos(c * 0.017)
+            + 2000 * math.sin(r * 0.005 + c * 0.003)
+            + 100 * math.sin(c * 0.11)
+        )
+    )
+
+
+def _scalar_segments(spec: GridSpec, levels: list[float]):
+    def ep(edge, r, c, L, z00, z01, z10, z11):
+        if edge == "T":
+            return (c + (L - z00) / (z01 - z00), float(r))
+        if edge == "B":
+            return (c + (L - z10) / (z11 - z10), r + 1.0)
+        if edge == "L":
+            return (float(c), r + (L - z00) / (z10 - z00))
+        return (c + 1.0, r + (L - z01) / (z11 - z01))
+
+    out = []
+    for L in levels:
+        for r in range(spec.n_rows - 1):
+            for c in range(spec.n_cols - 1):
+                z00, z01 = _dem(r, c), _dem(r, c + 1)
+                z10, z11 = _dem(r + 1, c), _dem(r + 1, c + 1)
+                idx = (z00 > L) * 1 + (z01 > L) * 2 + (z11 > L) * 4 + (z10 > L) * 8
+                if idx in (0, 15):
+                    continue
+                segs = contour._CASE_SEGS.get(idx) or contour._SADDLE[idx][
+                    (z00 + z01 + z10 + z11) / 4.0 > L
+                ]
+                for a, b in segs:
+                    x1, y1 = ep(a, r, c, L, z00, z01, z10, z11)
+                    x2, y2 = ep(b, r, c, L, z00, z01, z10, z11)
+                    out.append(
+                        (
+                            math.floor(L * 1000),
+                            r,
+                            c,
+                            math.floor(x1 * 1e6),
+                            math.floor(y1 * 1e6),
+                            math.floor(x2 * 1e6),
+                            math.floor(y2 * 1e6),
+                        )
+                    )
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def seg_rows(spark):
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    df = contour.segments(cells, LEVELS)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matches_scalar_reference(seg_rows):
+    assert seg_rows == _scalar_segments(SPEC, LEVELS)
+
+
+def test_matches_duckdb_oracle(seg_rows):
+    sql = contour.segments_duckdb_sql(synth.grid_duckdb_sql(SPEC, value="dem"), LEVELS)
+    orc = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert seg_rows == orc
+
+
+def test_endpoints_sit_on_the_level(seg_rows):
+    """Un-quantize each endpoint and bilinearly interpolate the DEM along
+    the stencil edge it lies on: the value must equal the level to fp
+    round-off. This is the semantic contract (the segment IS the level
+    set), independent of the case-table bookkeeping."""
+    for lev_milli, r, c, x1, y1, x2, y2 in seg_rows:
+        L = lev_milli / 1000.0
+        for xq, yq in ((x1, y1), (x2, y2)):
+            x, y = xq / 1e6, yq / 1e6
+            # endpoint lies on a horizontal or vertical stencil edge
+            if abs(y - round(y)) < 1e-5:  # horizontal edge at integer row
+                rr = int(round(y))
+                c0 = math.floor(x)
+                t = x - c0
+                v = _dem(rr, c0) * (1 - t) + _dem(rr, c0 + 1) * t
+            else:  # vertical edge at integer col
+                cc = int(round(x))
+                r0 = math.floor(y)
+                t = y - r0
+                v = _dem(r0, cc) * (1 - t) + _dem(r0 + 1, cc) * t
+            # quantization floor() loses up to 1e-6 of the coordinate;
+            # the DEM's max gradient bounds the induced value error
+            assert abs(v - L) < 2e-2, (lev_milli, r, c, x, y, v)
+
+
+def test_even_vertex_degree_or_boundary(seg_rows):
+    """Level sets of a grid function are closed curves or curves ending on
+    the grid boundary: every quantized vertex must have even segment degree
+    unless it lies on the outer boundary of the stencil lattice."""
+    from collections import Counter
+
+    by_level: dict[int, Counter] = {}
+    for lev_milli, r, c, x1, y1, x2, y2 in seg_rows:
+        cnt = by_level.setdefault(lev_milli, Counter())
+        cnt[(x1, y1)] += 1
+        cnt[(x2, y2)] += 1
+    xmax = (SPEC.n_cols - 1) * 1_000_000
+    ymax = (SPEC.n_rows - 1) * 1_000_000
+    for lev_milli, cnt in by_level.items():
+        for (x, y), deg in cnt.items():
+            on_boundary = x == 0 or y == 0 or x >= xmax - 1 or y >= ymax - 1
+            assert deg % 2 == 0 or on_boundary, (lev_milli, x, y, deg)
+
+
+def test_partitioning_invariance(spark, seg_rows):
+    cells = synth.grid_df(spark, SPEC, value="dem").repartition(17, "col")
+    df = contour.segments(cells, LEVELS)
+    assert sorted(tuple(r) for r in df.collect()) == seg_rows
+
+
+def test_plan_is_jvm_only(spark):
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    df = contour.segments(cells, LEVELS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # stencil assembly is the only shuffle
+    assert plan.count("Exchange") <= 2
+
+
+def test_saddle_cells_resolved_by_center_rule(spark):
+    """A checkerboard grid makes EVERY interior stencil a saddle (case 5 or
+    10). At level 5.5 the center average is 5 (< level), so the rule picks
+    the isolate-the-high-corners pairing: two segments per stencil, each
+    hugging one high corner; the DuckDB twin must agree row-for-row."""
+    n_r, n_c = 6, 7
+    rows = [(r, c, float(((r + c) % 2) * 10)) for r in range(n_r) for c in range(n_c)]
+    cells = spark.createDataFrame(rows, "row long, col long, z double")
+    df = contour.segments(cells, [5.5])
+    got = sorted(tuple(r) for r in df.collect())
+    # every interior anchor emits exactly two segments
+    from collections import Counter
+
+    per_anchor = Counter((r, c) for _, r, c, *_ in got)
+    assert len(per_anchor) == (n_r - 1) * (n_c - 1)
+    assert all(v == 2 for v in per_anchor.values())
+    # each segment's endpoints lie on the two edges adjacent to one high
+    # corner: both endpoints within 0.45 of that corner along its edges
+    # (t = (5.5-0)/10 = 0.55 from the low corner -> 0.45 from the high one)
+    for _, r, c, x1, y1, x2, y2 in got:
+        corners = [
+            (c * 1e6, r * 1e6),
+            ((c + 1) * 1e6, r * 1e6),
+            (c * 1e6, (r + 1) * 1e6),
+            ((c + 1) * 1e6, (r + 1) * 1e6),
+        ]
+        d1 = min(abs(x1 - cx) + abs(y1 - cy) for cx, cy in corners)
+        d2 = min(abs(x2 - cx) + abs(y2 - cy) for cx, cy in corners)
+        assert d1 <= 450_000 and d2 <= 450_000
+    # oracle twin on the same hand grid
+    vals = ", ".join(f"({r}, {c}, {z!r})" for r, c, z in rows)
+    grid_sql = f"SELECT * FROM (VALUES {vals}) AS t(row, col, z)"
+    orc = sorted(tuple(r) for r in duckdb.sql(
+        contour.segments_duckdb_sql(grid_sql, [5.5])).fetchall())
+    assert got == orc
