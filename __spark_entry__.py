@@ -604,14 +604,50 @@ _SPAN_POINTS_SQL = (
     f"SELECT doc_id, span_offset, lat, lon FROM ({synth.span_geometry_duckdb()})"
 )
 
+# zonal-stats cell centers: the global DEM at an 8x stride, identical
+# center arithmetic to the Spark leg (literal doubles via repr)
+_ZONAL_CELLS_SQL = (
+    f"SELECT z, ({GLOBAL_GRID.y0!r} + CAST(row AS DOUBLE) * {GLOBAL_GRID.cell_size_y!r}) AS lat, "
+    f"({GLOBAL_GRID.x0!r} + CAST(col AS DOUBLE) * {GLOBAL_GRID.cell_size_x!r}) AS lon "
+    f"FROM ({synth.grid_duckdb_sql(GLOBAL_GRID, value='dem')}) "
+    f"WHERE row % 8 = 0 AND col % 8 = 0"
+)
+
 
 def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-polygon join: span points vs 24 deterministic star polygons
-    (ray-cast parity over exploded edges; cover-cell equi-join pruning)."""
+    """Point-in-polygon join + zonal statistics, one spatial-overlay suite.
+    'pip' rows: span points vs 24 deterministic star polygons (ray-cast
+    parity over exploded edges; cover-cell equi-join pruning). 'zonal'
+    rows (extension, spatial.zonal_stats): per-polygon count/sum/min/max of
+    the global DEM's cell centers inside each zone — the raster x vector
+    overlay, same pruned PIP join + one map-side-combined groupBy."""
     pts = _span_points(spark, sf_dir)
     polys = spatial.synth_polygons(spark, 24)
     out = spatial.pip_join(pts, polys)
-    return out.select("doc_id", "span_offset", "poly_id")
+    nl = lambda c: F.lit(None).cast("long").alias(c)  # noqa: E731
+    p = out.select(
+        F.lit("pip").alias("leg"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_offset").cast("long").alias("span_offset"),
+        F.col("poly_id").cast("long").alias("poly_id"),
+        nl("n_cells"), nl("sum_z"), nl("min_z"), nl("max_z"),
+    )
+    spec = GLOBAL_GRID
+    cells = (
+        synth.grid_df(spark, spec, value="dem")
+        .filter((F.col("row") % 8 == 0) & (F.col("col") % 8 == 0))
+        .select(
+            "z",
+            (F.lit(spec.y0) + F.col("row").cast("double") * F.lit(spec.cell_size_y)).alias("lat"),
+            (F.lit(spec.x0) + F.col("col").cast("double") * F.lit(spec.cell_size_x)).alias("lon"),
+        )
+    )
+    zs = spatial.zonal_stats(cells, polys).select(
+        F.lit("zonal").alias("leg"), nl("doc_id"), nl("span_offset"),
+        F.col("poly_id").cast("long").alias("poly_id"),
+        "n_cells", "sum_z", "min_z", "max_z",
+    )
+    return p.unionByName(zs)
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2452,8 +2488,18 @@ def oracle_sql() -> dict[str, str]:
         "bspline_deriv": _bspline_deriv_sql(),
         "palette": _palette_sql(),
         "pip": f"""
-            SELECT doc_id, span_offset, poly_id
+            SELECT 'pip' AS leg, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(span_offset AS BIGINT) AS span_offset,
+                   CAST(poly_id AS BIGINT) AS poly_id,
+                   CAST(NULL AS BIGINT) AS n_cells, CAST(NULL AS BIGINT) AS sum_z,
+                   CAST(NULL AS BIGINT) AS min_z, CAST(NULL AS BIGINT) AS max_z
             FROM ({spatial.pip_join_sql(_SPAN_POINTS_SQL, 24)})
+            UNION ALL
+            SELECT 'zonal' AS leg, CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS span_offset,
+                   CAST(poly_id AS BIGINT) AS poly_id,
+                   n_cells, sum_z, min_z, max_z
+            FROM ({spatial.zonal_stats_sql(_ZONAL_CELLS_SQL, 24)})
         """,
         "knn": f"""
             WITH anchors AS (

@@ -175,6 +175,51 @@ SELECT * EXCLUDE (crossings) FROM par WHERE crossings % 2 = 1
 """
 
 
+def zonal_stats(
+    cells: DataFrame,
+    polys: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "z",
+) -> DataFrame:
+    """Zonal statistics: per-polygon aggregates of the raster cells whose
+    centers fall inside the zone — the classic raster x vector overlay
+    (extension beyond the reference's core; its in-repo analog is the
+    polygon-masked area/volume tabulation of demo/.../GeneralStatistics).
+
+    Scale shape: the spatial join is `pip_join`'s cover-cell equi-join
+    (polygon bboxes -> cover cells, points -> their cell, ray-cast parity
+    on the pruned pairs), then ONE map-side-combined groupBy(poly_id).
+    Nothing is ever points x polygons; at 100 TB the shuffle is bounded by
+    matched (cell, zone) pairs, and the aggregate output by |zones|."""
+    j = pip_join(cells, polys, lat_col=lat_col, lon_col=lon_col)
+    v = F.col(value_col).cast("long")
+    return j.groupBy("poly_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(v).alias("sum_z"),
+        F.min(v).alias("min_z"),
+        F.max(v).alias("max_z"),
+    )
+
+
+def zonal_stats_sql(
+    points_src: str,
+    n_poly: int = 24,
+    lat: str = "lat",
+    lon: str = "lon",
+    value: str = "z",
+) -> str:
+    """DuckDB twin of zonal_stats over the same (value, lat, lon) source."""
+    return f"""
+        SELECT poly_id, COUNT(*) AS n_cells,
+               SUM(CAST({value} AS BIGINT)) AS sum_z,
+               MIN(CAST({value} AS BIGINT)) AS min_z,
+               MAX(CAST({value} AS BIGINT)) AS max_z
+        FROM ({pip_join_sql(points_src, n_poly, lat=lat, lon=lon)})
+        GROUP BY 1
+    """
+
+
 def knn_res_for(n_anchors: int, k: int) -> int:
     """Cell resolution for the kNN candidate join, chosen from anchor
     density (the IVF nlist~sqrt(N) precedent): the largest res whose cells

@@ -1,0 +1,106 @@
+"""Zonal statistics (spatial.zonal_stats): raster cells x polygon zones.
+
+Checks: scalar ray-cast reference equality, DuckDB twin equality, plan
+shape (cover-cell equi-join, no cartesian), partitioning invariance, and
+the empty-zone contract (zones with no cells inside emit no row).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gridfour_spark import spatial, synth
+from gridfour_spark.spec import GridSpec
+
+SPEC = GridSpec(
+    n_rows=90, n_cols=180, n_rows_in_tile=30, n_cols_in_tile=60,
+    x0=-180.0 + 1.0, y0=-90.0 + 1.0, cell_size_x=2.0, cell_size_y=2.0,
+    geographic=True,
+)
+
+
+def _cells(spark):
+    return (
+        synth.grid_df(spark, SPEC, value="dem")
+        .select(
+            "z",
+            (F.lit(SPEC.y0) + F.col("row").cast("double") * F.lit(SPEC.cell_size_y)).alias("lat"),
+            (F.lit(SPEC.x0) + F.col("col").cast("double") * F.lit(SPEC.cell_size_x)).alias("lon"),
+        )
+    )
+
+
+def _cells_sql() -> str:
+    return (
+        f"SELECT z, ({SPEC.y0!r} + CAST(row AS DOUBLE) * {SPEC.cell_size_y!r}) AS lat, "
+        f"({SPEC.x0!r} + CAST(col AS DOUBLE) * {SPEC.cell_size_x!r}) AS lon "
+        f"FROM ({synth.grid_duckdb_sql(SPEC, value='dem')})"
+    )
+
+
+@pytest.fixture(scope="module")
+def zonal_rows(spark):
+    polys = spatial.synth_polygons(spark, 24)
+    df = spatial.zonal_stats(_cells(spark), polys)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matches_duckdb_twin(zonal_rows):
+    orc = sorted(tuple(r) for r in duckdb.sql(spatial.zonal_stats_sql(_cells_sql(), 24)).fetchall())
+    assert zonal_rows == orc
+
+
+def test_matches_scalar_raycast(spark, zonal_rows):
+    cells = _cells(spark).collect()
+    polys = {r["poly_id"]: (r["xs"], r["ys"]) for r in spatial.synth_polygons(spark, 24).collect()}
+
+    def inside(lat, lon, xs, ys):
+        n = len(xs)
+        cross = 0
+        for i in range(n):
+            x1, y1 = xs[i], ys[i]
+            x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+                cross += 1
+        return cross % 2 == 1
+
+    agg: dict[int, list[int]] = {}
+    for r in cells:
+        for pid, (xs, ys) in polys.items():
+            if inside(r["lat"], r["lon"], xs, ys):
+                s = agg.setdefault(pid, [0, 0, 1 << 62, -(1 << 62)])
+                s[0] += 1
+                s[1] += int(r["z"])
+                s[2] = min(s[2], int(r["z"]))
+                s[3] = max(s[3], int(r["z"]))
+    ref = sorted((pid, s[0], s[1], s[2], s[3]) for pid, s in agg.items())
+    assert zonal_rows == ref
+    assert len(ref) > 0
+
+
+def test_plan_has_no_cartesian_or_python(spark):
+    polys = spatial.synth_polygons(spark, 24)
+    df = spatial.zonal_stats(_cells(spark), polys)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioning_invariance(spark, zonal_rows):
+    polys = spatial.synth_polygons(spark, 24)
+    df = spatial.zonal_stats(_cells(spark).repartition(13), polys)
+    assert sorted(tuple(r) for r in df.collect()) == zonal_rows
+
+
+def test_empty_zone_emits_no_row(spark):
+    """A polygon placed over a region with no cell centers (between the
+    2-degree grid lines) must not appear in the output."""
+    polys = spark.createDataFrame(
+        [(99, [0.2, 0.8, 0.8, 0.2], [0.2, 0.2, 0.8, 0.8])],
+        "poly_id int, xs array<double>, ys array<double>",
+    )
+    out = spatial.zonal_stats(_cells(spark), polys).collect()
+    assert out == []
