@@ -767,6 +767,18 @@ def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out += agg_cells(zarrv2.zarr_cells(spark, z3), "zarr3")
 
+        # zarr3_updated: distributed upsert through the PARTIAL-shard
+        # splice (only touched inner chunks re-encode; untouched inner
+        # bytes copy verbatim — zarrv2.splice_shard_update), then re-agg:
+        # the driver hash-checks the spliced store's full contents
+        deltas = (
+            synth.grid_df(spark, spec, value="dem")
+            .filter((F.col("row") % 97 == 3) & (F.col("col") % 89 == 5))
+            .select("row", "col", (F.col("z") + 7).cast("double").alias("z"))
+        )
+        zarrv2.update_zarr(deltas, z3)
+        out += agg_cells(zarrv2.zarr_cells(spark, z3), "zarr3_updated")
+
         ncp = os.path.join(d, "dem.nc")
         NC.write_netcdf(ncp, arr, var="z")
         out += agg_cells(NC.netcdf_cells(spark, ncp), "netcdf")
@@ -2561,6 +2573,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),
                    CAST(MIN(z) AS BIGINT), CAST(MAX(z) AS BIGINT)
             FROM ({_grid_a('dem')})
+            UNION ALL
+            SELECT 'zarr3_updated', COUNT(*),
+                   CAST(SUM(CAST(zu AS BIGINT)) AS BIGINT),
+                   CAST(MIN(zu) AS BIGINT), CAST(MAX(zu) AS BIGINT)
+            FROM (
+              SELECT CASE WHEN row % 97 = 3 AND col % 89 = 5
+                          THEN z + 7 ELSE z END AS zu
+              FROM ({_grid_a('dem')})
+            )
             UNION ALL
             SELECT 'netcdf', COUNT(*),
                    CAST(SUM(CAST(z AS BIGINT)) AS BIGINT),

@@ -570,6 +570,126 @@ def read_shard_window(
     return out, bytes_read
 
 
+def splice_shard_update(
+    buf: bytes | None,
+    lr: np.ndarray,
+    lc: np.ndarray,
+    z: np.ndarray,
+    info: ZarrInfo,
+) -> tuple[bytes, dict]:
+    """PARTIAL shard update — the write-side sibling of read_shard_window:
+    decode and re-encode ONLY the inner chunks the update cells touch;
+    every untouched inner chunk's encoded bytes are spliced VERBATIM into
+    the new shard object (offsets shift, content bytes do not). The shard
+    object itself is still rewritten whole (object stores have no range
+    PUT), so the win is CPU and determinism: at a 4x4 inner grid a
+    single-cell update decodes 1/16 of the shard instead of all of it, and
+    the spliced output is bit-identical to a full decode+re-encode (the
+    inner codec is deterministic) — asserted in tests/test_zarr.py.
+
+    (lr, lc) are shard-local cell coordinates, z the new values (already
+    dtype-coerced by the caller). Returns (new shard bytes, telemetry):
+    telemetry = {n_inner, n_touched, n_spliced, decoded_bytes} where
+    decoded_bytes counts index + touched-chunk bytes only."""
+    sh = info.compressor
+    iinf = _inner_info(info)
+    ih, iw = iinf.chunks
+    gr, gc = _shard_grid(info)
+    n = gr * gc
+    crc = sh.get("index_crc", True)
+    idx_len = 16 * n + (4 if crc else 0)
+    fv = info.fill_value
+    if fv is None:
+        fv = np.nan if info.dtype.kind == "f" else 0
+
+    if buf is None:
+        pairs = np.full((n, 2), _SHARD_ABSENT, dtype="<u8")
+        decoded_bytes = 0
+    else:
+        raw = buf[-idx_len:] if sh.get("index_location", "end") == "end" else buf[:idx_len]
+        if crc:
+            from gridfour_spark.floatcodec import crc32c
+
+            body, want = raw[:-4], struct.unpack("<I", raw[-4:])[0]
+            got = crc32c(body)
+            if got != want:
+                raise ValueError(
+                    f"shard index crc32c mismatch: stored {want:#010x}, "
+                    f"computed {got:#010x}")
+            raw = body
+        pairs = np.frombuffer(raw, dtype="<u8").reshape(n, 2)
+        decoded_bytes = idx_len
+
+    touched: dict[int, list[int]] = {}
+    for i in range(len(lr)):
+        k = (int(lr[i]) // ih) * gc + (int(lc[i]) // iw)
+        touched.setdefault(k, []).append(i)
+
+    parts, index = [], []
+    pos = 0
+    n_spliced = 0
+    for k in range(n):
+        off, nb = int(pairs[k, 0]), int(pairs[k, 1])
+        if k not in touched:
+            if off == _SHARD_ABSENT:
+                index.append((_SHARD_ABSENT, _SHARD_ABSENT))
+            else:
+                index.append((pos, nb))
+                parts.append(buf[off:off + nb])
+                pos += nb
+                n_spliced += 1
+            continue
+        ci, cj = divmod(k, gc)
+        if off == _SHARD_ABSENT:
+            block = np.full((ih, iw), fv, dtype=info.dtype)
+        else:
+            block = decode_chunk(buf[off:off + nb], iinf).copy()
+            decoded_bytes += nb
+        sel = touched[k]
+        block[
+            np.asarray([int(lr[i]) - ci * ih for i in sel]),
+            np.asarray([int(lc[i]) - cj * iw for i in sel]),
+        ] = z[sel]
+        # same skip-all-fill rule as _encode_shard, so splice output stays
+        # bit-identical to a full re-encode
+        if (
+            np.all(block == info.dtype.type(fv))
+            or (info.dtype.kind == "f" and math.isnan(float(fv))
+                and bool(np.all(np.isnan(block))))
+        ):
+            index.append((_SHARD_ABSENT, _SHARD_ABSENT))
+            continue
+        enc = encode_chunk(block, iinf)
+        index.append((pos, len(enc)))
+        parts.append(enc)
+        pos += len(enc)
+
+    idx = b"".join(struct.pack("<QQ", o, nb2) for o, nb2 in index)
+    if crc:
+        from gridfour_spark.floatcodec import crc32c
+
+        idx += struct.pack("<I", crc32c(idx))
+    if sh.get("index_location", "end") == "start":
+        shift = len(idx)
+        idx = b"".join(
+            struct.pack("<QQ",
+                        o if o == _SHARD_ABSENT else o + shift,
+                        nb2)
+            for o, nb2 in index)
+        if crc:
+            idx += struct.pack("<I", crc32c(idx))
+        out = idx + b"".join(parts)
+    else:
+        out = b"".join(parts) + idx
+    tel = {
+        "n_inner": n,
+        "n_touched": len(touched),
+        "n_spliced": n_spliced,
+        "decoded_bytes": decoded_bytes,
+    }
+    return out, tel
+
+
 def encode_chunk(chunk: np.ndarray, info: ZarrInfo) -> bytes:
     """chunk must be the FULL chunk shape (edge chunks pad with fill)."""
     assert chunk.shape == info.chunks, (chunk.shape, info.chunks)
@@ -1012,23 +1132,35 @@ def update_zarr(deltas, path: str) -> dict:
         "row", "col", "z",
     )
 
+    sharded = _is_sharded(info)
+
     def emit(key, pdf):
         import pandas as pd
 
         ci, cj = int(key[0]), int(key[1])
         p = _chunk_path(info, ci, cj)
-        if os.path.exists(p):
-            with open(p, "rb") as f:
-                block = decode_chunk(f.read(), info).copy()
-        else:
-            block = _fill_array(info)
         lr = pdf["row"].to_numpy() - ci * ch
         lc = pdf["col"].to_numpy() - cj * cw
         z = pdf["z"].to_numpy()
         if info.dtype.kind in "iu":
             z = np.rint(np.nan_to_num(z, nan=float(info.fill_value or 0)))
-        block[lr, lc] = z.astype(info.dtype)
-        data = encode_chunk(block, info)
+        z = z.astype(info.dtype)
+        if sharded:
+            # partial-shard splice: only the touched inner chunks are
+            # decoded/re-encoded; untouched inner bytes copy verbatim
+            buf = None
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    buf = f.read()
+            data, _tel = splice_shard_update(buf, lr, lc, z, info)
+        else:
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    block = decode_chunk(f.read(), info).copy()
+            else:
+                block = _fill_array(info)
+            block[lr, lc] = z
+            data = encode_chunk(block, info)
         _atomic_write(p, data)
         return pd.DataFrame(
             {"ci": [ci], "cj": [cj], "n_cells": [len(pdf)], "n_bytes": [len(data)]}

@@ -839,3 +839,77 @@ def test_v3_transpose_rejected_after_bytes(tmp_path):
     }))
     with pytest.raises(ValueError, match="precede"):
         Z.parse_zarr_array(str(p))
+
+
+def test_v3_shard_partial_update_splice(tmp_path):
+    """Partial-shard UPDATE: splice_shard_update decodes only the touched
+    inner chunks (decoded_bytes bounded by index + touched bytes), copies
+    untouched inner-chunk bytes verbatim, and its output is BIT-IDENTICAL
+    to a full decode + re-encode of the updated array."""
+    import struct as _st
+
+    g = _demo_grid(128, 128)
+    for loc in ("end", "start"):
+        info = Z.ZarrInfo(
+            path="", shape=(128, 128), chunks=(128, 128),
+            dtype=np.dtype("<i4"), order="C", fill_value=0,
+            compressor={"id": "shard", "inner_chunks": (32, 32),
+                        "codecs": [{"id": "gzip", "level": 6}],
+                        "index_location": loc},
+            filters=None, separator="/", zarr_format=3,
+        )
+        buf = Z._encode_shard(g.copy(), info)
+        idx_len = 16 * 16 + 4
+
+        # update 3 cells inside ONE inner chunk (chunk (1,1))
+        lr = np.array([33, 40, 63]); lc = np.array([34, 50, 63])
+        z = np.array([-7, -8, -9], dtype="<i4")
+        new, tel = Z.splice_shard_update(buf, lr, lc, z, info)
+        assert tel["n_touched"] == 1 and tel["n_spliced"] == 15
+        # bound: index + the one touched chunk's stored bytes
+        raw = buf[-idx_len:-4] if loc == "end" else buf[:idx_len - 4]
+        pairs = np.frombuffer(raw, dtype="<u8").reshape(16, 2)
+        assert tel["decoded_bytes"] <= idx_len + int(pairs[5, 1])
+
+        want = g.copy()
+        want[lr, lc] = z
+        # bit-identical to the full re-encode
+        assert new == Z._encode_shard(want, info)
+        np.testing.assert_array_equal(Z._decode_shard(new, info), want)
+
+
+def test_v3_shard_partial_update_absent_and_allfill(tmp_path):
+    """Splice handles the two index-sentinel transitions: writing into an
+    absent inner chunk materializes it, and zeroing a chunk back to
+    all-fill OMITS it again (same rule as the writer), in both cases
+    matching the full re-encode byte-for-byte."""
+    info = Z.ZarrInfo(
+        path="", shape=(64, 64), chunks=(64, 64),
+        dtype=np.dtype("<i4"), order="C", fill_value=0,
+        compressor={"id": "shard", "inner_chunks": (32, 32),
+                    "codecs": [{"id": "gzip", "level": 6}]},
+        filters=None, separator="/", zarr_format=3,
+    )
+    g = np.zeros((64, 64), dtype="<i4")
+    g[2, 3] = 5  # only inner chunk (0,0) occupied
+    buf = Z._encode_shard(g.copy(), info)
+
+    # write into the absent chunk (1,1)
+    new, tel = Z.splice_shard_update(
+        buf, np.array([40]), np.array([40]), np.array([9], dtype="<i4"), info)
+    want = g.copy(); want[40, 40] = 9
+    assert new == Z._encode_shard(want, info)
+    assert tel["decoded_bytes"] == 16 * 4 + 4  # index only (absent chunk)
+
+    # zero the occupied chunk back to all-fill -> omitted again
+    new2, tel2 = Z.splice_shard_update(
+        new, np.array([2]), np.array([3]), np.array([0], dtype="<i4"), info)
+    want2 = want.copy(); want2[2, 3] = 0
+    assert new2 == Z._encode_shard(want2, info)
+
+    # update starting from no shard at all (buf=None)
+    new3, tel3 = Z.splice_shard_update(
+        None, np.array([40]), np.array([40]), np.array([9], dtype="<i4"), info)
+    only = np.zeros((64, 64), dtype="<i4"); only[40, 40] = 9
+    assert new3 == Z._encode_shard(only, info)
+    assert tel3["decoded_bytes"] == 0
