@@ -492,6 +492,25 @@ def main() -> None:
     _T2.bpe_train(spark.read.parquet(f"{SF_DIR}/documents.parquet"), n_merges=16)
     bpe_train16_sec = round(time.time() - t0, 3)
 
+    # round 7: marching-squares contour extraction over the FULL global
+    # DEM (6.48M cells, 5 levels) — one stencil shuffle + JVM case rule
+    from gridfour_spark import contour as _CT
+    from gridfour_spark import synth as _SY
+    from gridfour_spark.spec import GLOBAL_GRID as _GG
+
+    t0 = time.time()
+    _cseg = _CT.segments(
+        _SY.grid_df(spark, _GG, value="dem"),
+        [-4000.5, -2000.5, -0.5, 1999.5, 3999.5],
+    )
+    _crow = _cseg.agg(
+        _F.count(_F.lit(1)).alias("n"),
+        _F.sum(_F.xxhash64("lev_milli", "x1", "y1", "x2", "y2")).alias("h"),
+    ).collect()[0]
+    contour_sec = time.time() - t0
+    contour_cells_per_sec = round(_GG.n_rows * _GG.n_cols * 5 / contour_sec, 1)
+    contour_n_segments = int(_crow["n"])
+
     # throughput charges the flagship with the geometry materialization it
     # consumes (the cache is an amortization ACROSS queries, not a skip)
     flagship_sec = timings["flagship"] + geometry_build_sec
@@ -529,6 +548,9 @@ def main() -> None:
         "zarr_shard_window": zarr_shard_window,
         "media_decode_imgs_per_sec": media_decode_imgs_per_sec,
         "bpe_train16_sec": bpe_train16_sec,
+        "contour_cells_per_sec": contour_cells_per_sec,
+        "contour_sec": round(contour_sec, 3),
+        "contour_n_segments": contour_n_segments,
         "recall_at_5_clustered": recall_clustered,
         "ivfpq_query_only_sec": round(ivfpq_query_only_sec, 3),
         "ivfpq_adhoc_build_sec": round(ivfpq_adhoc_sec, 3),

@@ -85,27 +85,34 @@ def stencil_2x2(cells: DataFrame) -> DataFrame:
     return g.filter(F.col("_nc") == 4).drop("_nc")
 
 
-def _edge_point_sql(edge: str) -> tuple[str, str]:
+# default expression bindings: stencil columns z00..z11, anchor (r, c),
+# level column lev — the banded variant rebinds these to array subscripts
+_BIND = {
+    "z00": "z00", "z01": "z01", "z10": "z10", "z11": "z11",
+    "r": "CAST(r AS DOUBLE)", "c": "CAST(c AS DOUBLE)", "lev": "lev",
+}
+
+
+def _edge_point_sql(edge: str, b: dict) -> tuple[str, str]:
     """(x, y) SQL for the level crossing on an edge of the unit stencil at
-    anchor (r, c), in grid coordinates. Columns z00..z11 are DOUBLE, lev is
+    anchor (r, c), in grid coordinates. Corner values are DOUBLE, lev is
     the level DOUBLE; denominators are nonzero by the non-integer-level
     contract."""
-    r = "CAST(r AS DOUBLE)"
-    c = "CAST(c AS DOUBLE)"
+    r, c, lev = b["r"], b["c"], b["lev"]
     if edge == "T":
-        return f"({c} + (lev - z00) / (z01 - z00))", r
+        return f"({c} + ({lev} - {b['z00']}) / ({b['z01']} - {b['z00']}))", r
     if edge == "B":
-        return f"({c} + (lev - z10) / (z11 - z10))", f"({r} + 1.0)"
+        return f"({c} + ({lev} - {b['z10']}) / ({b['z11']} - {b['z10']}))", f"({r} + 1.0)"
     if edge == "L":
-        return c, f"({r} + (lev - z00) / (z10 - z00))"
+        return c, f"({r} + ({lev} - {b['z00']}) / ({b['z10']} - {b['z00']}))"
     if edge == "R":
-        return f"({c} + 1.0)", f"({r} + (lev - z01) / (z11 - z01))"
+        return f"({c} + 1.0)", f"({r} + ({lev} - {b['z01']}) / ({b['z11']} - {b['z01']}))"
     raise ValueError(edge)
 
 
-def _seg_struct_sql(a: str, b: str) -> str:
-    x1, y1 = _edge_point_sql(a)
-    x2, y2 = _edge_point_sql(b)
+def _seg_struct_sql(a: str, b_edge: str, b: dict) -> str:
+    x1, y1 = _edge_point_sql(a, b)
+    x2, y2 = _edge_point_sql(b_edge, b)
     q = "CAST(floor({v} * 1e6) AS BIGINT)"
     return (
         "named_struct("
@@ -114,34 +121,36 @@ def _seg_struct_sql(a: str, b: str) -> str:
     )
 
 
-def case_idx_sql() -> str:
+def case_idx_sql(b: dict | None = None) -> str:
     """Marching-squares case index 0..15 from the corner comparisons."""
+    b = b or _BIND
     return (
-        "(CASE WHEN z00 > lev THEN 1 ELSE 0 END"
-        " + CASE WHEN z01 > lev THEN 2 ELSE 0 END"
-        " + CASE WHEN z11 > lev THEN 4 ELSE 0 END"
-        " + CASE WHEN z10 > lev THEN 8 ELSE 0 END)"
+        f"(CASE WHEN {b['z00']} > {b['lev']} THEN 1 ELSE 0 END"
+        f" + CASE WHEN {b['z01']} > {b['lev']} THEN 2 ELSE 0 END"
+        f" + CASE WHEN {b['z11']} > {b['lev']} THEN 4 ELSE 0 END"
+        f" + CASE WHEN {b['z10']} > {b['lev']} THEN 8 ELSE 0 END)"
     )
 
 
-def seg_array_sql() -> str:
+def seg_array_sql(b: dict | None = None) -> str:
     """array<struct<x1,y1,x2,y2>> of 0/1/2 segments for one (stencil, lev)
     row. Identical text runs under Spark `F.expr` and is transcribed into
     the DuckDB oracle by `segments_duckdb_sql` (DuckDB spells named_struct
     as struct_pack — the arithmetic inside is character-identical)."""
-    center = "((z00 + z01 + z10 + z11) / 4.0)"
+    b = b or _BIND
+    center = f"(({b['z00']} + {b['z01']} + {b['z10']} + {b['z11']}) / 4.0)"
     whens = []
     for idx, segs in _CASE_SEGS.items():
-        arr = ", ".join(_seg_struct_sql(a, b) for a, b in segs)
+        arr = ", ".join(_seg_struct_sql(x, y, b) for x, y in segs)
         whens.append(f"WHEN {idx} THEN array({arr})")
     for idx, variants in _SADDLE.items():
-        hi = ", ".join(_seg_struct_sql(a, b) for a, b in variants[True])
-        lo = ", ".join(_seg_struct_sql(a, b) for a, b in variants[False])
+        hi = ", ".join(_seg_struct_sql(x, y, b) for x, y in variants[True])
+        lo = ", ".join(_seg_struct_sql(x, y, b) for x, y in variants[False])
         whens.append(
-            f"WHEN {idx} THEN CASE WHEN {center} > lev"
+            f"WHEN {idx} THEN CASE WHEN {center} > {b['lev']}"
             f" THEN array({hi}) ELSE array({lo}) END"
         )
-    return f"CASE {case_idx_sql()} {' '.join(whens)} END"
+    return f"CASE {case_idx_sql(b)} {' '.join(whens)} END"
 
 
 def segments(cells: DataFrame, levels: list[float]) -> DataFrame:
@@ -173,6 +182,72 @@ def segments(cells: DataFrame, levels: list[float]) -> DataFrame:
     )
 
 
+def segments_banded(
+    cells: DataFrame, levels: list[float], band_w: int = 2048
+) -> DataFrame:
+    """`segments` with the fan-out shuffle replaced by a banded plan
+    (row-identical output; pytest-pinned equal to `segments`).
+
+    Each cell is shuffled ONCE into its (row, column-band) group — only
+    band-boundary cells duplicate into the previous band as a 1-column
+    halo, a 1/band_w overhead — the group agg builds a column-sorted
+    (col, z) array per band-row, a self-join on (row+1, band) pairs the
+    top/bottom arrays, and the identical marching-squares CASE evaluates
+    with corners bound to ae[i]/be[i] lambda subscripts. band_w bounds
+    executor memory: a band-row is <= (band_w+1) structs regardless of
+    grid width.
+
+    MEASURED (local[32], global 1800x3600 DEM, 5 levels): this plan is
+    ~2.5x SLOWER than `segments` (49 s vs 19.5 s) — higher-order-function
+    lambdas evaluate interpreted while the fan-out path stays inside
+    whole-stage codegen, and on local mode the fan-out's shuffle cost is
+    illusory anyway (row-major input partitions co-locate the 4 anchors,
+    so the map-side partial agg collapses most of the 4x fan before any
+    bytes move). `segments` is therefore the default. This variant exists
+    for the regime local mode cannot exhibit: a network-bound cluster
+    shuffle where the 4x row volume, not CPU, is the bottleneck — it
+    moves ~1x the cells and trades interpreted eval for those bytes."""
+    c = F.col("col")
+    zc = F.struct(c.alias("c"), F.col("z").cast("double").alias("z"))
+    base = cells.select(F.col("row").alias("r"), (c / band_w).cast("long").alias("_b"), zc.alias("s"))
+    halo = cells.filter((c % band_w == 0) & (c > 0)).select(
+        F.col("row").alias("r"), ((c / band_w).cast("long") - 1).alias("_b"), zc.alias("s")
+    )
+    rows = (
+        base.unionByName(halo)
+        .groupBy("r", "_b")
+        .agg(F.array_sort(F.collect_list("s")).alias("ae"))
+    )
+    bot = rows.select((F.col("r") - 1).alias("r"), "_b", F.col("ae").alias("be"))
+    j = rows.join(bot, ["r", "_b"])
+    lev_arr = F.array(*[F.lit(float(v)) for v in levels])
+    bind = {
+        "z00": "ae[i].z", "z01": "ae[i+1].z",
+        "z10": "be[i].z", "z11": "be[i+1].z",
+        "r": "CAST(r AS DOUBLE)", "c": "CAST(ae[i].c AS DOUBLE)", "lev": "lev",
+    }
+    per_i = (
+        "CASE WHEN size(ae) < 2 THEN array() ELSE "
+        "transform(sequence(0, size(ae) - 2), i -> "
+        f"named_struct('ac', ae[i].c, 'segs', {seg_array_sql(bind)})) END"
+    )
+    out = (
+        j.withColumn("lev", F.explode(lev_arr))
+        .select("r", "lev", F.explode(F.expr(per_i)).alias("p"))
+        .filter(F.col("p.segs").isNotNull())
+        .select("r", "lev", F.col("p.ac").alias("c"), F.explode("p.segs").alias("seg"))
+    )
+    return out.select(
+        F.floor(F.col("lev") * 1000.0).cast("long").alias("lev_milli"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.col("seg.x1").alias("x1"),
+        F.col("seg.y1").alias("y1"),
+        F.col("seg.x2").alias("x2"),
+        F.col("seg.y2").alias("y2"),
+    )
+
+
 def segments_duckdb_sql(grid_sql: str, levels: list[float]) -> str:
     """DuckDB twin of `segments` over the same (row, col, z) grid SQL.
 
@@ -182,14 +257,6 @@ def segments_duckdb_sql(grid_sql: str, levels: list[float]) -> str:
     UNION ALL over the two segment slots."""
     center = "((z00 + z01 + z10 + z11) / 4.0)"
     q = "CAST(floor({v} * 1e6) AS BIGINT)"
-
-    def seg_cols(a: str, b: str) -> str:
-        x1, y1 = _edge_point_sql(a)
-        x2, y2 = _edge_point_sql(b)
-        return (
-            f"{q.format(v=x1)} AS x1, {q.format(v=y1)} AS y1, "
-            f"{q.format(v=x2)} AS x2, {q.format(v=y2)} AS y2"
-        )
 
     # slot 1 = first segment of any crossing case; slot 2 = saddle second
     def slot_case(slot: int) -> str:
@@ -209,8 +276,8 @@ def segments_duckdb_sql(grid_sql: str, levels: list[float]) -> str:
         return f"CASE {case_idx_sql()} {' '.join(whens)} END"
 
     def _pack(a: str, b: str) -> str:
-        x1, y1 = _edge_point_sql(a)
-        x2, y2 = _edge_point_sql(b)
+        x1, y1 = _edge_point_sql(a, _BIND)
+        x2, y2 = _edge_point_sql(b, _BIND)
         return (
             f"x1 := {q.format(v=x1)}, y1 := {q.format(v=y1)}, "
             f"x2 := {q.format(v=x2)}, y2 := {q.format(v=y2)}"

@@ -182,3 +182,15 @@ def test_saddle_cells_resolved_by_center_rule(spark):
     orc = sorted(tuple(r) for r in duckdb.sql(
         contour.segments_duckdb_sql(grid_sql, [5.5])).fetchall())
     assert got == orc
+
+
+def test_banded_variant_identical(spark, seg_rows):
+    """segments_banded (shuffle-byte-lean plan for network-bound clusters)
+    must emit the identical row multiset, including across band-boundary
+    halos and a band width that doesn't divide the grid."""
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    for bw in (16, 64, SPEC.n_cols + 5):
+        got = sorted(
+            tuple(r) for r in contour.segments_banded(cells, LEVELS, band_w=bw).collect()
+        )
+        assert got == seg_rows, bw
