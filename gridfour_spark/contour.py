@@ -248,6 +248,100 @@ def segments_banded(
     )
 
 
+def topology(segs: DataFrame, levels: list[float]) -> DataFrame:
+    """Per-level contour topology: assemble the segment soup into curves
+    with DISTRIBUTED connected components and report, per level,
+    (n_segments, n_vertices, n_components, n_odd_vertices).
+
+    Level sets of a grid function are disjoint closed loops plus chains
+    that end on the grid boundary, so n_odd counts chain endpoints (all on
+    the boundary — tests assert it) and n_components counts curves. The
+    CC is textops.dedup_clusters' pointer-doubling min-label propagation
+    (O(log diameter) rounds, localCheckpoint-bounded lineage) over packed
+    vertex ids: node = ((x_u << 30) | y_u) << 3 | lev_idx, exact while
+    y_u < 2^30 and x_u < 2^30 (grids up to ~1073 x 1073 cells — SPEC-A
+    scale; wider grids would carry the (lev, x, y) composite key through
+    the same algorithm instead of packing)."""
+    from gridfour_spark.textops import dedup_clusters
+
+    lev_arr = F.array(*[F.lit(int(v * 1000)) for v in levels])
+    li = (F.array_position(lev_arr, F.col("lev_milli")) - 1).cast("long")
+    s = segs.withColumn("_li", li)
+
+    def enc(x, y):
+        return (
+            (F.col(x) * F.lit(1 << 30) + F.col(y)) * 8 + F.col("_li")
+        ).cast("long")
+
+    pairs = s.select(enc("x1", "y1").alias("doc_a"), enc("x2", "y2").alias("doc_b"))
+    comp = dedup_clusters(pairs)
+    lev_of = (F.col("doc_id") % 8).cast("int")
+    n_comp = (
+        comp.select(lev_of.alias("_li"), "cluster_id")
+        .groupBy("_li")
+        .agg(F.count_distinct("cluster_id").alias("n_components"))
+    )
+    verts = s.select("_li", F.col("x1").alias("x"), F.col("y1").alias("y")).unionByName(
+        s.select("_li", F.col("x2").alias("x"), F.col("y2").alias("y"))
+    )
+    deg = verts.groupBy("_li", "x", "y").agg(F.count("*").alias("deg"))
+    vstats = deg.groupBy("_li").agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(F.when(F.col("deg") % 2 == 1, 1).otherwise(0)).alias("n_odd"),
+    )
+    nseg = s.groupBy("_li").agg(F.count("*").alias("n_segments"))
+    out = nseg.join(vstats, "_li").join(n_comp, "_li")
+    lev_milli = F.element_at(lev_arr, (F.col("_li") + 1).cast("int")).cast("long")
+    return out.select(
+        lev_milli.alias("lev_milli"),
+        "n_segments", "n_vertices", "n_components", "n_odd",
+    )
+
+
+def topology_duckdb_sql(segs_sql: str) -> str:
+    """DuckDB twin of `topology`: transitive closure per (level, vertex)
+    via a recursive CTE (composite keys, no packing needed at oracle
+    scale), mirroring textops.dedup_clusters_sql."""
+    return f"""
+WITH RECURSIVE segs AS ({segs_sql}),
+edges AS (
+  SELECT lev_milli, x1 AS ax, y1 AS ay, x2 AS bx, y2 AS by FROM segs
+  UNION
+  SELECT lev_milli, x2, y2, x1, y1 FROM segs
+),
+reach(lev_milli, sx, sy, dx, dy) AS (
+  SELECT lev_milli, ax, ay, ax, ay FROM edges
+  UNION
+  SELECT r.lev_milli, r.sx, r.sy, e.bx, e.by
+  FROM reach r JOIN edges e
+    ON e.lev_milli = r.lev_milli AND e.ax = r.dx AND e.ay = r.dy
+),
+lbl AS (
+  SELECT lev_milli, sx, sy, MIN(dx * 1073741824 + dy) AS comp
+  FROM reach GROUP BY 1, 2, 3
+),
+comps AS (
+  SELECT lev_milli, COUNT(DISTINCT comp) AS n_components FROM lbl GROUP BY 1
+),
+verts AS (
+  SELECT lev_milli, x, y, COUNT(*) AS deg FROM (
+    SELECT lev_milli, x1 AS x, y1 AS y FROM segs
+    UNION ALL
+    SELECT lev_milli, x2, y2 FROM segs
+  ) GROUP BY 1, 2, 3
+),
+vstats AS (
+  SELECT lev_milli, COUNT(*) AS n_vertices,
+         SUM(CASE WHEN deg % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+  FROM verts GROUP BY 1
+),
+nseg AS (SELECT lev_milli, COUNT(*) AS n_segments FROM segs GROUP BY 1)
+SELECT n.lev_milli, n.n_segments, v.n_vertices, c.n_components,
+       CAST(v.n_odd AS BIGINT) AS n_odd
+FROM nseg n JOIN vstats v USING (lev_milli) JOIN comps c USING (lev_milli)
+"""
+
+
 def segments_duckdb_sql(grid_sql: str, levels: list[float]) -> str:
     """DuckDB twin of `segments` over the same (row, col, z) grid SQL.
 

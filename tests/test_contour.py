@@ -194,3 +194,70 @@ def test_banded_variant_identical(spark, seg_rows):
             tuple(r) for r in contour.segments_banded(cells, LEVELS, band_w=bw).collect()
         )
         assert got == seg_rows, bw
+
+
+def test_topology_matches_union_find(spark, seg_rows):
+    """Curve assembly: per-level component counts from the distributed
+    pointer-doubling CC must equal a scalar union-find over the same
+    segments; chains/loops bookkeeping must satisfy the degree-<=2
+    structure of grid level sets (n_chains = V - E, n_odd = 2*n_chains)."""
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    topo = sorted(
+        tuple(r)
+        for r in contour.topology(contour.segments(cells, LEVELS), LEVELS).collect()
+    )
+
+    parent: dict = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    by_level: dict = {}
+    for lev_milli, r, c, x1, y1, x2, y2 in seg_rows:
+        by_level.setdefault(lev_milli, []).append(((x1, y1), (x2, y2)))
+    want = []
+    for lev_milli, edges in by_level.items():
+        parent.clear()
+        deg: dict = {}
+        for a, b in edges:
+            union((lev_milli, a), (lev_milli, b))
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        comps = {find(k) for k in parent}
+        n_odd = sum(1 for v in deg.values() if v % 2 == 1)
+        want.append((lev_milli, len(edges), len(deg), len(comps), n_odd))
+    assert topo == sorted(want)
+    # structure: every vertex degree <= 2 -> components are paths + cycles;
+    # paths satisfy V - E = n_chains and contribute exactly 2 odd vertices
+    for lev_milli, n_seg, n_vert, n_comp, n_odd in topo:
+        n_chains = n_vert - n_seg
+        assert n_odd == 2 * n_chains
+        assert 0 <= n_chains <= n_comp
+
+
+def test_topology_matches_duckdb_on_small_grid(spark):
+    """The recursive-CTE oracle is O(diameter) iterations, so it is pinned
+    on a small grid (short curves); the distributed CC must agree."""
+    spec = GridSpec(n_rows=25, n_cols=30, n_rows_in_tile=5, n_cols_in_tile=6)
+    levels = [-0.5, 999.5]
+    cells = synth.grid_df(spark, spec, value="dem")
+    got = sorted(
+        tuple(r)
+        for r in contour.topology(contour.segments(cells, levels), levels).collect()
+    )
+    sql = contour.topology_duckdb_sql(
+        contour.segments_duckdb_sql(synth.grid_duckdb_sql(spec, value="dem"), levels)
+    )
+    orc = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == orc
+    assert got, "expected at least one level with segments"
