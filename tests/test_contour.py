@@ -261,3 +261,23 @@ def test_topology_matches_duckdb_on_small_grid(spark):
     orc = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == orc
     assert got, "expected at least one level with segments"
+
+
+def test_contour_from_stored_zarr_source(spark, tmp_path, seg_rows):
+    """End-to-end composition: DEM -> distributed Zarr v3 sharded sink ->
+    distributed chunk-pushdown read -> contour. The segment set must be
+    identical to contouring the in-memory generator, proving the operator
+    is source-agnostic (any (row, col, z) frame works)."""
+    from gridfour_spark import zarrv2
+
+    p = str(tmp_path / "dem.zarr")
+    zarrv2.write_zarr(
+        synth.grid_df(spark, SPEC, value="dem").select(
+            "row", "col", F.col("z").cast("double").alias("z")),
+        p, shape=(SPEC.n_rows, SPEC.n_cols), chunks=(32, 32),
+        dtype="<i4", zarr_format=3,
+        compressor={"id": "shard", "inner_chunks": (16, 16)},
+    )
+    cells = zarrv2.zarr_cells(spark, p)
+    got = sorted(tuple(r) for r in contour.segments(cells, LEVELS).collect())
+    assert got == seg_rows
