@@ -248,7 +248,7 @@ def segments_banded(
     )
 
 
-def topology(segs: DataFrame, levels: list[float]) -> DataFrame:
+def topology(segs: DataFrame, levels: list[float], wide: bool = False) -> DataFrame:
     """Per-level contour topology: assemble the segment soup into curves
     with DISTRIBUTED connected components and report, per level,
     (n_segments, n_vertices, n_components, n_odd_vertices).
@@ -257,25 +257,42 @@ def topology(segs: DataFrame, levels: list[float]) -> DataFrame:
     that end on the grid boundary, so n_odd counts chain endpoints (all on
     the boundary — tests assert it) and n_components counts curves. The
     CC is textops.dedup_clusters' pointer-doubling min-label propagation
-    (O(log diameter) rounds, localCheckpoint-bounded lineage) over packed
-    vertex ids: node = ((x_u << 30) | y_u) << 3 | lev_idx, exact while
-    y_u < 2^30 and x_u < 2^30 (grids up to ~1073 x 1073 cells — SPEC-A
-    scale; wider grids would carry the (lev, x, y) composite key through
-    the same algorithm instead of packing)."""
+    (O(log diameter) rounds, localCheckpoint-bounded lineage). Vertex ids:
+    node = ((x_u << 30) | y_u) << 3 | lev_idx, exact while y_u < 2^30 and
+    x_u < 2^30 (grids up to ~1073 x 1073 cells). Pass wide=True for
+    larger grids: the id becomes the 'lev:x:y' STRING and min-label
+    propagates lexicographically — same algorithm, deterministic labels
+    at any grid size, heavier shuffle keys (pytest pins both paths
+    equal)."""
     from gridfour_spark.textops import dedup_clusters
 
     lev_arr = F.array(*[F.lit(int(v * 1000)) for v in levels])
     li = (F.array_position(lev_arr, F.col("lev_milli")) - 1).cast("long")
     s = segs.withColumn("_li", li)
 
-    def enc(x, y):
-        return (
-            (F.col(x) * F.lit(1 << 30) + F.col(y)) * 8 + F.col("_li")
-        ).cast("long")
+    if wide:
+        # F.concat, NOT F.concat_ws: concat_ws-derived join keys under the
+        # CC loop's localCheckpoint trip the Spark 4.1 Catalyst
+        # AttributeMap bug ("key not found: doc_id#N" at optimization) —
+        # the same family as the round-5 LSH finding in dedup_clusters
+        def enc(x, y):
+            return F.concat(
+                F.col("_li").cast("string"), F.lit(":"),
+                F.lpad(F.col(x).cast("string"), 20, "0"), F.lit(":"),
+                F.lpad(F.col(y).cast("string"), 20, "0"),
+            )
+
+        lev_of = F.split(F.col("doc_id"), ":").getItem(0).cast("int")
+    else:
+        def enc(x, y):
+            return (
+                (F.col(x) * F.lit(1 << 30) + F.col(y)) * 8 + F.col("_li")
+            ).cast("long")
+
+        lev_of = (F.col("doc_id") % 8).cast("int")
 
     pairs = s.select(enc("x1", "y1").alias("doc_a"), enc("x2", "y2").alias("doc_b"))
     comp = dedup_clusters(pairs)
-    lev_of = (F.col("doc_id") % 8).cast("int")
     n_comp = (
         comp.select(lev_of.alias("_li"), "cluster_id")
         .groupBy("_li")

@@ -281,3 +281,14 @@ def test_contour_from_stored_zarr_source(spark, tmp_path, seg_rows):
     cells = zarrv2.zarr_cells(spark, p)
     got = sorted(tuple(r) for r in contour.segments(cells, LEVELS).collect())
     assert got == seg_rows
+
+
+def test_topology_wide_string_keys_identical(spark):
+    """wide=True swaps the packed-long vertex ids for 'lev:x:y' strings
+    (no grid-size bound); component counts must be identical."""
+    levels = [-0.5, 1999.5]
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    segs = contour.segments(cells, levels)
+    a = sorted(tuple(r) for r in contour.topology(segs, levels).collect())
+    b = sorted(tuple(r) for r in contour.topology(segs, levels, wide=True).collect())
+    assert a == b and a
