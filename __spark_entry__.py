@@ -1182,9 +1182,22 @@ def _q_bspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bspline.interpolate_points(pts, tiles, spec, quantize=True)
 
 
+# regrid target: a 125x205 Albers-projected plane over the reference demo
+# projection's CONUS-ish validity region (LandCoverTints params), 20 km cells
+_REGRID = {"nr": 125, "nc": 205, "x0": -2200000.0, "y0": 600000.0, "d": 20000.0}
+_REGRID_BASE = 1 << 40  # pt_id offset keeping regrid ids disjoint from spans
+
+
 def _q_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 bilinear cross-check sampling at every span point (zTest:348-372):
-    int truncation, modular column wrap, the exact two-level lerp tree."""
+    int truncation, modular column wrap, the exact two-level lerp tree.
+    PLUS the regrid/reproject leg (extension, round 7 — the gdalwarp
+    shape): every cell of a 125x205 Albers-projected target grid inverse-
+    projects to lat/lon, maps through the exact geo->grid wrap logic, and
+    bilinear-samples the global DEM — one target-cell row each, quantized
+    at cm grain (the inverse projection is trig; 1e-2 quantization absorbs
+    cross-libm last-ulp differences the same way palette's km-floored
+    forward coords do)."""
     spec = GLOBAL_GRID
     tiles = _tiles_cached(spark, spec, "dem")
     spans = synth.with_span_geometry(synth.docs_spans(spark, sf_dir))
@@ -1195,7 +1208,23 @@ def _q_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grid_row_f",
         "grid_col_f",
     )
-    return bspline.bilinear_points(pts, tiles, spec, quantize=True, broadcast_tiles=True)
+    out = bspline.bilinear_points(pts, tiles, spec, quantize=True, broadcast_tiles=True)
+
+    rg = _REGRID
+    ap = raster_ops.albers_setup()
+    tg = spark.range(rg["nr"] * rg["nc"])
+    xm = F.lit(rg["x0"]) + (F.col("id") % rg["nc"]).cast("double") * F.lit(rg["d"])
+    ym = F.lit(rg["y0"]) + F.expr(f"id div {rg['nc']}").cast("double") * F.lit(rg["d"])
+    ila, ilo = raster_ops.albers_inv_cols(xm, ym, ap)
+    gpts = with_geo_to_grid(
+        tg.select((F.lit(_REGRID_BASE) + F.col("id")).alias("pt_id"),
+                  ila.alias("lat"), ilo.alias("lon")),
+        spec,
+    ).select("pt_id", "grid_row_f", "grid_col_f")
+    rgz = bspline.bilinear_points(
+        gpts, tiles, spec, quantize=False, broadcast_tiles=True
+    ).select("pt_id", F.floor(F.col("z") * 100.0).cast("long").alias("z_q"))
+    return out.unionByName(rgz)
 
 
 def _q_bspline_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1334,6 +1363,45 @@ def _palette_sql() -> str:
         )
     """
 
+
+
+def _bilinear_sql() -> str:
+    """A4 span-point bilinear sampling + the regrid/reproject leg, twinned
+    expression-for-expression (Albers inverse, geo->grid wrap, lerp tree)."""
+    span_pts = (
+        "SELECT doc_id * 10000 + span_offset AS pt_id, "
+        f"{pipeline.geo_to_grid_sql(GLOBAL_GRID)['row_f']} AS grid_row_f, "
+        f"{pipeline.geo_to_grid_sql(GLOBAL_GRID)['col_f']} AS grid_col_f "
+        f"FROM ({synth.span_geometry_duckdb()})"
+    )
+    spans_leg = bspline.bilinear_points_sql(
+        GLOBAL_GRID, span_pts, synth.grid_duckdb_sql(GLOBAL_GRID, value="dem"),
+        quantize=True,
+    )
+    rg = _REGRID
+    ap = raster_ops.albers_setup()
+    ila, ilo = raster_ops.albers_inv_sql("xm", "ym", ap)
+    g2g = pipeline.geo_to_grid_sql(GLOBAL_GRID, lat=f"({ila})", lon=f"({ilo})")
+    regrid_pts = f"""
+        SELECT {_REGRID_BASE} + range AS pt_id,
+               {g2g['row_f']} AS grid_row_f, {g2g['col_f']} AS grid_col_f
+        FROM (
+          SELECT range,
+                 ({rg['x0']!r} + CAST(range % {rg['nc']} AS DOUBLE) * {rg['d']!r}) AS xm,
+                 ({rg['y0']!r} + CAST(range // {rg['nc']} AS DOUBLE) * {rg['d']!r}) AS ym
+          FROM range({rg['nr'] * rg['nc']})
+        )
+    """
+    regrid_raw = bspline.bilinear_points_sql(
+        GLOBAL_GRID, regrid_pts, synth.grid_duckdb_sql(GLOBAL_GRID, value="dem"),
+        quantize=False,
+    )
+    return f"""
+        {spans_leg}
+        UNION ALL
+        SELECT pt_id, CAST(floor(z * 100.0) AS BIGINT) AS z_q
+        FROM ({regrid_raw})
+    """
 
 
 def _hillshade_sql() -> str:
@@ -2486,17 +2554,7 @@ def oracle_sql() -> dict[str, str]:
             synth.grid_duckdb_sql(GLOBAL_GRID, value="dem"),
             quantize=True,
         ),
-        "bilinear": bspline.bilinear_points_sql(
-            GLOBAL_GRID,
-            (
-                "SELECT doc_id * 10000 + span_offset AS pt_id, "
-                f"{pipeline.geo_to_grid_sql(GLOBAL_GRID)['row_f']} AS grid_row_f, "
-                f"{pipeline.geo_to_grid_sql(GLOBAL_GRID)['col_f']} AS grid_col_f "
-                f"FROM ({synth.span_geometry_duckdb()})"
-            ),
-            synth.grid_duckdb_sql(GLOBAL_GRID, value="dem"),
-            quantize=True,
-        ),
+        "bilinear": _bilinear_sql(),
         "bspline_deriv": _bspline_deriv_sql(),
         "palette": _palette_sql(),
         "pip": f"""
