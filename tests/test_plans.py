@@ -32,6 +32,14 @@ _PINS = {
     # inside corpus_word_logprob)
     "media_features": dict(bnlj=0, exchanges=0, broadcast_join=False),
     "token_stats": dict(bnlj=1, exchanges=10, broadcast_join=True),
+    # round 7 suite queries: histogram = hist + marching-squares contour
+    # (the stencil groupBy is the only contour shuffle); pip = per-point
+    # PIP + zonal stats (cover-cell equi-joins, never points x polygons);
+    # bilinear = span sampling + the Albers regrid leg (broadcast tile
+    # joins on both legs)
+    "histogram": dict(bnlj=0, exchanges=3, broadcast_join=False),
+    "pip": dict(bnlj=0, exchanges=6, broadcast_join=True),
+    "bilinear": dict(bnlj=0, exchanges=8, broadcast_join=True),
 }
 
 
