@@ -607,10 +607,12 @@ _SPAN_POINTS_SQL = (
 # zonal-stats cell centers: the global DEM at an 8x stride, identical
 # center arithmetic to the Spark leg (literal doubles via repr)
 _ZONAL_CELLS_SQL = (
+    "SELECT *, "
+    f"CAST(floor({_K2!r} * cos(radians(lat)) * 1000.0) AS BIGINT) AS area_milli FROM ("
     f"SELECT z, ({GLOBAL_GRID.y0!r} + CAST(row AS DOUBLE) * {GLOBAL_GRID.cell_size_y!r}) AS lat, "
     f"({GLOBAL_GRID.x0!r} + CAST(col AS DOUBLE) * {GLOBAL_GRID.cell_size_x!r}) AS lon "
     f"FROM ({synth.grid_duckdb_sql(GLOBAL_GRID, value='dem')}) "
-    f"WHERE row % 8 = 0 AND col % 8 = 0"
+    f"WHERE row % 8 = 0 AND col % 8 = 0)"
 )
 
 
@@ -631,6 +633,7 @@ def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_offset").cast("long").alias("span_offset"),
         F.col("poly_id").cast("long").alias("poly_id"),
         nl("n_cells"), nl("sum_z"), nl("min_z"), nl("max_z"),
+        nl("med_z_milli"), nl("sum_area_milli"), nl("sum_za_milli"),
     )
     spec = GLOBAL_GRID
     cells = (
@@ -641,11 +644,14 @@ def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(spec.y0) + F.col("row").cast("double") * F.lit(spec.cell_size_y)).alias("lat"),
             (F.lit(spec.x0) + F.col("col").cast("double") * F.lit(spec.cell_size_x)).alias("lon"),
         )
+        # pre-quantized long areas: weighted sums stay pure long arithmetic
+        .withColumn("area_milli", F.expr(_AREA_MILLI))
     )
     zs = spatial.zonal_stats(cells, polys).select(
         F.lit("zonal").alias("leg"), nl("doc_id"), nl("span_offset"),
         F.col("poly_id").cast("long").alias("poly_id"),
         "n_cells", "sum_z", "min_z", "max_z",
+        "med_z_milli", "sum_area_milli", "sum_za_milli",
     )
     return p.unionByName(zs)
 
@@ -2562,14 +2568,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(span_offset AS BIGINT) AS span_offset,
                    CAST(poly_id AS BIGINT) AS poly_id,
                    CAST(NULL AS BIGINT) AS n_cells, CAST(NULL AS BIGINT) AS sum_z,
-                   CAST(NULL AS BIGINT) AS min_z, CAST(NULL AS BIGINT) AS max_z
+                   CAST(NULL AS BIGINT) AS min_z, CAST(NULL AS BIGINT) AS max_z,
+                   CAST(NULL AS BIGINT) AS med_z_milli,
+                   CAST(NULL AS BIGINT) AS sum_area_milli,
+                   CAST(NULL AS BIGINT) AS sum_za_milli
             FROM ({spatial.pip_join_sql(_SPAN_POINTS_SQL, 24)})
             UNION ALL
             SELECT 'zonal' AS leg, CAST(NULL AS BIGINT) AS doc_id,
                    CAST(NULL AS BIGINT) AS span_offset,
                    CAST(poly_id AS BIGINT) AS poly_id,
-                   n_cells, sum_z, min_z, max_z
-            FROM ({spatial.zonal_stats_sql(_ZONAL_CELLS_SQL, 24)})
+                   n_cells, sum_z, min_z, max_z,
+                   med_z_milli, sum_area_milli, sum_za_milli
+            FROM ({spatial.zonal_stats_sql(_ZONAL_CELLS_SQL, 24, weighted=True)})
         """,
         "knn": f"""
             WITH anchors AS (

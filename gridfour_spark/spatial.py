@@ -191,15 +191,29 @@ def zonal_stats(
     (polygon bboxes -> cover cells, points -> their cell, ray-cast parity
     on the pruned pairs), then ONE map-side-combined groupBy(poly_id).
     Nothing is ever points x polygons; at 100 TB the shuffle is bounded by
-    matched (cell, zone) pairs, and the aggregate output by |zones|."""
+    matched (cell, zone) pairs, and the aggregate output by |zones|.
+
+    Besides count/sum/min/max the zone row carries the EXACT median
+    (percentile is a sort-based exact aggregate in both engines; for an
+    even count the midpoint of two ints is exact in doubles, quantized at
+    milli grain) and, when the cells frame has an `area_milli` column
+    (pre-quantized long, see the _AREA_MILLI pattern), area-weighted sums
+    as pure long arithmetic — double summation order never enters the
+    result, so the output is partitioning-invariant by construction."""
     j = pip_join(cells, polys, lat_col=lat_col, lon_col=lon_col)
     v = F.col(value_col).cast("long")
-    return j.groupBy("poly_id").agg(
+    aggs = [
         F.count("*").alias("n_cells"),
         F.sum(v).alias("sum_z"),
         F.min(v).alias("min_z"),
         F.max(v).alias("max_z"),
-    )
+        F.floor(F.expr(f"percentile({value_col}, 0.5)") * 1000.0)
+        .cast("long").alias("med_z_milli"),
+    ]
+    if "area_milli" in j.columns:
+        aggs.append(F.sum("area_milli").alias("sum_area_milli"))
+        aggs.append(F.sum(F.col("area_milli") * v).alias("sum_za_milli"))
+    return j.groupBy("poly_id").agg(*aggs)
 
 
 def zonal_stats_sql(
@@ -208,13 +222,22 @@ def zonal_stats_sql(
     lat: str = "lat",
     lon: str = "lon",
     value: str = "z",
+    weighted: bool = False,
 ) -> str:
-    """DuckDB twin of zonal_stats over the same (value, lat, lon) source."""
+    """DuckDB twin of zonal_stats over the same (value, lat, lon[, area])
+    source; quantile_cont is DuckDB's exact linear-interpolation percentile
+    (identical arithmetic to Spark's `percentile` for p=0.5 over ints)."""
+    w = (
+        ", SUM(area_milli) AS sum_area_milli"
+        f", SUM(area_milli * CAST({value} AS BIGINT)) AS sum_za_milli"
+        if weighted else ""
+    )
     return f"""
         SELECT poly_id, COUNT(*) AS n_cells,
                SUM(CAST({value} AS BIGINT)) AS sum_z,
                MIN(CAST({value} AS BIGINT)) AS min_z,
-               MAX(CAST({value} AS BIGINT)) AS max_z
+               MAX(CAST({value} AS BIGINT)) AS max_z,
+               CAST(floor(quantile_cont({value}, 0.5) * 1000.0) AS BIGINT) AS med_z_milli{w}
         FROM ({pip_join_sql(points_src, n_poly, lat=lat, lon=lon)})
         GROUP BY 1
     """

@@ -66,16 +66,24 @@ def test_matches_scalar_raycast(spark, zonal_rows):
                 cross += 1
         return cross % 2 == 1
 
-    agg: dict[int, list[int]] = {}
+    agg: dict[int, list] = {}
     for r in cells:
         for pid, (xs, ys) in polys.items():
             if inside(r["lat"], r["lon"], xs, ys):
-                s = agg.setdefault(pid, [0, 0, 1 << 62, -(1 << 62)])
-                s[0] += 1
-                s[1] += int(r["z"])
-                s[2] = min(s[2], int(r["z"]))
-                s[3] = max(s[3], int(r["z"]))
-    ref = sorted((pid, s[0], s[1], s[2], s[3]) for pid, s in agg.items())
+                s = agg.setdefault(pid, [])
+                s.append(int(r["z"]))
+    ref = []
+    for pid, zs in agg.items():
+        zs.sort()
+        n = len(zs)
+        # exact linear-interpolation percentile at p=0.5 (both engines)
+        import math as _m
+
+        pos = 0.5 * (n - 1)
+        lo, d = zs[int(_m.floor(pos))], pos - _m.floor(pos)
+        med = lo + d * (zs[int(_m.ceil(pos))] - lo)
+        ref.append((pid, n, sum(zs), zs[0], zs[-1], _m.floor(med * 1000)))
+    ref.sort()
     assert zonal_rows == ref
     assert len(ref) > 0
 
@@ -104,3 +112,46 @@ def test_empty_zone_emits_no_row(spark):
     )
     out = spatial.zonal_stats(_cells(spark), polys).collect()
     assert out == []
+
+
+def test_weighted_sums_exact_long_arithmetic(spark):
+    """With a pre-quantized area_milli column the zone row gains
+    sum_area_milli / sum_za_milli — pure long sums, so the result is
+    partitioning-invariant and matches a scalar recomputation exactly."""
+    import math as _m
+
+    k2 = (_m.pi / 180.0 * 6371.0072 * SPEC.cell_size_x) ** 2
+    cells = _cells(spark).withColumn(
+        "area_milli",
+        F.floor(F.lit(k2) * F.cos(F.radians("lat")) * 1000.0).cast("long"),
+    )
+    polys = spatial.synth_polygons(spark, 6)
+    got = {
+        r["poly_id"]: (r["sum_area_milli"], r["sum_za_milli"])
+        for r in spatial.zonal_stats(cells, polys).collect()
+    }
+    got2 = {
+        r["poly_id"]: (r["sum_area_milli"], r["sum_za_milli"])
+        for r in spatial.zonal_stats(cells.repartition(11), polys).collect()
+    }
+    assert got == got2 and got
+    rows = cells.collect()
+    pl = {r["poly_id"]: (r["xs"], r["ys"]) for r in polys.collect()}
+
+    def inside(lat, lon, xs, ys):
+        n = len(xs)
+        cross = 0
+        for i in range(n):
+            x1, y1 = xs[i], ys[i]
+            x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+                cross += 1
+        return cross % 2 == 1
+
+    ref: dict = {}
+    for r in rows:
+        for pid, (xs, ys) in pl.items():
+            if inside(r["lat"], r["lon"], xs, ys):
+                a, za = ref.get(pid, (0, 0))
+                ref[pid] = (a + r["area_milli"], za + r["area_milli"] * int(r["z"]))
+    assert got == ref
