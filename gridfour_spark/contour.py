@@ -315,6 +315,82 @@ def topology(segs: DataFrame, levels: list[float], wide: bool = False) -> DataFr
     )
 
 
+def polylines(segs: DataFrame, levels: list[float]) -> DataFrame:
+    """Ordered polyline assembly: the cartographic contour product.
+
+    Returns (lev_milli, comp, seq, x, y) — for every curve, its vertices
+    in traversal order. Curves are identified DISTRIBUTED (the same
+    pointer-doubling CC as `topology`; comp = the min packed vertex id of
+    the curve); each curve then assembles inside ONE Arrow group task
+    (`applyInPandas` over comp): inter-curve parallelism is the scale
+    axis — a 100 TB DEM has millions of short curves, not one long one —
+    while the intra-curve walk is a linear scalar pass over that curve's
+    own segments (the per-chunk-kernel shape of zarrv2.update_zarr; a
+    pathological single curve longer than executor memory would need
+    parallel list ranking over darts — O(log L) pointer-jumping rounds —
+    noted here as the escalation path, not built).
+
+    Deterministic traversal: chains start at their smallest odd-degree
+    (boundary) vertex id; closed loops at their smallest vertex id,
+    stepping first to the smaller of its two neighbors. Output vertex
+    coords are the quantized segment endpoints, so the frame is exact and
+    hash-comparable (tests pin it against a scalar walk)."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    lev_arr = F.array(*[F.lit(int(v * 1000)) for v in levels])
+    li = (F.array_position(lev_arr, F.col("lev_milli")) - 1).cast("long")
+    s = segs.withColumn("_li", li)
+
+    def enc(x, y):
+        return (
+            (F.col(x) * F.lit(1 << 30) + F.col(y)) * 8 + F.col("_li")
+        ).cast("long")
+
+    from gridfour_spark.textops import dedup_clusters
+
+    e = s.select(
+        "lev_milli", "x1", "y1", "x2", "y2",
+        enc("x1", "y1").alias("_va"), enc("x2", "y2").alias("_vb"),
+    )
+    comp = dedup_clusters(e.select(F.col("_va").alias("doc_a"), F.col("_vb").alias("doc_b")))
+    lab = comp.select(F.col("doc_id").alias("_va"), F.col("cluster_id").alias("comp"))
+    e = e.join(lab, "_va")
+
+    def walk(key, pdf):
+        import pandas as pd
+
+        adj: dict = {}
+        for x1, y1, x2, y2 in zip(pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]):
+            a, b = (int(x1), int(y1)), (int(x2), int(y2))
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        odd = sorted(v for v, ns in adj.items() if len(ns) % 2 == 1)
+        start = odd[0] if odd else min(adj)
+        prev = None
+        cur = start
+        seq = []
+        for _ in range(len(pdf) + 1):
+            seq.append(cur)
+            ns = sorted(n for n in adj[cur] if n != prev)
+            if not ns:
+                break  # chain end (degree-1 vertex)
+            prev, cur = cur, ns[0]
+            if cur == start and len(seq) == len(pdf):
+                seq.append(cur)  # close the loop explicitly
+                break
+        return pd.DataFrame({
+            "lev_milli": pdf["lev_milli"].iloc[0],
+            "comp": key[0],
+            "seq": range(len(seq)),
+            "x": [v[0] for v in seq],
+            "y": [v[1] for v in seq],
+        })
+
+    return e.groupBy("comp").applyInPandas(
+        walk, "lev_milli long, comp long, seq long, x long, y long"
+    )
+
+
 def topology_duckdb_sql(segs_sql: str) -> str:
     """DuckDB twin of `topology`: transitive closure per (level, vertex)
     via a recursive CTE (composite keys, no packing needed at oracle

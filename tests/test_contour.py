@@ -292,3 +292,86 @@ def test_topology_wide_string_keys_identical(spark):
     a = sorted(tuple(r) for r in contour.topology(segs, levels).collect())
     b = sorted(tuple(r) for r in contour.topology(segs, levels, wide=True).collect())
     assert a == b and a
+
+
+def test_polylines_match_scalar_walk(spark, seg_rows):
+    """Ordered polyline assembly: every curve's vertex sequence must equal
+    a scalar traversal with the same deterministic start rule, consume
+    each segment exactly once, and close loops explicitly."""
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    segs = contour.segments(cells, LEVELS)
+    pl = contour.polylines(segs, LEVELS)
+    got: dict = {}
+    for r in pl.collect():
+        got.setdefault((r["lev_milli"], r["comp"]), []).append((r["seq"], r["x"], r["y"]))
+    for k in got:
+        got[k] = [(x, y) for _, x, y in sorted(got[k])]
+
+    # scalar: same CC + walk
+    by_level: dict = {}
+    for lev_milli, r, c, x1, y1, x2, y2 in seg_rows:
+        by_level.setdefault(lev_milli, []).append(((x1, y1), (x2, y2)))
+    n_checked = 0
+    for lev_milli, edges in by_level.items():
+        # components by union-find
+        parent: dict = {}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comps: dict = {}
+        for a, b in edges:
+            comps.setdefault(find(a), []).append((a, b))
+        for comp_edges in comps.values():
+            adj: dict = {}
+            for a, b in comp_edges:
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, []).append(a)
+            odd = sorted(v for v, ns in adj.items() if len(ns) % 2 == 1)
+            start = odd[0] if odd else min(adj)
+            prev, cur, seq = None, start, []
+            for _ in range(len(comp_edges) + 1):
+                seq.append(cur)
+                ns = sorted(n for n in adj[cur] if n != prev)
+                if not ns:
+                    break
+                prev, cur = cur, ns[0]
+                if cur == start and len(seq) == len(comp_edges):
+                    seq.append(cur)
+                    break
+            # comp id = min packed vertex id (what dedup_clusters labels)
+            li = [abs(l) for l in range(len(LEVELS)) if int(LEVELS[l] * 1000) == lev_milli][0]
+            key = (lev_milli, min((x * (1 << 30) + y) * 8 + li for x, y in adj))
+            assert got[key] == seq, key
+            n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
+
+
+def test_polylines_segments_consumed_once(spark):
+    """Each consecutive vertex pair in a polyline is exactly one input
+    segment, and the multiset of pairs equals the segment multiset."""
+    levels = [1999.5]
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    segs = contour.segments(cells, levels)
+    seg_set = sorted(
+        (min((r["x1"], r["y1"]), (r["x2"], r["y2"])), max((r["x1"], r["y1"]), (r["x2"], r["y2"])))
+        for r in segs.collect()
+    )
+    pl: dict = {}
+    for r in contour.polylines(segs, levels).collect():
+        pl.setdefault(r["comp"], []).append((r["seq"], r["x"], r["y"]))
+    walked = []
+    for comp, rows in pl.items():
+        vs = [(x, y) for _, x, y in sorted(rows)]
+        for a, b in zip(vs, vs[1:]):
+            walked.append((min(a, b), max(a, b)))
+    assert sorted(walked) == seg_set
