@@ -391,6 +391,59 @@ def polylines(segs: DataFrame, levels: list[float]) -> DataFrame:
     )
 
 
+def simplify(lines: DataFrame, tol: float) -> DataFrame:
+    """Douglas-Peucker polyline simplification (micro-cell units, matching
+    `polylines` coordinates): keep the endpoint pair, recursively keep the
+    farthest-from-chord vertex while its perpendicular deviation exceeds
+    ``tol``. Same frame shape in and out — (lev_milli, comp, seq, x, y)
+    with seq re-numbered dense — and the same per-curve Arrow-task
+    parallelism as `polylines` (the recursion is per curve; the stack
+    replaces call recursion so a long coastline cannot blow Python's
+    recursion limit). Closed loops keep their duplicated closing vertex,
+    so downstream consumers still see loop closure."""
+    import numpy as np
+
+    def dp(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("seq")
+        xs = pdf["x"].to_numpy(dtype=np.float64)
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+            seg_len = float(np.hypot(dx, dy))
+            px, py = xs[i + 1:j], ys[i + 1:j]
+            if seg_len == 0.0:  # closed loop chord: fall back to distance-from-point
+                d = np.hypot(px - xs[i], py - ys[i])
+            else:
+                d = np.abs(dx * (py - ys[i]) - dy * (px - xs[i])) / seg_len
+            k = int(np.argmax(d))
+            if float(d[k]) > tol:
+                m = i + 1 + k
+                keep[m] = True
+                stack.append((i, m))
+                stack.append((m, j))
+        out = pdf[keep]
+        return pd.DataFrame({
+            "lev_milli": out["lev_milli"].to_numpy(),
+            "comp": out["comp"].to_numpy(),
+            "seq": range(int(keep.sum())),
+            "x": out["x"].to_numpy(),
+            "y": out["y"].to_numpy(),
+        })
+
+    return lines.groupBy("lev_milli", "comp").applyInPandas(
+        dp, "lev_milli long, comp long, seq long, x long, y long"
+    )
+
+
 def topology_duckdb_sql(segs_sql: str) -> str:
     """DuckDB twin of `topology`: transitive closure per (level, vertex)
     via a recursive CTE (composite keys, no packing needed at oracle

