@@ -511,6 +511,20 @@ def main() -> None:
     contour_cells_per_sec = round(_GG.n_rows * _GG.n_cols * 5 / contour_sec, 1)
     contour_n_segments = int(_crow["n"])
 
+    # polyline assembly (distributed CC + per-curve Arrow walks) and
+    # Douglas-Peucker simplification at a 2-cell tolerance
+    _cseg = _cseg.persist()
+    _cseg.count()
+    t0 = time.time()
+    _pl = _CT.polylines(_cseg, [-4000.5, -2000.5, -0.5, 1999.5, 3999.5]).persist()
+    contour_n_vertices = _pl.count()
+    contour_polylines_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    contour_simplified_vertices = _CT.simplify(_pl, 2_000_000.0).count()
+    contour_simplify_sec = round(time.time() - t0, 3)
+    _pl.unpersist()
+    _cseg.unpersist()
+
     # throughput charges the flagship with the geometry materialization it
     # consumes (the cache is an amortization ACROSS queries, not a skip)
     flagship_sec = timings["flagship"] + geometry_build_sec
@@ -551,6 +565,10 @@ def main() -> None:
         "contour_cells_per_sec": contour_cells_per_sec,
         "contour_sec": round(contour_sec, 3),
         "contour_n_segments": contour_n_segments,
+        "contour_polylines_sec": contour_polylines_sec,
+        "contour_n_vertices": contour_n_vertices,
+        "contour_simplify_sec": contour_simplify_sec,
+        "contour_simplified_vertices": contour_simplified_vertices,
         "recall_at_5_clustered": recall_clustered,
         "ivfpq_query_only_sec": round(ivfpq_query_only_sec, 3),
         "ivfpq_adhoc_build_sec": round(ivfpq_adhoc_sec, 3),
