@@ -248,7 +248,22 @@ def segments_banded(
     )
 
 
-def topology(segs: DataFrame, levels: list[float], wide: bool = False) -> DataFrame:
+def _coords_fit_packed(segs: DataFrame) -> bool:
+    """True when every quantized coordinate fits the packed-long vertex id
+    (x_u, y_u < 2^30): ((x << 30) | y) * 8 + li must stay under 2^63 —
+    beyond it the multiply wraps mod 2^64 and, because *8 is not
+    injective there, vertices exactly 2^31 apart in x would COLLIDE and
+    silently merge distinct curves. One cheap agg over the (already tiny
+    relative to CC) segment set buys the guarantee."""
+    row = segs.agg(
+        F.max(F.greatest("x1", "x2")).alias("mx"),
+        F.max(F.greatest("y1", "y2")).alias("my"),
+    ).collect()[0]
+    lim = 1 << 30
+    return row["mx"] is not None and row["mx"] < lim and row["my"] < lim
+
+
+def topology(segs: DataFrame, levels: list[float], wide: bool | None = None) -> DataFrame:
     """Per-level contour topology: assemble the segment soup into curves
     with DISTRIBUTED connected components and report, per level,
     (n_segments, n_vertices, n_components, n_odd_vertices).
@@ -259,12 +274,16 @@ def topology(segs: DataFrame, levels: list[float], wide: bool = False) -> DataFr
     CC is textops.dedup_clusters' pointer-doubling min-label propagation
     (O(log diameter) rounds, localCheckpoint-bounded lineage). Vertex ids:
     node = ((x_u << 30) | y_u) << 3 | lev_idx, exact while y_u < 2^30 and
-    x_u < 2^30 (grids up to ~1073 x 1073 cells). Pass wide=True for
-    larger grids: the id becomes the 'lev:x:y' STRING and min-label
-    propagates lexicographically — same algorithm, deterministic labels
-    at any grid size, heavier shuffle keys (pytest pins both paths
-    equal)."""
+    x_u < 2^30 (grids up to ~1073 x 1073 cells); beyond that the id is
+    the 'lev:x:y' STRING and min-label propagates lexicographically —
+    same algorithm, deterministic labels at any grid size, heavier
+    shuffle keys (pytest pins both paths equal). wide=None (default)
+    AUTO-selects by measuring the coordinate range; pass True/False to
+    force."""
     from gridfour_spark.textops import dedup_clusters
+
+    if wide is None:
+        wide = not _coords_fit_packed(segs)
 
     lev_arr = F.array(*[F.lit(int(v * 1000)) for v in levels])
     li = (F.array_position(lev_arr, F.col("lev_milli")) - 1).cast("long")
@@ -334,17 +353,34 @@ def polylines(segs: DataFrame, levels: list[float]) -> DataFrame:
     (boundary) vertex id; closed loops at their smallest vertex id,
     stepping first to the smaller of its two neighbors. Output vertex
     coords are the quantized segment endpoints, so the frame is exact and
-    hash-comparable (tests pin it against a scalar walk)."""
+    hash-comparable (tests pin it against a scalar walk). Vertex-id
+    packing auto-selects like `topology`: packed longs while coordinates
+    fit 2^30, the overflow-safe 'lev:x:y' string beyond (comp becomes the
+    min packed id or min string respectively — the walk itself always
+    uses raw coordinates, so only the curve LABEL changes form)."""
     import pandas as pd  # noqa: F401 (executor-side)
 
     lev_arr = F.array(*[F.lit(int(v * 1000)) for v in levels])
     li = (F.array_position(lev_arr, F.col("lev_milli")) - 1).cast("long")
     s = segs.withColumn("_li", li)
 
-    def enc(x, y):
-        return (
-            (F.col(x) * F.lit(1 << 30) + F.col(y)) * 8 + F.col("_li")
-        ).cast("long")
+    if _coords_fit_packed(segs):
+        def enc(x, y):
+            return (
+                (F.col(x) * F.lit(1 << 30) + F.col(y)) * 8 + F.col("_li")
+            ).cast("long")
+
+        comp_type = "long"
+    else:
+        # F.concat, not concat_ws — see topology's landmine note
+        def enc(x, y):
+            return F.concat(
+                F.col("_li").cast("string"), F.lit(":"),
+                F.lpad(F.col(x).cast("string"), 20, "0"), F.lit(":"),
+                F.lpad(F.col(y).cast("string"), 20, "0"),
+            )
+
+        comp_type = "string"
 
     from gridfour_spark.textops import dedup_clusters
 
@@ -387,7 +423,7 @@ def polylines(segs: DataFrame, levels: list[float]) -> DataFrame:
         })
 
     return e.groupBy("comp").applyInPandas(
-        walk, "lev_milli long, comp long, seq long, x long, y long"
+        walk, f"lev_milli long, comp {comp_type}, seq long, x long, y long"
     )
 
 
@@ -439,8 +475,9 @@ def simplify(lines: DataFrame, tol: float) -> DataFrame:
             "y": out["y"].to_numpy(),
         })
 
+    comp_type = dict(lines.dtypes)["comp"]
     return lines.groupBy("lev_milli", "comp").applyInPandas(
-        dp, "lev_milli long, comp long, seq long, x long, y long"
+        dp, f"lev_milli long, comp {comp_type}, seq long, x long, y long"
     )
 
 

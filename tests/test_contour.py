@@ -450,3 +450,40 @@ def _dist_point_seg(p, a, b):
         return _m.hypot(px - ax, py - ay)
     t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
     return _m.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def test_polylines_wide_grid_string_comps(spark):
+    """Coordinates past the 2^30 packing bound auto-switch the curve label
+    to the overflow-safe string form (the packed multiply wraps mod 2^64
+    beyond the bound and *8 is not injective there — vertices exactly
+    2^31 apart in x would merge). The wide path must still consume every
+    segment exactly once, produce one curve per connected component, and
+    flow the string label through simplify."""
+    levels = [999.5]
+    shifted = synth.grid_df(spark, SPEC, value="dem").select(
+        (F.col("row") + 2000).alias("row"), (F.col("col") + 2000).alias("col"), "z"
+    )
+    segs = contour.segments(shifted, levels)
+    pl = contour.polylines(segs, levels)
+    assert dict(pl.dtypes)["comp"] == "string"
+    by_comp: dict = {}
+    for r in pl.collect():
+        by_comp.setdefault(r["comp"], []).append((r["seq"], r["x"], r["y"]))
+    # every consecutive pair is one input segment; multiset equality
+    seg_set = sorted(
+        (min((r["x1"], r["y1"]), (r["x2"], r["y2"])),
+         max((r["x1"], r["y1"]), (r["x2"], r["y2"])))
+        for r in segs.collect()
+    )
+    walked = []
+    for rows in by_comp.values():
+        vs = [(x, y) for _, x, y in sorted(rows)]
+        for a, b in zip(vs, vs[1:]):
+            walked.append((min(a, b), max(a, b)))
+    assert sorted(walked) == seg_set
+    # one curve per component (wide topology agrees)
+    topo = contour.topology(segs, levels, wide=True).collect()
+    assert len(by_comp) == sum(r["n_components"] for r in topo)
+    sp = contour.simplify(pl, 2_000_000.0)
+    assert dict(sp.dtypes)["comp"] == "string"
+    assert sp.count() > 0
