@@ -600,26 +600,36 @@ FROM cand WHERE {ham} <= {max_hamming}
 """
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     """Near-dup PAIRS -> connected-component CLUSTERS: (doc_id, cluster_id,
     cluster_size) with cluster_id = the MIN doc id reachable through the
     pair graph (the canonical representative a training pipeline keeps).
 
-    Distributed min-label propagation with POINTER DOUBLING: each round
-    (a) every node takes the min label over itself and its neighbors
-    (one edge join + partial-aggregated groupBy min), then (b) labels
-    jump to their label's label (one self-join) — the doubling step
-    collapses chains in O(log diameter) rounds instead of O(diameter),
-    the property that matters when a 10^12-doc pair graph has long
-    transitive chains. Converges when no label changes; each round is
-    two hash joins + one agg, never a collect of edges or labels.
+    Distributed min-label propagation with POINTER DOUBLING **and
+    shortcut-edge augmentation**: each round (a) every node takes the min
+    label over itself and its neighbors (one edge join + partial-
+    aggregated groupBy min), (b) labels jump to their label's label (one
+    self-join), and (c) every node's (node <-> label) link joins the edge
+    set for the next round. Step (c) is what makes the doubling REAL:
+    without it, a long path whose ids are randomly ordered stalls on
+    local-minimum plateaus and the label front moves O(1) hops per round
+    — measured in round 7 as 27 leftover components on a 2000-node
+    permuted path after 25 rounds (monotone-id test paths had masked
+    this: their label chains happen to compress perfectly). With the
+    shortcut links the reachable ball doubles per round, so convergence
+    is O(log diameter) on adversarial orderings too (pytest sweeps
+    permuted paths/cycles to 200k nodes and random graphs vs a scalar
+    union-find). The edge set grows by <= |V| links per round and is
+    re-distinct-ed, staying O(|E| + |V| log D).
 
+    Converges when no label changes; raises RuntimeError if max_iters is
+    exhausted instead of returning silently-wrong under-merged labels.
     Each round ends in localCheckpoint(): iterative self-referencing
     plans otherwise GROW EXPONENTIALLY (every round embeds the previous
     round's join tree twice) until Catalyst itself OOMs — lineage
-    truncation per iteration is the standard Spark pattern for
-    fixpoint algorithms, and on a real cluster it also caps the
-    recovery cost of a lost executor to one round."""
+    truncation per iteration is the standard Spark pattern for fixpoint
+    algorithms, and on a real cluster it also caps the recovery cost of
+    a lost executor to one round."""
     E = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     E = E.unionByName(
         E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -633,6 +643,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    E0 = E
+    converged = False
     for _ in range(max_iters):
         prop = E.join(L, E.src == L.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
@@ -664,12 +676,30 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         L = newL
         if changed == 0:
+            converged = True
             break
+        # shortcut augmentation: next round's neighborhoods include each
+        # node's current best-known representative, so min information
+        # travels the label links as well as the original edges
+        links = L.filter(F.col("doc_id") != F.col("label")).select(
+            F.col("doc_id").alias("src"), F.col("label").alias("dst")
+        )
+        E = (
+            E.unionByName(links)
+            .unionByName(links.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint after {max_iters} rounds — "
+            "component diameter exceeds 2^rounds, raise max_iters"
+        )
     sizes = L.groupBy("label").agg(F.count("*").alias("cluster_size"))
     out = L.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
     )
-    E.unpersist()
+    E0.unpersist()
     return out
 
 
