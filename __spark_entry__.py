@@ -79,7 +79,14 @@ def _spans_tiles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SPANS_TILES_CACHE:
         for k in [k for k in _SPANS_TILES_CACHE if k[0] != app]:
             _SPANS_TILES_CACHE.pop(k)
-        df = pipeline.spans_with_tiles(spark, sf_dir).persist()
+        # round 8: the cache materializes ONLY the column union its three
+        # consumers read (flagship: doc_id/kind/z/tile_index,
+        # docs_tile_assign: tile_index/index_in_tile, salted_join:
+        # doc_id/span_offset/tile_index) — `text`/`media_ref`/lat/lon no
+        # longer cross the Arrow barrier or sit in the persisted cache
+        df = pipeline.spans_with_tiles(
+            spark, sf_dir, keep=["doc_id", "span_offset", "kind"]
+        ).persist()
         df.count()
         _SPANS_TILES_CACHE[key] = df
     return _SPANS_TILES_CACHE[key]
@@ -165,11 +172,12 @@ def _q_docs_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 global stats + A7 entropy in one row (both are single-pass aggs
-    over the same grid; merged to stay inside the driver window). The cross
-    join is two 1-row aggregates — broadcast-trivial at any scale."""
+    """A6 global stats + A7 entropy in one row. Round 8: computed in ONE
+    scan from the per-value counts table (raster_ops.grid_stats_with_entropy)
+    — the former grid_stats x entropy_bits cross join scanned and
+    re-evaluated the DEM generator three times through 5 exchanges."""
     g = synth.grid_df(spark, SPEC_A, value="dem")
-    return raster_ops.grid_stats(g).crossJoin(raster_ops.entropy_bits(g))
+    return raster_ops.grid_stats_with_entropy(g)
 
 
 # Non-integer levels against the integer DEM: no corner ever ties a level,
@@ -281,15 +289,24 @@ def _q_point_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ocean_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ocean area/volume integration (ExtractData.java:125-135, 322-340),
-    integer-quantized for cross-engine exactness."""
+    integer-quantized for cross-engine exactness.
+
+    Round 8: the z<0 mask is CONDITIONAL AGGREGATION, not a Filter — a
+    Filter on the derived z column is pushed below the projection and the
+    4-trig DEM expression evaluates twice per cell (optimization guide
+    §4.4's duplicated-derived-column trap, JVM flavor; confirmed in the
+    round-start plan: Filter(2) and Project(4) both carry the full
+    floor(4000*sin*cos...) tree). sum(when(z<0, x)) / count(when(z<0, 1))
+    are value-identical (long sums skip nulls; count counts non-nulls)."""
     spec = GLOBAL_GRID
     g = synth.grid_df(spark, spec, value="dem")
     g = g.withColumn("lat", F.lit(spec.y0) + F.col("row").cast("double") * F.lit(spec.cell_size_y))
-    sea = g.filter(F.col("z") < 0).withColumn("area_milli", F.expr(_AREA_MILLI))
-    return sea.agg(
-        F.sum("area_milli").alias("area_milli_km2"),
-        F.sum(F.col("area_milli") * (-F.col("z")).cast("long")).alias("volume_milli"),
-        F.count("*").alias("n_sea_cells"),
+    g = g.withColumn("area_milli", F.expr(_AREA_MILLI))
+    sea = F.col("z") < 0
+    return g.agg(
+        F.sum(F.when(sea, F.col("area_milli"))).alias("area_milli_km2"),
+        F.sum(F.when(sea, F.col("area_milli") * (-F.col("z")).cast("long"))).alias("volume_milli"),
+        F.count(F.when(sea, F.lit(1))).alias("n_sea_cells"),
     )
 
 

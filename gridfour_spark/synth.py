@@ -133,9 +133,16 @@ def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no UDF; at 10^12 docs this is a pure map over the parquet scan.
     """
     docs = load_documents(spark, sf_dir)
+    # coalesce makes n_spans non-nullable, so no isnotnull(n_spans) filter
+    # is pushed below the words projection (the pushed filter re-evaluated
+    # split(text) once more per doc — round-8 plan audit); a NULL text row
+    # would still emit nothing (n_spans=0 -> span_offset 0 < 0 fails), the
+    # same as the DuckDB twin's generate_series(NULL) emitting no rows.
     df = (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
-        .withColumn("n_spans", F.expr("CAST((size(words) + 7) div 8 AS INT)"))
+        .withColumn(
+            "n_spans", F.coalesce(F.expr("CAST((size(words) + 7) div 8 AS INT)"), F.lit(0))
+        )
         .withColumn("span_offset", F.explode(F.expr("sequence(0, greatest(n_spans - 1, 0))")))
         .filter(F.col("span_offset") < F.col("n_spans"))
     )
@@ -159,20 +166,31 @@ def docs_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint-shaped table: (doc_id, spans:array<struct<kind,text,media_ref,offset>>).
 
     Built with transform() over a per-doc index sequence — order inside the
-    array is by construction the offset order (span-sequence invariant)."""
+    array is by construction the offset order (span-sequence invariant).
+
+    Round 8: `words` is a separate projection referenced by the lambda, not
+    split(text) inlined into it — higher-order functions evaluate their
+    lambda body PER ELEMENT (interpreted, no codegen CSE), so the inlined
+    form re-split the whole document once per span: O(n_words^2 / 8) per
+    doc (round-start span_invariant plan shows split() inside the
+    lambdafunction). CollapseProject keeps the two projections apart
+    because `words` is non-cheap and multiply-referenced (SPARK-36718)."""
     docs = load_documents(spark, sf_dir)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.col("text"), " ").alias("words"),
+    ).select(
+        "doc_id",
         F.expr(
             """
             transform(
-              sequence(0, CAST((size(split(text,' ')) + 7) div 8 AS INT) - 1),
+              sequence(0, CAST((size(words) + 7) div 8 AS INT) - 1),
               i -> named_struct(
                 'kind',      CASE WHEN i % 5 = 4 THEN 'media' ELSE 'text' END,
                 'text',      CASE WHEN i % 5 = 4 THEN ''
-                             ELSE array_join(slice(split(text,' '), i*8 + 1, 8), ' ') END,
+                             ELSE array_join(slice(words, i*8 + 1, 8), ' ') END,
                 'media_ref', CASE WHEN i % 5 = 4
-                             THEN concat('media://', CAST(doc_id AS STRING), '/', CAST(i AS STRING))
+                             THEN concat('media://', doc_id, '/', CAST(i AS STRING))
                              ELSE '' END,
                 'offset',    CAST(i AS INT)))
             """

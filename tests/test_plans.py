@@ -4,12 +4,12 @@ a row-at-a-time Python UDF, an extra shuffle — must fail the suite, not
 show up as a bench slowdown three rounds later.
 
 Assertions are structural negatives plus SHUFFLE UPPER BOUNDS (pinned at
-the plan shapes measured in round 6): improvements pass, regressions fail.
-grid_stats intentionally allows TWO BroadcastNestedLoopJoins — the final
-stats x entropy cross and the per-value-counts x total-count cross inside
-the entropy leg; each broadcasts a SINGLE-ROW aggregate, which Spark plans
-as BNLJ by construction. Those are the only sanctioned instances in any
-benched plan."""
+the plan shapes measured in round 6, tightened in round 8): improvements
+pass, regressions fail. Round 8 removed grid_stats' two sanctioned
+single-row BNLJ crosses entirely (single-scan counts-table rewrite,
+raster_ops.grid_stats_with_entropy), so the engine-wide BNLJ budget for
+benched grid queries is now zero; token_stats keeps the one sanctioned
+single-row corpus-total cross inside corpus_word_logprob."""
 
 from __future__ import annotations
 
@@ -22,7 +22,8 @@ SF = "/root/testdata/sf0.001"
 # query -> (max_bnlj, max_exchanges, expectations)
 _PINS = {
     "flagship": dict(bnlj=0, exchanges=5, broadcast_join=True),
-    "grid_stats": dict(bnlj=2, exchanges=7, broadcast_join=False),
+    # round 8: one scan -> per-value counts -> singleton window -> final agg
+    "grid_stats": dict(bnlj=0, exchanges=3, broadcast_join=False),
     "ocean_volume": dict(bnlj=0, exchanges=1, broadcast_join=False),
     "bspline": dict(bnlj=0, exchanges=5, broadcast_join=False),
     "near_dup": dict(bnlj=0, exchanges=14, broadcast_join=True),
@@ -84,16 +85,15 @@ def test_expected_broadcast_joins_present(plans, name):
         assert "BroadcastHashJoin" in plans[name], name
 
 
-def test_grid_stats_bnlj_is_single_row_cross(spark):
-    """Every sanctioned BNLJ must broadcast an aggregate (single-row by
-    construction), never a raw relation."""
+def test_grid_stats_single_scan(spark):
+    """Round 8: grid_stats computes stats + entropy from ONE pass over the
+    cell generator — exactly one Range source and no joins of any kind
+    (the pre-r8 shape evaluated the DEM trig three times through two
+    single-row BNLJ crosses)."""
     plan = (
         E.queries()["grid_stats"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    idx = plan.find("BroadcastNestedLoopJoin")
-    assert idx != -1
-    # everything below the BNLJ is aggregate-shaped: the subtree contains
-    # HashAggregate nodes and no join reads a raw relation directly
-    below = plan[idx:]
-    assert "HashAggregate" in below
+    assert plan.count("Range (") <= 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan  # the singleton total-count window
