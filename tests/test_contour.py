@@ -137,14 +137,47 @@ def test_partitioning_invariance(spark, seg_rows):
     assert sorted(tuple(r) for r in df.collect()) == seg_rows
 
 
-def test_plan_is_jvm_only(spark):
+def test_expr_plan_is_jvm_only(spark):
+    """The preserved expression-tree variant stays pure-JVM."""
     cells = synth.grid_df(spark, SPEC, value="dem")
-    df = contour.segments(cells, LEVELS)
+    df = contour.segments_exprs(cells, LEVELS)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     # stencil assembly is the only shuffle
     assert plan.count("Exchange") <= 2
+
+
+def test_blocked_plan_shape(spark):
+    """The round-8 default (blocked numpy kernel): one block shuffle, an
+    Arrow group kernel (never a row-wise BatchEvalPython), no cartesian."""
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    df = contour.segments(cells, LEVELS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_blocked_matches_exprs_with_halos_and_holes(spark, seg_rows):
+    """segments_blocked must equal the expression plan row-for-row,
+    including (a) block sizes that force halo traffic and don't divide the
+    grid, and (b) a holey grid where missing corners must suppress the
+    stencil exactly like the count==4 filter."""
+    cells = synth.grid_df(spark, SPEC, value="dem")
+    for blk in (16, 33, 512):
+        got = sorted(
+            tuple(r)
+            for r in contour.segments_blocked(cells, LEVELS, block=blk).collect()
+        )
+        assert got == seg_rows, blk
+    holey = cells.filter((F.col("row") * 31 + F.col("col") * 17) % 13 != 0)
+    want = sorted(tuple(r) for r in contour.segments_exprs(holey, LEVELS).collect())
+    got = sorted(
+        tuple(r) for r in contour.segments_blocked(holey, LEVELS, block=16).collect()
+    )
+    assert got == want and 0 < len(got) < len(seg_rows)
 
 
 def test_saddle_cells_resolved_by_center_rule(spark):
