@@ -430,6 +430,41 @@ def _coords_fit_packed(segs: DataFrame) -> bool:
 # scales with segment count (scale-adaptive, never a local-core constant)
 _CC_BAND_EDGES = 100_000
 
+# largest contracted (super) graph one executor task resolves directly;
+# above it the distributed pointer doubling takes over
+_CC_SUPER_LOCAL_MAX = 2_000_000
+
+
+def _uf_kernel(key, pdf):
+    """Union-find over one group's (_va, _vb) edges -> (node, rep) with
+    rep = the MIN node id of the local component (path-compressed; works
+    for packed longs and for the fixed-width lpad'ed string ids, whose
+    lexicographic order equals numeric order)."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(a, a) != a:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    va = pdf["_va"].tolist()
+    vb = pdf["_vb"].tolist()
+    for a, b in zip(va, vb):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = set(va)
+    nodes.update(vb)
+    nodes = list(nodes)
+    return pd.DataFrame({"node": nodes, "rep": [find(x) for x in nodes]})
+
 
 def _cc_segments(e: DataFrame, mx: int, n_edges: int, id_type: str) -> DataFrame:
     """Connected components of a SEGMENT graph (round 8): banded two-level
@@ -456,42 +491,19 @@ def _cc_segments(e: DataFrame, mx: int, n_edges: int, id_type: str) -> DataFrame
     e: (_va, _vb, x1) edge frame; mx/n_edges from _coord_stats; id_type =
     'long' (packed) or 'string' (wide lpad'ed ids, where lexicographic
     min == numeric min)."""
-    import pandas as pd
-
-    from gridfour_spark.textops import dedup_clusters
+    from gridfour_spark.textops import _persist_tracked, dedup_clusters
 
     n_bands = max(32, (int(n_edges) + _CC_BAND_EDGES - 1) // _CC_BAND_EDGES)
     width = max(1, int(mx) // n_bands + 1)
 
-    def uf(key, pdf):
-        parent: dict = {}
-
-        def find(a):
-            root = a
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(a, a) != a:  # path compression
-                parent[a], a = root, parent[a]
-            return root
-
-        va = pdf["_va"].tolist()
-        vb = pdf["_vb"].tolist()
-        for a, b in zip(va, vb):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        nodes = set(va)
-        nodes.update(vb)
-        nodes = list(nodes)
-        return pd.DataFrame({"node": nodes, "rep": [find(x) for x in nodes]})
-
     banded = e.select(
         "_va", "_vb", (F.col("x1") / F.lit(width)).cast("long").alias("_band")
     )
-    links = banded.groupBy("_band").applyInPandas(
-        uf, f"node {id_type}, rep {id_type}"
+    # persisted: per_node, the distinct-rep frame and the final label join
+    # all read links — without the persist the UF kernel would re-run per
+    # consumer (plan lineage, not data, is what DataFrames share)
+    links = _persist_tracked(
+        banded.groupBy("_band").applyInPandas(_uf_kernel, f"node {id_type}, rep {id_type}")
     )
     # one rep-pair edge per node spanning >=2 bands; nodes interior to one
     # band contribute nothing to the contracted graph
@@ -499,21 +511,41 @@ def _cc_segments(e: DataFrame, mx: int, n_edges: int, id_type: str) -> DataFrame
         F.min("rep").alias("_r0"), F.collect_set("rep").alias("_rs")
     )
     super_edges = (
-        per_node.select(F.col("_r0").alias("doc_a"), F.explode("_rs").alias("doc_b"))
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        per_node.select(F.col("_r0").alias("_va"), F.explode("_rs").alias("_vb"))
+        .filter(F.col("_va") != F.col("_vb"))
     )
+    n_super = super_edges.count()
     reps = links.select("rep").distinct()
-    if super_edges.isEmpty():
+    if n_super == 0:
         rep_label = reps.select("rep", F.col("rep").alias("_lbl"))
     else:
-        comp2 = dedup_clusters(super_edges).select(
-            F.col("doc_id").alias("rep"), F.col("cluster_id").alias("_lbl")
-        )
+        if n_super <= _CC_SUPER_LOCAL_MAX:
+            # the contracted graph is metadata-sized (one edge per band-
+            # spanning node — O(perimeter), not O(area)): one executor
+            # union-find task resolves it in a single job instead of
+            # O(log diameter) doubling rounds of ~6 jobs each
+            comp2 = (
+                super_edges.withColumn("_g", F.lit(0))
+                .groupBy("_g")
+                .applyInPandas(_uf_kernel, f"node {id_type}, rep {id_type}")
+                .select(F.col("node").alias("rep"), F.col("rep").alias("_lbl"))
+            )
+        else:
+            # pathological contraction ratio: fall back to the O(log D)
+            # distributed doubling (same labels, bounded memory per task)
+            comp2 = dedup_clusters(
+                super_edges.select(
+                    F.col("_va").alias("doc_a"), F.col("_vb").alias("doc_b")
+                )
+            ).select(F.col("doc_id").alias("rep"), F.col("cluster_id").alias("_lbl"))
         rep_label = reps.join(comp2, "rep", "left").select(
             "rep", F.coalesce("_lbl", F.col("rep")).alias("_lbl")
         )
+    # no broadcast hint: rep_label is contraction-sized but unbounded in
+    # the worst case (millions of tiny curves); AQE promotes the join to
+    # broadcast-hash at runtime when the actual size allows
     return (
-        links.join(F.broadcast(rep_label), "rep")
+        links.join(rep_label, "rep")
         .groupBy("node")
         .agg(F.min("_lbl").alias("comp"))
     )
