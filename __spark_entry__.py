@@ -132,14 +132,32 @@ def _q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc span-sequence fingerprint (the input_hint invariant): md5 over
-    (kind, text, media_ref, offset) in offset order, computed from the
-    interleaved (nested) table so array order is what's being tested."""
-    il = synth.docs_interleaved(spark, sf_dir)
-    return il.select(
+    (kind, text, media_ref, offset) in offset order. Round 8: the per-span
+    '#'-joined string is built in ONE transform over the per-doc word array
+    (the docs_interleaved struct array composed with a second transform
+    anyway under CollapseProject; fusing skips the per-span named_struct
+    materialization). The concatenated bytes — and therefore the md5 —
+    are character-identical to the interleaved-table form, which
+    docs_interleaved still provides for structural consumers."""
+    docs = synth.load_documents(spark, sf_dir, parallel=True)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("_ds"),
         F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.col("text"), " ").alias("words"),
+    ).select(
+        "doc_id",
         F.expr(
-            "md5(array_join(transform(spans, s -> concat(s.kind, '#', s.text, '#', "
-            "s.media_ref, '#', CAST(s.offset AS STRING))), '|'))"
+            """
+            md5(array_join(transform(
+              sequence(0, CAST((size(words) + 7) div 8 AS INT) - 1),
+              i -> concat(
+                CASE WHEN i % 5 = 4 THEN 'media' ELSE 'text' END, '#',
+                CASE WHEN i % 5 = 4 THEN ''
+                     ELSE array_join(slice(words, i*8 + 1, 8), ' ') END, '#',
+                CASE WHEN i % 5 = 4 THEN concat('media://', _ds, '/', CAST(i AS STRING))
+                     ELSE '' END, '#',
+                CAST(CAST(i AS INT) AS STRING))), '|'))
+            """
         ).alias("span_fingerprint"),
     )
 
@@ -372,7 +390,10 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-prob grid, per-doc ln-sum argmax). The oracle replays the entire
     train+score pipeline in SQL, so the LEARNED model's predictions are
     hash-verified, not just its plumbing."""
-    docs = _docs(spark, sf_dir)
+    # parallel scan: the char-trigram extraction both classifiers run
+    # upstream of their first shuffle measured 9.1 -> 2.6 s single-task
+    # vs cluster-wide at sf0.1 (round 8)
+    docs = synth.load_documents(spark, sf_dir, parallel=True)
     return textops.lang_id(docs).join(textops.nb_train_score(docs), on="doc_id")
 
 

@@ -27,6 +27,10 @@ from pyspark.sql.window import Window
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT routed through synth.scan_parallel (round-8 A/B): the ANN suite
+    # re-scans this frame many times (ann_bits count, IVF training,
+    # brute-force legs), and paying a repartition per scan measured 2.3x
+    # slower than the single-task scans it parallelizes
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 

@@ -193,27 +193,75 @@ def zonal_stats(
     Nothing is ever points x polygons; at 100 TB the shuffle is bounded by
     matched (cell, zone) pairs, and the aggregate output by |zones|.
 
-    Besides count/sum/min/max the zone row carries the EXACT median
-    (percentile is a sort-based exact aggregate in both engines; for an
-    even count the midpoint of two ints is exact in doubles, quantized at
-    milli grain) and, when the cells frame has an `area_milli` column
-    (pre-quantized long, see the _AREA_MILLI pattern), area-weighted sums
-    as pure long arithmetic — double summation order never enters the
-    result, so the output is partitioning-invariant by construction."""
+    Besides count/sum/min/max the zone row carries the EXACT median and,
+    when the cells frame has an `area_milli` column (pre-quantized long,
+    see the _AREA_MILLI pattern), area-weighted sums as pure long
+    arithmetic — double summation order never enters the result, so the
+    output is partitioning-invariant by construction.
+
+    Round 8 (the round-7 weak-state fix): the median no longer uses
+    Spark's `percentile`, whose exact implementation buffers a raw
+    value->count map PER GROUP in the aggregation buffer — unbounded on
+    high-cardinality rasters. Everything now derives from a (poly, value)
+    COUNTS table: one map-side-combined pre-aggregation, a cumulative
+    window per zone (state bounded by the zone's distinct-value count),
+    and the closed-form linear-interpolation rule Spark's percentile
+    applies at p=0.5 — lower*(higher-pos) + higher*(pos-lower), which for
+    integral values is exact in doubles, so med_z_milli is bit-identical
+    (pinned by the pip suite's oracle hash and tests/test_zonal.py). For
+    float-valued rasters the bounded-state guarantee requires quantized
+    values (the int-DEM contract this engine's rasters satisfy); raw
+    floats still work but degrade to one counts row per distinct value."""
+    from pyspark.sql.window import Window
+
     j = pip_join(cells, polys, lat_col=lat_col, lon_col=lon_col)
-    v = F.col(value_col).cast("long")
+    weighted = "area_milli" in j.columns
+    partials = [F.count("*").alias("_c")]
+    if weighted:
+        partials.append(F.sum("area_milli").alias("_sa"))
+    # grouped on the RAW value (floats keep one counts row per distinct
+    # value — exact, with the state bound degrading to value cardinality);
+    # the long casts below are per-distinct-value and truncation is
+    # monotone, so min/max/sums equal the per-row-cast originals
+    counts = j.groupBy("poly_id", F.col(value_col).alias("_v")).agg(*partials)
+    vl = F.col("_v").cast("long")
+
+    wz = Window.partitionBy("poly_id").orderBy("_v")
+    # percentile ignores NULL values; count only non-null rows toward the
+    # rank arithmetic (NULLs sort first, carrying cumulative 0)
+    nn_c = F.when(F.col("_v").isNotNull(), F.col("_c")).otherwise(F.lit(0))
+    cum = F.sum(nn_c).over(wz.rowsBetween(Window.unboundedPreceding, 0))
+    n = F.sum(nn_c).over(wz.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    t = counts.withColumn("_cum", cum).withColumn("_n", n)
+    # 1-indexed ranks of the two middle order statistics (equal for odd n);
+    # row-level predicates against the cumulative count select the distinct
+    # values carrying those ranks
+    l_rank = F.floor((F.col("_n") - 1) / 2) + 1
+    u_rank = F.floor(F.col("_n") / 2) + 1
+    vd = F.col("_v").cast("double")
     aggs = [
-        F.count("*").alias("n_cells"),
-        F.sum(v).alias("sum_z"),
-        F.min(v).alias("min_z"),
-        F.max(v).alias("max_z"),
-        F.floor(F.expr(f"percentile({value_col}, 0.5)") * 1000.0)
-        .cast("long").alias("med_z_milli"),
+        F.sum("_c").alias("n_cells"),
+        F.sum(vl * F.col("_c")).alias("sum_z"),
+        F.min(vl).alias("min_z"),
+        F.max(vl).alias("max_z"),
+        F.min(F.when(F.col("_cum") >= l_rank, vd)).alias("_vl"),
+        F.min(F.when(F.col("_cum") >= u_rank, vd)).alias("_vu"),
+        F.max("_n").alias("_nn"),
     ]
-    if "area_milli" in j.columns:
-        aggs.append(F.sum("area_milli").alias("sum_area_milli"))
-        aggs.append(F.sum(F.col("area_milli") * v).alias("sum_za_milli"))
-    return j.groupBy("poly_id").agg(*aggs)
+    if weighted:
+        aggs.append(F.sum("_sa").alias("sum_area_milli"))
+        aggs.append(F.sum(F.col("_sa") * vl).alias("sum_za_milli"))
+    out = t.groupBy("poly_id").agg(*aggs)
+    # percentile's p=0.5 interpolation: v[pos] for odd n, else the exact
+    # 0.5/0.5 blend — identical doubles for integral values
+    med = F.when(F.col("_nn") % 2 == 1, F.col("_vl")).otherwise(
+        F.col("_vl") * 0.5 + F.col("_vu") * 0.5
+    )
+    out = out.withColumn("med_z_milli", F.floor(med * 1000.0).cast("long"))
+    cols = ["poly_id", "n_cells", "sum_z", "min_z", "max_z", "med_z_milli"]
+    if weighted:
+        cols += ["sum_area_milli", "sum_za_milli"]
+    return out.select(*cols)
 
 
 def zonal_stats_sql(

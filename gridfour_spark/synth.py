@@ -122,17 +122,46 @@ def grid_duckdb_sql(spec: GridSpec, value: str | None = "dem") -> str:
 
 # --- interleaved docs ---------------------------------------------------------
 
-def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def scan_parallel(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic keyed repartition of a SMALL-FILE scan to cluster
+    width (round 8). The test tables are single-row-group parquet files, so
+    Spark's split machinery cannot parallelize them: every pre-shuffle
+    stage of every consumer — span explode, geometry math, minhashing,
+    event bucketing — ran on ONE task however many cores the session has.
+    One cheap shuffle of the raw scan (the files are a few MB) buys
+    cluster-wide parallelism for everything downstream. Hash-partitioned
+    on a real key, never round-robin, so the row->partition mapping is
+    deterministic under retries (SPARK-38388 class of bugs); the partition
+    count tracks spark.sparkContext.defaultParallelism — cluster-derived,
+    not a local constant. Results are partitioning-invariant (every
+    consumer aggregates or maps row-wise), which the oracle gate pins."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
+def load_documents(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
+    """parallel=True routes through scan_parallel — measured per consumer
+    (round 8): a win wherever heavy per-doc work sits UPSTREAM of the
+    first shuffle (span explode + geometry 2.5x, NB trigram lang_id 3.6x),
+    a loss where the consumer shuffles immediately or re-scans the file
+    many times (near_dup's LSH pipeline measured 2.6x WORSE with a
+    blanket repartition), so the default stays plain."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scan_parallel(df, "doc_id") if parallel else df
 
 
 def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded interleaved spans: (doc_id, offset, kind, text, media_ref).
 
-    One narrow generator stage: split -> explode(sequence) -> slice. No
-    shuffle, no UDF; at 10^12 docs this is a pure map over the parquet scan.
+    One narrow generator stage over a cluster-width scan: split ->
+    explode(sequence) -> slice. No UDF; at 10^12 docs the input is many
+    files and the repartition inside load_documents(parallel=True) is a
+    no-op cost next to the explode it parallelizes (here it undoes the
+    single-row-group test files' one-task ceiling).
     """
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, parallel=True)
     # coalesce makes n_spans non-nullable, so no isnotnull(n_spans) filter
     # is pushed below the words projection (the pushed filter re-evaluated
     # split(text) once more per doc — round-8 plan audit); a NULL text row

@@ -845,14 +845,18 @@ def bpe_word_types(docs: DataFrame, min_count: int = 1) -> DataFrame:
 def _bpe_pair_counts(st: DataFrame) -> DataFrame:
     """Adjacent symbol-pair counts over the type table, weighted by cnt.
     Counts every adjacent position (overlapping included), as the
-    reference get_stats does."""
-    pairs = F.arrays_zip(
-        F.expr("slice(split(substring(seq, 2, length(seq) - 2), '><'), 1, "
-               "size(split(substring(seq, 2, length(seq) - 2), '><')) - 1)"),
-        F.expr("slice(split(substring(seq, 2, length(seq) - 2), '><'), 2, "
-               "size(split(substring(seq, 2, length(seq) - 2), '><')) - 1)"),
+    reference get_stats does. The symbol array is a separate projection
+    (round 8): referenced four times below, the split would otherwise be
+    inlined and re-tokenize the sequence per reference."""
+    syms = st.select(
+        F.col("cnt"),
+        F.expr("split(substring(seq, 2, length(seq) - 2), '><')").alias("_syms"),
     )
-    p = st.select(F.col("cnt"), F.explode(pairs).alias("p"))
+    pairs = F.arrays_zip(
+        F.expr("slice(_syms, 1, size(_syms) - 1)"),
+        F.expr("slice(_syms, 2, size(_syms) - 1)"),
+    )
+    p = syms.select(F.col("cnt"), F.explode(pairs).alias("p"))
     return p.groupBy(
         F.col("p.0").alias("a"), F.col("p.1").alias("b")
     ).agg(F.sum("cnt").alias("n"))
@@ -864,12 +868,18 @@ def bpe_train(
     """Train BPE merges on the corpus.
 
     Returns (merges, final_state): merges = [(rank, a, b, count)...] and
-    the final type table (word, cnt, seq) with all merges applied.  The
-    per-round lineage is truncated with localCheckpoint (same bounded-
-    lineage technique as near_dup_clusters' pointer doubling) so the plan
-    never stacks n_merges replace expressions."""
+    the final type table (word, cnt, seq) with all merges applied.
+
+    Round 8: one Spark job per merge round instead of two — the merge
+    application stays LAZY (a chained JVM replace on the small type
+    table, replayed inside the next round's pair-count job) and lineage
+    is truncated with localCheckpoint only every `_BPE_CKPT_EVERY`
+    rounds, comfortably below the chained-replace codegen ceiling
+    (_BPE_EXPR_MAX_MERGES). Merge selection, tie-break and application
+    are unchanged, so the learned merges and final state are identical."""
     st = bpe_word_types(docs, min_count=min_count).localCheckpoint(eager=True)
     merges = []
+    since_ckpt = 0
     for rank in range(n_merges):
         best = (
             _bpe_pair_counts(st)
@@ -883,8 +893,17 @@ def bpe_train(
         merges.append((rank, a, b, n))
         st = st.withColumn(
             "seq", F.replace(F.col("seq"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
-        ).localCheckpoint(eager=True)
+        )
+        since_ckpt += 1
+        if since_ckpt >= _BPE_CKPT_EVERY:
+            st = st.localCheckpoint(eager=True)
+            since_ckpt = 0
     return merges, st
+
+
+# lineage-truncation cadence for bpe_train: far below the 48-replace
+# codegen ceiling, and every checkpoint skipped is one Spark job saved
+_BPE_CKPT_EVERY = 8
 
 
 def bpe_doc_token_counts(docs: DataFrame, final_state: DataFrame) -> DataFrame:

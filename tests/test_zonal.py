@@ -155,3 +155,37 @@ def test_weighted_sums_exact_long_arithmetic(spark):
                 a, za = ref.get(pid, (0, 0))
                 ref[pid] = (a + r["area_milli"], za + r["area_milli"] * int(r["z"]))
     assert got == ref
+
+
+def test_median_state_is_bounded_no_percentile_buffer(spark):
+    """Round 8: the exact median derives from a (poly, value)-counts table
+    + cumulative window — the plan must carry no Percentile expression
+    (Spark's exact percentile buffers a raw value->count map per group,
+    unbounded on high-cardinality rasters) and no ObjectHashAggregate."""
+    out = spatial.zonal_stats(_cells(spark), spatial.synth_polygons(spark, 8))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+    assert "ObjectHashAggregate" not in plan
+    assert "Window" in plan
+
+
+def test_median_exact_on_high_cardinality_floats(spark):
+    """Float-valued raster with every cell value distinct: the counts-table
+    median must still equal Spark's exact percentile (one counts row per
+    distinct value — degraded state bound, identical result)."""
+    cells = _cells(spark).withColumn(
+        "z", F.col("z").cast("double") + F.col("lat") * 1e-3 + F.col("lon") * 1e-6
+    )
+    polys = spatial.synth_polygons(spark, 8)
+    got = {
+        r["poly_id"]: r["med_z_milli"]
+        for r in spatial.zonal_stats(cells, polys).collect()
+    }
+    ref = {
+        r["poly_id"]: r["m"]
+        for r in spatial.pip_join(cells, polys)
+        .groupBy("poly_id")
+        .agg(F.floor(F.expr("percentile(z, 0.5)") * 1000.0).cast("long").alias("m"))
+        .collect()
+    }
+    assert got == ref and len(got) > 0
