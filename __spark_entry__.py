@@ -1664,14 +1664,15 @@ def _q_floatcodec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- compression (Arrow kernels; rows-only oracle checks) -------------------
 
-def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_compression(spark: SparkSession, sf_dir: str, comp: DataFrame | None = None) -> DataFrame:
     """Codec race invariants (self-verifying; the detailed codec-mix report
     lives in bench.py via tilecodec.compression_report): every tile encodes,
     kept packings are strictly smaller than the standard payload
     (RecordManager.writeTile:448-461), raw fallbacks are exactly standard
     size."""
-    tiles = _tiles_cached(spark, SPEC_A, "dem")
-    comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
+    if comp is None:
+        tiles = _tiles_cached(spark, SPEC_A, "dem")
+        comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
     return comp.agg(
         F.count("*").alias("n_tiles"),
         F.sum(
@@ -1683,12 +1684,13 @@ def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_compression_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_compression_verify(spark: SparkSession, sf_dir: str, comp: DataFrame | None = None) -> DataFrame:
     """Whole-pipeline compress->decompress->compare (the reference's -verify
     re-scan, PackageData.java:562-654). n_mismatch must be 0."""
     cells = synth.grid_df(spark, SPEC_A, value="dem")
-    tiles = _tiles_cached(spark, SPEC_A, "dem")
-    comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
+    if comp is None:
+        tiles = _tiles_cached(spark, SPEC_A, "dem")
+        comp = tilecodec.compress_tiles(tiles, SPEC_A, use_lsop=True)
     back = tilecodec.decompress_tiles(comp, SPEC_A)
     cells2 = store.tiles_to_cells(back, SPEC_A).withColumnRenamed("z", "z2")
     joined = cells.join(cells2, on=["row", "col"], how="full")
@@ -1825,6 +1827,10 @@ def _q_compression_multi_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = store.build_tiles(cells, spec, element_col="element")
     comp = tilecodec.compress_tiles_multi(tiles, spec, elements=["band2", "dem"], use_lsop=True)
     back = tilecodec.decompress_tiles_multi(comp, spec, elements=["band2", "dem"])
+    # round 8: the two per-element branches below otherwise re-evaluate the
+    # whole build->compress->decompress chain through lineage (plan subtree
+    # duplication, guide §5) — persist the decompressed store once
+    back = textops._persist_tracked(back)
     outs = []
     for el in ["band2", "dem"]:
         c = store.tiles_to_cells(back.filter(F.col("element") == el), spec)
@@ -2007,7 +2013,9 @@ def _gvrs_sample_read_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
-def _q_update_store_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_update_store_verify(
+    spark: SparkSession, sf_dir: str, blocks=None
+) -> DataFrame:
     """Binary-store UPDATE lifecycle (reference "rw" open / RecordManager
     record-reuse parity as read-merge-rewrite compaction, update_gvrs):
     write the SPEC_A DEM as a .gvrs store, apply a deterministic delta
@@ -2028,10 +2036,11 @@ def _q_update_store_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = os.path.join(d, "src.gvrs")
         dst = os.path.join(d, "dst.gvrs")
-        tiles = _tiles_cached(spark, spec, "dem")
         e = G.default_element("z", "int")
-        G.write_gvrs(src, spec, e, G.gvrs_export_blocks(tiles, spec, e, compress=False),
-                     compressed=False)
+        if blocks is None:
+            tiles = _tiles_cached(spark, spec, "dem")
+            blocks = G.gvrs_export_blocks(tiles, spec, e, compress=False)
+        G.write_gvrs(src, spec, e, blocks, compressed=False)
         g = synth.grid_df(spark, spec, value="dem")
         bump = g.filter((F.col("row") % 97 == 3) & (F.col("col") % 89 == 7)).select(
             "row", "col", (F.col("z") + 1000.0).alias("z")
@@ -2059,7 +2068,9 @@ def _q_update_store_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _q_sharded_update_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_sharded_update_verify(
+    spark: SparkSession, sf_dir: str, blocks=None
+) -> DataFrame:
     """SHARDED-store update lifecycle (round-4 verdict missing #3,
     update_gvrs_shards): same bump/erase delta as the single-file update
     leg, applied IN PLACE to a 5-shard store — one delta shuffle keyed by
@@ -2076,11 +2087,12 @@ def _q_sharded_update_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = SPEC_A
     d = tempfile.mkdtemp(prefix="oracle_shupd_")
     try:
-        tiles = _tiles_cached(spark, spec, "dem")
         e = G.default_element("z", "int")
+        if blocks is None:
+            tiles = _tiles_cached(spark, spec, "dem")
+            blocks = G.gvrs_export_blocks(tiles, spec, e, compress=False)
         G.write_gvrs_shards(
-            G.gvrs_export_blocks(tiles, spec, e, compress=False), spec, e, d,
-            n_shards=5, compressed=False,
+            blocks, spec, e, d, n_shards=5, compressed=False,
         ).collect()
         g = synth.grid_df(spark, spec, value="dem")
         bump = g.filter((F.col("row") % 97 == 3) & (F.col("col") % 89 == 7)).select(
@@ -2131,14 +2143,21 @@ def _q_compression_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-window slot. Round 6 adds leg='race' (the former standalone
     `compression` query): codec-race keep-rule invariants — n_cells =
     tile count, a = keep violations, b = raw-fallback size violations."""
-    race = _q_compression(spark, sf_dir).select(
+    # round 8: the race and plain legs consume the SAME codec-race output
+    # over the SAME store; build it once and share (plan-level reuse inside
+    # this one suite query — the compression itself still runs from the
+    # tile store on every invocation)
+    comp = textops._persist_tracked(
+        tilecodec.compress_tiles(_tiles_cached(spark, SPEC_A, "dem"), SPEC_A, use_lsop=True)
+    )
+    race = _q_compression(spark, sf_dir, comp=comp).select(
         F.lit("race").alias("leg"),
         F.col("n_tiles").alias("n_cells"),
         F.col("n_keep_violations").cast("long").alias("a"),
         F.col("n_raw_violations").cast("long").alias("b"),
         F.lit(0).cast("long").alias("c"),
     )
-    plain = _q_compression_verify(spark, sf_dir).select(
+    plain = _q_compression_verify(spark, sf_dir, comp=comp).select(
         F.lit("plain").alias("leg"),
         F.col("n_cells"),
         F.col("n_mismatch").alias("a"),
@@ -2159,14 +2178,25 @@ def _q_compression_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_z").alias("b"),
         F.col("max_z").alias("c"),
     )
-    upd = _q_update_store_verify(spark, sf_dir).select(
+    # round 8: the update and sharded-update legs write their source
+    # stores from the SAME uncompressed export-blocks frame — encode it
+    # once and share (the per-leg store writes/updates/reads still run)
+    from gridfour_spark import gvrsfile as _G
+
+    _blocks = textops._persist_tracked(
+        _G.gvrs_export_blocks(
+            _tiles_cached(spark, SPEC_A, "dem"), SPEC_A,
+            _G.default_element("z", "int"), compress=False,
+        )
+    )
+    upd = _q_update_store_verify(spark, sf_dir, blocks=_blocks).select(
         F.lit("update").alias("leg"),
         F.col("n_cells"),
         F.col("sum_z").alias("a"),
         F.col("n_live_tiles").alias("b"),
         F.col("n_changed").alias("c"),
     )
-    shup = _q_sharded_update_verify(spark, sf_dir).select(
+    shup = _q_sharded_update_verify(spark, sf_dir, blocks=_blocks).select(
         F.lit("sharded_update").alias("leg"),
         F.col("n_cells"),
         F.col("sum_z").alias("a"),

@@ -701,33 +701,85 @@ def polylines(segs: DataFrame, levels: list[float]) -> DataFrame:
     e = e.select("lev_milli", "x1", "y1", "x2", "y2", "_va").join(lab, "_va").drop("_va")
 
     def walk(key, pdf):
+        import numpy as np
         import pandas as pd
 
-        adj: dict = {}
-        for x1, y1, x2, y2 in zip(pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]):
-            a, b = (int(x1), int(y1)), (int(x2), int(y2))
-            adj.setdefault(a, []).append(b)
-            adj.setdefault(b, []).append(a)
-        odd = sorted(v for v, ns in adj.items() if len(ns) % 2 == 1)
-        start = odd[0] if odd else min(adj)
-        prev = None
-        cur = start
-        seq = []
-        for _ in range(len(pdf) + 1):
-            seq.append(cur)
-            ns = sorted(n for n in adj[cur] if n != prev)
-            if not ns:
-                break  # chain end (degree-1 vertex)
-            prev, cur = cur, ns[0]
-            if cur == start and len(seq) == len(pdf):
-                seq.append(cur)  # close the loop explicitly
-                break
+        L = len(pdf)
+        # vectorized vertex table + neighbor slots (round 8): the per-step
+        # dict/tuple/sorted() machinery of the original walk was ~10x the
+        # cost of the traversal itself. np.unique(axis=0) returns vertices
+        # in lexicographic (x, y) order, so integer vertex-id comparisons
+        # reproduce the original tuple comparisons exactly; a lexsort of
+        # the directed darts yields each vertex's neighbors pre-sorted.
+        pts_arr = np.stack(
+            [
+                np.concatenate([pdf["x1"].to_numpy(np.int64), pdf["x2"].to_numpy(np.int64)]),
+                np.concatenate([pdf["y1"].to_numpy(np.int64), pdf["y2"].to_numpy(np.int64)]),
+            ],
+            axis=1,
+        )
+        verts, inv = np.unique(pts_arr, axis=0, return_inverse=True)
+        inv = inv.ravel()
+        a, b = inv[:L], inv[L:]
+        nv = len(verts)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        order = np.lexsort((dst, src))
+        src_s, dst_s = src[order], dst[order]
+        first = np.searchsorted(src_s, np.arange(nv), side="left")
+        deg = np.searchsorted(src_s, np.arange(nv), side="right") - first
+
+        if deg.max() <= 2:
+            nb0 = dst_s[first]
+            nb1 = np.where(deg > 1, dst_s[np.minimum(first + 1, 2 * L - 1)], -1)
+            odd_ids = np.nonzero(deg % 2 == 1)[0]
+            start = int(odd_ids[0]) if len(odd_ids) else 0
+            prev, cur = -1, start
+            seq = []
+            n0l, n1l = nb0.tolist(), nb1.tolist()
+            for _ in range(L + 1):
+                seq.append(cur)
+                n0, n1 = n0l[cur], n1l[cur]
+                if n0 == prev:
+                    n0 = n1 if n1 != prev else -1
+                if n0 < 0:
+                    break  # chain end (degree-1 vertex)
+                prev, cur = cur, n0
+                if cur == start and len(seq) == L:
+                    seq.append(cur)  # close the loop explicitly
+                    break
+            seq = np.asarray(seq, dtype=np.int64)
+            xs, ys = verts[seq, 0], verts[seq, 1]
+        else:
+            # degree > 2 soup: the general dict walk (original semantics)
+            adj: dict = {}
+            for x1, y1, x2, y2 in zip(pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]):
+                va, vb = (int(x1), int(y1)), (int(x2), int(y2))
+                adj.setdefault(va, []).append(vb)
+                adj.setdefault(vb, []).append(va)
+            odd = sorted(v for v, ns in adj.items() if len(ns) % 2 == 1)
+            t_start = odd[0] if odd else min(adj)
+            t_prev = None
+            t_cur = t_start
+            tseq = []
+            for _ in range(L + 1):
+                tseq.append(t_cur)
+                ns = sorted(n for n in adj[t_cur] if n != t_prev)
+                if not ns:
+                    break
+                t_prev, t_cur = t_cur, ns[0]
+                if t_cur == t_start and len(tseq) == L:
+                    tseq.append(t_cur)
+                    break
+            xs = np.asarray([v[0] for v in tseq], dtype=np.int64)
+            ys = np.asarray([v[1] for v in tseq], dtype=np.int64)
+
         return pd.DataFrame({
             "lev_milli": pdf["lev_milli"].iloc[0],
             "comp": key[0],
-            "seq": range(len(seq)),
-            "x": [v[0] for v in seq],
-            "y": [v[1] for v in seq],
+            "seq": range(len(xs)),
+            "x": xs,
+            "y": ys,
         })
 
     return e.groupBy("comp").applyInPandas(

@@ -112,10 +112,15 @@ class RollupStore:
         partitions their minute buckets land in. Late data (buckets already
         materialized) merges via the partial-combine algebra. Returns
         {"days_refreshed": n}."""
-        delta = minute_aggregate(new_events, keys=self.keys)
+        # persisted: the delta aggregate is consumed twice (the touched-day
+        # list below AND the merge union) — without it the raw-event
+        # aggregation re-ran through lineage on the second consumer
+        # (round 8; state bounded by the delta's bucket count)
+        delta = minute_aggregate(new_events, keys=self.keys).persist()
         # touched-day list is metadata-sized (distinct days in the delta)
         days = [r["d"] for r in delta.select("d").distinct().collect()]
         if not days:
+            delta.unpersist()
             return {"days_refreshed": 0}
         # partition-pruned read: only the touched day directories are listed
         # and scanned (PushedFilters on the partition column)
@@ -132,4 +137,5 @@ class RollupStore:
             merged.write.mode("overwrite").partitionBy("d").parquet(self.path)
         finally:
             conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            delta.unpersist()
         return {"days_refreshed": len(days)}

@@ -460,17 +460,31 @@ def knn_join(
         failed = cand.filter(~certified & (F.col("rank") == 1)).select(*pt_cols)
         return out, failed
 
+    from gridfour_spark.textops import _persist_tracked
+
     out_cert, fb_pts = _disk_pass(points, ring)
+    # round 8 (guide §5 caching): the uncertified sliver is the INPUT of
+    # both the escalation pass and the exhaustive fallback, and every
+    # consumer branch of the final union otherwise re-evaluates the full
+    # upstream disk pass (explode + broadcast join + two windows over ALL
+    # points) through lineage — the polar-stress leg paid that recompute
+    # up to three times. Persisting the sliver bounds the cached state by
+    # the uncertified fraction (normally a sliver by the certificate
+    # design; in the all-polar worst case one row per point — disk-backed
+    # MEMORY_AND_DISK default), and the telemetry counts bench.py reads
+    # become cache hits instead of re-runs of the whole pass.
+    fb_pts = _persist_tracked(fb_pts)
     if stats_out is not None:
         # telemetry frames (round-6 stretch: observable fallback cost for
-        # polar-heavy workloads). Counting these re-runs the disk passes;
-        # bench.py reports knn_escalated/fallback fractions from them.
+        # polar-heavy workloads); persisted above, so counting them no
+        # longer re-runs the disk passes.
         stats_out["points"] = points
         stats_out["escalated"] = fb_pts
     if (2 * ring + 1) < n_rows or (2 * ring + 1) < n_cols:
         # ring escalation: one re-certified retry at 3x width before paying
         # the exhaustive price (only the uncertified sliver re-enters)
         out_esc, fb_pts = _disk_pass(fb_pts, 3 * ring)
+        fb_pts = _persist_tracked(fb_pts)
         out_cert = out_cert.unionByName(out_esc)
     if stats_out is not None:
         stats_out["fallback"] = fb_pts

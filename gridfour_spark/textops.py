@@ -870,14 +870,51 @@ def bpe_train(
     Returns (merges, final_state): merges = [(rank, a, b, count)...] and
     the final type table (word, cnt, seq) with all merges applied.
 
-    Round 8: one Spark job per merge round instead of two — the merge
-    application stays LAZY (a chained JVM replace on the small type
-    table, replayed inside the next round's pair-count job) and lineage
-    is truncated with localCheckpoint only every `_BPE_CKPT_EVERY`
-    rounds, comfortably below the chained-replace codegen ceiling
-    (_BPE_EXPR_MAX_MERGES). Merge selection, tie-break and application
-    are unchanged, so the learned merges and final state are identical."""
-    st = bpe_word_types(docs, min_count=min_count).localCheckpoint(eager=True)
+    Round 8, second pass (the round-7 weak-#2 fix): the merge LOOP runs on
+    the DRIVER over the collected type table whenever the vocabulary fits
+    (`_BPE_DRIVER_MAX_TYPES`).  BPE training state is the TYPE table —
+    bounded by distinct-word count, not corpus size (the one distributed
+    job that builds it is the only corpus-scale work) — which is exactly
+    the working set every practical BPE trainer holds in memory.  The
+    driver loop replays the identical selection rule (pair counts weighted
+    by cnt, overlapping positions included; max n, then lexicographically
+    smallest (a, b) — Python's str ordering equals Spark's UTF8 binary
+    ordering because UTF-8 byte order preserves code-point order) and the
+    identical application rule (str.replace == JVM replace-all:
+    left-to-right, non-overlapping), so merges and final state are
+    bit-identical to the distributed loop (pinned by the scalar-reference
+    tests and the driver's CTE-chain oracle).  n_merges Spark jobs — the
+    round-7 sequential-job wall — become TWO (type-table count + collect)
+    regardless of n_merges.
+
+    Vocabularies past the threshold keep the distributed loop: one Spark
+    job per merge round, lazy chained-replace application, lineage
+    truncated every `_BPE_CKPT_EVERY` rounds."""
+    spark = docs.sparkSession
+    st = bpe_word_types(docs, min_count=min_count)
+    if st.count() <= _BPE_DRIVER_MAX_TYPES:
+        rows = st.collect()
+        types = [(r["word"], int(r["cnt"]), r["seq"]) for r in rows]
+        merges = []
+        for rank in range(n_merges):
+            counts: dict = {}
+            for _w, cnt, seq in types:
+                syms = seq[1:-1].split("><")
+                for i in range(len(syms) - 1):
+                    key = (syms[i], syms[i + 1])
+                    counts[key] = counts.get(key, 0) + cnt
+            if not counts:
+                break
+            (a, b), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, a, b, int(n)))
+            pat, rep = f"<{a}><{b}>", f"<{a}{b}>"
+            types = [(w, cnt, seq.replace(pat, rep)) for w, cnt, seq in types]
+        final = spark.createDataFrame(types, "word string, cnt long, seq string")
+        return merges, final
+
+    st = st.localCheckpoint(eager=True)
     merges = []
     since_ckpt = 0
     for rank in range(n_merges):
@@ -904,6 +941,11 @@ def bpe_train(
 # lineage-truncation cadence for bpe_train: far below the 48-replace
 # codegen ceiling, and every checkpoint skipped is one Spark job saved
 _BPE_CKPT_EVERY = 8
+
+# largest type table the driver-side merge loop will collect (~50 B/type
+# -> ~100 MB at the cap, well inside the 8 GiB driver); bigger
+# vocabularies take the distributed per-round loop
+_BPE_DRIVER_MAX_TYPES = 2_000_000
 
 
 def bpe_doc_token_counts(docs: DataFrame, final_state: DataFrame) -> DataFrame:
