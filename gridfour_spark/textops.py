@@ -634,6 +634,32 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     E = E.unionByName(
         E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    # round 8 (same shortcut as contour._cc_segments): a pair graph below
+    # the single-task cap resolves in ONE executor union-find task instead
+    # of O(log D) doubling rounds of ~5 jobs each — identical labels by
+    # construction (rep = min node of the component). The distributed
+    # doubling below remains the over-cap path.
+    n_edges = E.count()
+    if n_edges <= _CC_LOCAL_MAX_EDGES:
+        from gridfour_spark.contour import _uf_kernel
+
+        t = dict(E.dtypes)["src"]
+        lab = (
+            E.select(F.col("src").alias("_va"), F.col("dst").alias("_vb"))
+            .withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(_uf_kernel, f"node {t}, rep {t}")
+        )
+        lab = _persist_tracked(lab)
+        lab.count()  # materialize before dropping E's cache (lab reads E)
+        sizes = lab.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+        out = lab.join(sizes, "rep").select(
+            F.col("node").alias("doc_id"),
+            F.col("rep").alias("cluster_id"),
+            "cluster_size",
+        )
+        E.unpersist()
+        return out
     # persist (not checkpoint) for the input frames: their lineage is one
     # shot — only the ITERATION output needs truncation. (localCheckpoint
     # directly over the LSH pipeline's plan also trips a Catalyst
@@ -946,6 +972,11 @@ _BPE_CKPT_EVERY = 8
 # -> ~100 MB at the cap, well inside the 8 GiB driver); bigger
 # vocabularies take the distributed per-round loop
 _BPE_DRIVER_MAX_TYPES = 2_000_000
+
+# largest symmetrized pair-graph one executor union-find task resolves
+# directly (mirrors contour._CC_SUPER_LOCAL_MAX); beyond it the
+# distributed pointer doubling takes over
+_CC_LOCAL_MAX_EDGES = 2_000_000
 
 
 def bpe_doc_token_counts(docs: DataFrame, final_state: DataFrame) -> DataFrame:
